@@ -1,0 +1,2 @@
+from kg.extract.extractors import extract_triples  # noqa: F401
+from kg.extract.stage import run_extract, triples_from_source  # noqa: F401

@@ -1,0 +1,60 @@
+"""Extract stage: source_files → triples.
+
+Spark plan shape (SURVEY.md §2.1 / §7 step 1):
+
+    parquet/iceberg scan (column-pruned: repo, path, commit, lang, content)
+      → mapInPandas (Arrow batches; compiled regex per language — the only
+        Python in the pipeline's hot path)
+      → write triples, partitioned for downstream joins
+
+The per-row lineage invariant (BASELINE.json input_hint): each emitted
+triple carries ``content_sha = sha256(content)`` computed *inside the same
+batch* the content was read in, so the hash provably derives from the bytes
+that were scanned (reference analogue: the page checkpoint only advances
+after a successful write, Migrator.cs:80-81).
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+
+from kg.datagen import class_subj, file_subj
+from kg.extract.extractors import extract_triples
+from kg.schemas import TRIPLES
+
+
+def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    cols = ["subj", "pred", "obj", "repo", "path", "commit", "lang", "content_sha"]
+    for pdf in batches:
+        rows: list[tuple] = []
+        for repo, path, commit, lang, content in zip(
+            pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"], pdf["content"]
+        ):
+            sha = hashlib.sha256(content.encode()).hexdigest()
+            fsubj = file_subj(repo, path)
+            for pred, obj, owner in extract_triples(lang, content):
+                subj = class_subj(repo, path, owner) if owner else fsubj
+                rows.append((subj, pred, obj, repo, path, commit, lang, sha))
+        yield pd.DataFrame(rows, columns=cols)
+
+
+def triples_from_source(source_files: DataFrame) -> DataFrame:
+    """Pure transform: source_files DataFrame → triples DataFrame.
+
+    Column pruning happens automatically: mapInPandas declares its input
+    via the upstream select, so the parquet scan reads only the 5 needed
+    columns.
+    """
+    pruned = source_files.select("repo", "path", "commit", "lang", "content")
+    return pruned.mapInPandas(_extract_batches, schema=TRIPLES)
+
+
+def run_extract(source_files: DataFrame) -> DataFrame:
+    """Stage entry used by the pipeline (deduped, stable)."""
+    return triples_from_source(source_files).dropDuplicates(
+        ["subj", "pred", "obj", "content_sha"]
+    )

@@ -1,0 +1,212 @@
+"""Link stage: entity mentions → matched pairs (MinHash-LSH + scorer).
+
+Pipeline (SURVEY.md §2.1 "link"):
+
+    triples ──► mentions (distinct surfaces of imports-of / extends objects)
+            ──► char-shingle sets (JVM-side, F.transform over substrings)
+            ──► MinHash signatures: explode(shingles) × seeds, seeded
+                F.xxhash64, groupBy(mention, seed).min  — all JVM/codegen
+            ──► LSH banding: groupBy(mention, band) → band key
+            ──► candidate pairs: self-join on (band, band_key), a < b
+            ──► scorer: Jaccard via array_intersect/array_union (JVM) +
+                batched embedding cosine (vectorized pandas UDF over Arrow)
+
+Everything except the embedding scorer stays inside whole-stage codegen.
+The LSH band self-join is the only quadratic-risk spot; a bucket-size cap
+drops degenerate stop-surface buckets (web-scale guard, documented below).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import types as T
+
+from kg.conf import PipelineConfig
+
+# surfaces longer than this are truncated before shingling (pathological
+# inputs at web scale must not blow up the shingle explode)
+_MAX_SURFACE = 256
+# LSH buckets larger than this are dropped: at 10^12-file scale a huge
+# bucket means a degenerate surface (e.g. "utils"), and the quadratic
+# pair blow-up inside it would dominate the job. Real systems cap this.
+_MAX_BUCKET = 64
+
+
+def _norm_col(col):
+    return F.lower(F.regexp_replace(col, r"[^A-Za-z0-9]+", ""))
+
+
+def _shingles_col(norm, k: int):
+    """char k-gram shingle set of a normalized surface, JVM-side."""
+    n = F.length(norm)
+    idx = F.sequence(F.lit(1), F.greatest(n - k + 1, F.lit(1)))
+    return F.array_distinct(
+        F.when(n <= k, F.array(norm)).otherwise(
+            F.transform(idx, lambda i: norm.substr(i, F.lit(k)))
+        )
+    )
+
+
+def mentions_from_triples(triples: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Distinct entity mentions: objects of imports-of (modules) and
+    extends (classes).  mention_id is content-derived (sha256) so it is
+    deterministic across runs — never monotonically_increasing_id
+    (resume + golden tests depend on this)."""
+    kinds = F.when(F.col("pred") == "imports-of", F.lit("module")).otherwise(
+        F.lit("class")
+    )
+    m = (
+        triples.filter(F.col("pred").isin("imports-of", "extends"))
+        .select(
+            F.substring(F.col("obj"), 1, _MAX_SURFACE).alias("surface"),
+            kinds.alias("kind"),
+        )
+        .distinct()
+        .withColumn("norm", _norm_col(F.col("surface")))
+        .withColumn(
+            "mention_id",
+            F.sha2(F.concat_ws(":", F.col("kind"), F.col("surface")), 256),
+        )
+        .withColumn("shingles", _shingles_col(F.col("norm"), cfg.shingle_size))
+    )
+    return m.select("mention_id", "surface", "norm", "kind", "shingles")
+
+
+def candidate_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """MinHash-LSH blocking, entirely JVM-side.
+
+    rows: |mentions| × |shingles| × P after the seed explode — bounded by
+    the *distinct-surface vocabulary*, not the corpus, so this is orders of
+    magnitude smaller than the triple set at any scale.
+    """
+    spark = mentions.sparkSession
+    p, r = cfg.minhash_perms, cfg.lsh_rows_per_band
+    seeds = spark.range(p).select(F.col("id").cast("int").alias("seed"))
+
+    sh = mentions.select(
+        "mention_id", "kind", F.explode("shingles").alias("sh")
+    )
+    # seeded hash family: xxhash64 over (shingle, seed)
+    sig = (
+        sh.crossJoin(F.broadcast(seeds))
+        .select(
+            "mention_id",
+            "kind",
+            "seed",
+            F.xxhash64(F.col("sh"), F.col("seed")).alias("h"),
+        )
+        .groupBy("mention_id", "kind", "seed")
+        .agg(F.min("h").alias("minh"))
+    )
+    bands = (
+        sig.withColumn("band", (F.col("seed") / r).cast("int"))
+        .groupBy("mention_id", "kind", "band")
+        .agg(
+            F.sha2(
+                F.concat_ws(
+                    ",",
+                    F.transform(
+                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
+                        lambda s: s["minh"].cast("string"),
+                    ),
+                ),
+                256,
+            ).alias("band_key")
+        )
+    )
+    # web-scale guard: drop degenerate buckets before the self-join
+    counts = bands.groupBy("kind", "band", "band_key").agg(
+        F.count("*").alias("bucket_n")
+    )
+    bands = bands.join(
+        counts.filter(F.col("bucket_n") <= _MAX_BUCKET),
+        ["kind", "band", "band_key"],
+        "inner",
+    )
+    x, y = bands.alias("x"), bands.alias("y")
+    pairs = (
+        x.join(
+            y,
+            (F.col("x.kind") == F.col("y.kind"))
+            & (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.band_key") == F.col("y.band_key"))
+            & (F.col("x.mention_id") < F.col("y.mention_id")),
+        )
+        .select(
+            F.col("x.mention_id").alias("a"), F.col("y.mention_id").alias("b")
+        )
+        .distinct()
+    )
+    return pairs
+
+
+@F.pandas_udf(T.DoubleType())
+def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
+    """Batched embedding cosine over Arrow (the north_star's "batched
+    Jaccard/embedding scorer").  Embeddings here are deterministic
+    hash-derived random projections of the shingle sets — a stand-in with
+    the exact Spark plumbing (array columns in, vectorized numpy math) a
+    learned encoder would use; swap `_embed` for a model without touching
+    the plan."""
+    import numpy as np
+
+    dim = 32
+
+    def _embed(shingles) -> "np.ndarray":
+        v = np.zeros(dim)
+        for s in shingles:
+            rng = np.random.default_rng(
+                int.from_bytes(s.encode()[:8].ljust(8, b"\0"), "big")
+            )
+            v += rng.standard_normal(dim)
+        n = np.linalg.norm(v)
+        return v / n if n > 0 else v
+
+    out = np.empty(len(a))
+    for i, (sa, sb) in enumerate(zip(a, b)):
+        out[i] = float(np.dot(_embed(sa), _embed(sb)))
+    return pd.Series(out)
+
+
+def score_pairs(
+    pairs: DataFrame, mentions: DataFrame, cfg: PipelineConfig
+) -> DataFrame:
+    """Jaccard (JVM array ops) + embedding cosine (pandas UDF) per pair.
+
+    The mentions side is vocabulary-sized → broadcast both lookups."""
+    ma = F.broadcast(
+        mentions.select(
+            F.col("mention_id").alias("a"), F.col("shingles").alias("sh_a")
+        )
+    )
+    mb = F.broadcast(
+        mentions.select(
+            F.col("mention_id").alias("b"), F.col("shingles").alias("sh_b")
+        )
+    )
+    scored = (
+        pairs.join(ma, "a")
+        .join(mb, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .withColumn("emb_score", _cosine_udf(F.col("sh_a"), F.col("sh_b")))
+        .withColumn(
+            "is_match",
+            (F.col("jaccard") >= cfg.jaccard_threshold)
+            | (F.col("emb_score") >= cfg.embedding_threshold),
+        )
+        .select("a", "b", "jaccard", "emb_score", "is_match")
+    )
+    return scored
+
+
+def run_link(triples: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
+    """Stage entry: triples → (mentions, scored match pairs)."""
+    mentions = mentions_from_triples(triples, cfg)
+    pairs = candidate_pairs(mentions, cfg)
+    scored = score_pairs(pairs, mentions, cfg)
+    return mentions, scored.filter(F.col("is_match"))
