@@ -1,0 +1,92 @@
+"""Benchmark harness.
+
+Runs the headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` plus the KG
+pipeline end-to-end on a bench-scale synthetic corpus, and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {...}, "sf": ..., "kg_triples_per_sec": ...}
+
+Each query is forced through the noop sink so the full plan executes
+(a bare count() would let Catalyst prune most of the work).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+    n_files = int(os.environ.get("KG_BENCH_FILES", "60000"))
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kg.session import get_spark
+
+    spark = get_spark("bench", cores=cpus, shuffle_partitions=cpus)
+    import __spark_entry__ as entry
+
+    qs = entry.queries()
+    headline = [
+        "edge_docs",
+        "pricing_summary",
+        "top_tokens_per_lang",
+        "user_event_windows",
+        "dedup_exact",
+        "dedup_minhash",
+        "dedup_simhash",
+        "text_stats",
+        "ann_brute_force",
+        "ann_lsh",
+    ]
+
+    timings: dict[str, float] = {}
+    for name in headline:
+        t0 = time.monotonic()
+        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        timings[name] = round(time.monotonic() - t0, 3)
+
+    # KG pipeline end-to-end (extract → link → canonicalize → materialize)
+    import shutil
+    import tempfile
+
+    from kg.conf import PipelineConfig
+    from kg.datagen import source_files_df
+    from kg.pipeline import run_pipeline
+
+    wh = tempfile.mkdtemp(prefix="kg_bench_")
+    cfg = PipelineConfig(warehouse=wh, shuffle_partitions=cpus)
+    src = source_files_df(spark, n_files)
+    t0 = time.monotonic()
+    out = run_pipeline(spark, src, cfg, restart=True)
+    n_triples = out["triples"].count()
+    kg_sec = time.monotonic() - t0
+    timings["kg_pipeline"] = round(kg_sec, 3)
+    shutil.rmtree(wh, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_plus_kg_pipeline_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+                "kg_files": n_files,
+                "kg_triples": n_triples,
+                "kg_triples_per_sec": round(n_triples / kg_sec, 1),
+                "cpus": cpus,
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,98 @@
+"""Connected components via alternating large-star / small-star joins.
+
+The north_star mandates canonical entity resolution with an iterative
+DataFrame-join CC (no GraphFrames).  This is the two-phase star algorithm
+(Kiveris et al., "Connected Components in MapReduce and Beyond", SoCC'14):
+each round is two shuffles (groupBy min + join), converging in
+O(log n) rounds on any graph — the property that matters at 10^12-edge
+scale, where label-propagation's O(diameter) rounds would be unbounded.
+
+Node ids are strings (sha256 hex); `min` is lexicographic, which is total
+and deterministic, so the component root — and therefore every canonical
+entity id — is stable across runs and cluster sizes.
+
+Catalyst cannot express iteration, so the loop lives driver-side with a
+``localCheckpoint()`` per round to truncate the logical plan (SURVEY.md §4
+hard-parts watch list: unbounded plan growth otherwise blows up analysis).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def _large_star(e: DataFrame) -> DataFrame:
+    """For each node u: attach every strictly-larger neighbor to
+    min(N(u) ∪ {u})."""
+    sym = e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    mins = sym.groupBy("u").agg(
+        F.least(F.min("v"), F.first("u")).alias("m")
+    )
+    return (
+        sym.join(mins, "u")
+        .where(F.col("v") > F.col("u"))
+        .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def _small_star(e: DataFrame) -> DataFrame:
+    """Orient edges high→low; for each node u: attach u and all its
+    smaller neighbors to min(N(u) ∪ {u})."""
+    d = e.select(
+        F.greatest("u", "v").alias("u"), F.least("u", "v").alias("v")
+    ).where(F.col("u") != F.col("v"))
+    mins = d.groupBy("u").agg(F.min("v").alias("m"))
+    nbrs = d.join(mins, "u")
+    out = (
+        nbrs.select(F.col("v").alias("u"), F.col("m").alias("v"))
+        .union(mins.select(F.col("u"), F.col("m").alias("v")))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    return out
+
+
+def connected_components(
+    pairs: DataFrame, max_iter: int = 25
+) -> DataFrame:
+    """``pairs(a,b)`` undirected edges → ``(mention_id, canonical_id)``.
+
+    canonical_id = min member id of the component (deterministic).  The
+    returned map covers every node that appears in ``pairs``; callers union
+    in the identity mapping for singletons.
+    """
+    e = (
+        pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .where(F.col("u") != F.col("v"))
+        .distinct()
+        .localCheckpoint()
+    )
+    prev = None
+    for _ in range(max_iter):
+        e = _small_star(_large_star(e)).localCheckpoint()
+        # cheap fixpoint detector: count + order-insensitive hash
+        # order-insensitive checksum; modulo keeps the ANSI-mode sum from
+        # overflowing long at any edge count
+        chk = e.agg(
+            F.count("*").alias("n"),
+            F.coalesce(
+                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)
+            ).alias("h"),
+        ).first()
+        cur = (chk["n"], chk["h"])
+        if cur == prev:
+            break
+        prev = cur
+    else:
+        raise RuntimeError(f"connected_components: no convergence in {max_iter} rounds")
+    # converged: e is a star graph (node -> component root)
+    roots = e.select(F.col("v").alias("u"), F.col("v"))
+    return (
+        e.union(roots)
+        .distinct()
+        .select(
+            F.col("u").alias("mention_id"), F.col("v").alias("canonical_id")
+        )
+    )

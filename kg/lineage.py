@@ -1,0 +1,105 @@
+"""Per-partition lineage + idempotent resume.
+
+Generalizes the reference's checkpoint store (RocksDB KV holding one page
+high-water-mark per element kind per shard, ``NeoToCosmos/Cache.cs:36-44``,
+``Migrator.cs:66-68,80-81``) into a lineage *table*: one row per
+(stage, bucket) with row counts, an order-insensitive content checksum and
+a status — the Spark-native analogue of "simply rerun the command to
+resume" (reference ``README.md:42``).
+
+Resume protocol per stage:
+  1. work is split into deterministic buckets (``pmod(xxhash64(keys), B)``);
+  2. a rerun anti-joins buckets already recorded ``done`` (O16);
+  3. bucket outputs are written with dynamic partition overwrite, so a
+     crash between data write and lineage append just rewrites that bucket
+     byte-identically on the next run (idempotent upsert semantics, the
+     Spark mapping of the reference's BulkExecutor ``enableUpsert:true``,
+     ``CosmosDb.cs:144``);
+  4. ``--restart`` truncates outputs + lineage (O15/O17,
+     ``CosmosDb.cs:101-118``, ``Cache.cs:24-34``).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+
+from pyspark.sql import DataFrame, SparkSession, functions as F
+
+from kg.schemas import LINEAGE
+
+
+def bucket_col(*key_cols: str, n_buckets: int):
+    """Deterministic work bucket: stable across runs and cluster sizes."""
+    return F.pmod(F.xxhash64(*key_cols), F.lit(n_buckets)).cast("int")
+
+
+class LineageStore:
+    def __init__(self, spark: SparkSession, path: str):
+        self.spark = spark
+        self.path = path
+
+    def read(self) -> DataFrame:
+        if os.path.exists(self.path):
+            return self.spark.read.schema(LINEAGE).parquet(self.path)
+        return self.spark.createDataFrame([], LINEAGE)
+
+    def completed_buckets(self, stage: str) -> set[int]:
+        rows = (
+            self.read()
+            .filter((F.col("stage") == stage) & (F.col("status") == "done"))
+            .select("bucket")
+            .collect()
+        )
+        return {r.bucket for r in rows}
+
+    def stage_done(self, stage: str) -> bool:
+        return bool(self.completed_buckets(stage))
+
+    def record_buckets(
+        self,
+        stage: str,
+        per_bucket: DataFrame,
+        duration_ms: int,
+    ) -> None:
+        """Append one ``done`` row per bucket.
+
+        ``per_bucket`` columns: bucket, rows_in, rows_out, content_sha_xor.
+        """
+        rows = per_bucket.select(
+            F.lit(stage).alias("stage"),
+            F.col("bucket").cast("int"),
+            F.col("rows_in").cast("long"),
+            F.col("rows_out").cast("long"),
+            F.col("content_sha_xor").cast("string"),
+            F.lit("done").alias("status"),
+            F.lit(duration_ms).cast("long").alias("duration_ms"),
+        )
+        rows.write.mode("append").parquet(self.path)
+
+    def record_stage(
+        self, stage: str, rows_in: int, rows_out: int, duration_ms: int
+    ) -> None:
+        self.record_buckets(
+            stage,
+            self.spark.createDataFrame(
+                [(0, rows_in, rows_out, None)],
+                "bucket int, rows_in long, rows_out long, content_sha_xor string",
+            ),
+            duration_ms,
+        )
+
+    def reset(self) -> None:
+        """O17: truncate all checkpoints on --restart (Cache.cs:24-34)."""
+        shutil.rmtree(self.path, ignore_errors=True)
+
+
+class StageTimer:
+    def __enter__(self):
+        self.t0 = time.monotonic()
+        return self
+
+    def __exit__(self, *exc):
+        self.ms = int((time.monotonic() - self.t0) * 1000)
+        return False

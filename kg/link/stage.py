@@ -74,71 +74,24 @@ def mentions_from_triples(triples: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 def candidate_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
-    """MinHash-LSH blocking, entirely JVM-side.
+    """MinHash-LSH blocking, entirely JVM-side (kg.ops.minhash).
 
     rows: |mentions| × |shingles| × P after the seed explode — bounded by
     the *distinct-surface vocabulary*, not the corpus, so this is orders of
-    magnitude smaller than the triple set at any scale.
+    magnitude smaller than the triple set at any scale.  Blocking on
+    ``kind`` keeps module and class mention spaces separate.
     """
-    spark = mentions.sparkSession
-    p, r = cfg.minhash_perms, cfg.lsh_rows_per_band
-    seeds = spark.range(p).select(F.col("id").cast("int").alias("seed"))
+    from kg.ops.minhash import minhash_candidate_pairs
 
-    sh = mentions.select(
-        "mention_id", "kind", F.explode("shingles").alias("sh")
+    return minhash_candidate_pairs(
+        mentions,
+        id_col="mention_id",
+        shingles_col="shingles",
+        perms=cfg.minhash_perms,
+        bands=cfg.lsh_bands,
+        max_bucket=_MAX_BUCKET,
+        group_cols=["kind"],
     )
-    # seeded hash family: xxhash64 over (shingle, seed)
-    sig = (
-        sh.crossJoin(F.broadcast(seeds))
-        .select(
-            "mention_id",
-            "kind",
-            "seed",
-            F.xxhash64(F.col("sh"), F.col("seed")).alias("h"),
-        )
-        .groupBy("mention_id", "kind", "seed")
-        .agg(F.min("h").alias("minh"))
-    )
-    bands = (
-        sig.withColumn("band", (F.col("seed") / r).cast("int"))
-        .groupBy("mention_id", "kind", "band")
-        .agg(
-            F.sha2(
-                F.concat_ws(
-                    ",",
-                    F.transform(
-                        F.array_sort(F.collect_list(F.struct("seed", "minh"))),
-                        lambda s: s["minh"].cast("string"),
-                    ),
-                ),
-                256,
-            ).alias("band_key")
-        )
-    )
-    # web-scale guard: drop degenerate buckets before the self-join
-    counts = bands.groupBy("kind", "band", "band_key").agg(
-        F.count("*").alias("bucket_n")
-    )
-    bands = bands.join(
-        counts.filter(F.col("bucket_n") <= _MAX_BUCKET),
-        ["kind", "band", "band_key"],
-        "inner",
-    )
-    x, y = bands.alias("x"), bands.alias("y")
-    pairs = (
-        x.join(
-            y,
-            (F.col("x.kind") == F.col("y.kind"))
-            & (F.col("x.band") == F.col("y.band"))
-            & (F.col("x.band_key") == F.col("y.band_key"))
-            & (F.col("x.mention_id") < F.col("y.mention_id")),
-        )
-        .select(
-            F.col("x.mention_id").alias("a"), F.col("y.mention_id").alias("b")
-        )
-        .distinct()
-    )
-    return pairs
 
 
 @F.pandas_udf(T.DoubleType())

@@ -1,0 +1,7 @@
+from kg.materialize.documents import (  # noqa: F401
+    denormalize_endpoints,
+    edge_namespace,
+    json_array,
+    rename_reserved_keys,
+)
+from kg.materialize.stage import run_materialize  # noqa: F401

@@ -1,0 +1,74 @@
+"""GraphSON-style document invariants (reference-parity column transforms).
+
+Each helper is the Spark mapping of one reference operator (SURVEY.md §2):
+
+* O9  ``rename_reserved_keys`` — property names colliding with reserved
+  Cosmos document fields ``{id,_rid,_self,_ts,_etag}`` are renamed
+  ``prop_<name>`` (reference: ``NeoToCosmos/Migrator.cs:19,96-101``,
+  tested at ``MigratorTests.cs:45-63``).
+* O10 ``json_array`` — array-valued properties are serialized to a JSON
+  string before writing (``Migrator.cs:104-107``; ``MigratorTests.cs:65-86``
+  pins "starts with [ and ends with ]").
+* O11 ``edge_namespace`` — edge ids are prefixed ``edge_`` because nodes
+  and edges share one id space in the sink (``Migrator.cs:138-144``,
+  ``README.md:11``).
+* O4  ``denormalize_endpoints`` — the reference's edge⋈node⋈node Cypher
+  join (``Neo4j.cs:70``): each edge row is made self-contained by pulling
+  label + partition key of both endpoints.  Broadcast when the node dim
+  fits; Catalyst falls back to sort-merge otherwise.
+
+All pure Column/DataFrame expressions — JVM-side, whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kg.schemas import RESERVED_PROPERTY_NAMES
+
+
+def rename_reserved_keys(props: Column) -> Column:
+    """O9: rename reserved keys in a map<string,string> property bag."""
+    return F.transform_keys(
+        props,
+        lambda k, _v: F.when(
+            k.isin(*RESERVED_PROPERTY_NAMES), F.concat(F.lit("prop_"), k)
+        ).otherwise(k),
+    )
+
+
+def json_array(arr: Column) -> Column:
+    """O10: array property → deterministic JSON string (sorted)."""
+    return F.to_json(F.array_sort(arr))
+
+
+def edge_namespace(edge_id: Column) -> Column:
+    """O11: namespace edge ids to avoid vertex/edge id collision."""
+    return F.concat(F.lit("edge_"), edge_id)
+
+
+def denormalize_endpoints(
+    edges: DataFrame,
+    nodes: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    broadcast_nodes: bool = True,
+) -> DataFrame:
+    """O4/O12: pull (label, partition_key) of both endpoints onto each edge.
+
+    ``edges`` must carry ``out_col``/``in_col`` referencing ``nodes.id``.
+    """
+    dim = nodes.select("id", "label", "partition_key")
+    if broadcast_nodes:
+        dim = F.broadcast(dim)
+    a = dim.select(
+        F.col("id").alias(out_col),
+        F.col("label").alias("out_label"),
+        F.col("partition_key").alias("out_pk"),
+    )
+    b = dim.select(
+        F.col("id").alias(in_col),
+        F.col("label").alias("in_label"),
+        F.col("partition_key").alias("in_pk"),
+    )
+    return edges.join(a, out_col, "left").join(b, in_col, "left")

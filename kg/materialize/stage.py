@@ -1,0 +1,202 @@
+"""Materialize stage: triples + entity_map → GraphSON-style nodes/edges.
+
+Node kinds (all ids deterministic sha256 — resume/golden tests depend on
+content-derived ids, never monotonically_increasing_id):
+
+* ``file``       one per source file; pk = repo; properties carry the raw
+                 ``id`` key (exercises the O9 reserved rename → ``prop_id``)
+                 and the sorted imports array (exercises O10 array→JSON).
+* ``class_def``  one per class defined in a file; pk = repo.
+* ``module`` / ``class`` / ``function``  canonical entities; the id is the
+                 component's canonical mention id; pk is a 2-hex-char
+                 bucket of the id (256 synthetic partitions — entities are
+                 global, not repo-local).
+
+Edge rows mirror the reference's 8-field GremlinEdge (Migrator.cs:142-154):
+``edge_``-prefixed id (O11), label = predicate, endpoint label+pk
+denormalized (O4), property bag with provenance incl. the content_sha
+lineage invariant.
+
+Scale notes: the only join against a corpus-sized table is
+triples ⋈ mention_map, and mention_map is vocabulary-sized → broadcast.
+The output write is partitioned/salted upstream by the pipeline driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg.conf import PipelineConfig
+from kg.materialize.documents import (
+    edge_namespace,
+    json_array,
+    rename_reserved_keys,
+)
+
+# entity label per predicate of the *object* mention
+_OBJ_KIND = {
+    "imports-of": "module",
+    "extends": "class",
+    "calls-function": "function",
+}
+
+
+def _entity_bucket(id_col):
+    """Synthetic partition key for global entity nodes: 2 hex chars."""
+    return F.substring(id_col, 1, 2)
+
+
+def _resolved_objects(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
+    """Triple rows whose object is an entity mention, with the object
+    resolved to its canonical id.  calls-function objects are entities
+    too, but unlinked (kind='function', canonical = own mention id)."""
+    kind = F.when(F.col("pred") == "imports-of", F.lit("module")).when(
+        F.col("pred") == "extends", F.lit("class")
+    ).otherwise(F.lit("function"))
+    t = triples.filter(
+        F.col("pred").isin(*_OBJ_KIND.keys())
+    ).withColumn("obj_kind", kind).withColumn(
+        "obj_mention", F.sha2(F.concat_ws(":", F.col("obj_kind"), F.col("obj")), 256)
+    )
+    em = F.broadcast(
+        entity_map.select(
+            F.col("mention_id").alias("obj_mention"),
+            F.col("canonical_id").alias("obj_canonical"),
+        )
+    )
+    return t.join(em, "obj_mention", "left").withColumn(
+        "obj_canonical", F.coalesce("obj_canonical", "obj_mention")
+    )
+
+
+def run_materialize(
+    triples: DataFrame,
+    entity_map: DataFrame,
+    cfg: PipelineConfig,
+) -> tuple[DataFrame, DataFrame]:
+    """triples + entity_map → (nodes, edges) document DataFrames."""
+    resolved = _resolved_objects(triples, entity_map)
+
+    # ---- file nodes ------------------------------------------------------
+    imports_per_file = (
+        triples.filter(F.col("pred") == "imports-of")
+        .groupBy("subj")
+        .agg(F.collect_set("obj").alias("imports"))
+    )
+    files = (
+        triples.filter(F.col("subj").startswith("file:"))
+        .select("subj", "repo", "path", "commit", "lang", "content_sha")
+        .distinct()
+        .join(imports_per_file, "subj", "left")
+        .select(
+            F.sha2(F.col("subj"), 256).alias("id"),
+            F.lit("file").alias("label"),
+            F.col("repo").alias("partition_key"),
+            rename_reserved_keys(
+                F.map_filter(
+                    F.create_map(
+                        F.lit("id"), F.col("subj"),
+                        F.lit("path"), F.col("path"),
+                        F.lit("commit"), F.col("commit"),
+                        F.lit("lang"), F.col("lang"),
+                        F.lit("content_sha"), F.col("content_sha"),
+                        F.lit("imports"),
+                        json_array(F.coalesce("imports", F.array())),
+                    ),
+                    lambda _k, v: v.isNotNull(),
+                )
+            ).alias("properties"),
+        )
+    )
+
+    # ---- class_def nodes -------------------------------------------------
+    class_defs = (
+        triples.filter(F.col("pred") == "defines-class")
+        .select(
+            F.concat_ws(":", F.lit("class"), F.col("repo"), F.col("path"), F.col("obj")).alias("csubj"),
+            F.col("obj").alias("name"),
+            "subj",
+            "repo",
+        )
+        .distinct()
+        .select(
+            F.sha2(F.col("csubj"), 256).alias("id"),
+            F.lit("class_def").alias("label"),
+            F.col("repo").alias("partition_key"),
+            rename_reserved_keys(
+                F.create_map(
+                    F.lit("name"), F.col("name"),
+                    F.lit("file"), F.col("subj"),
+                )
+            ).alias("properties"),
+        )
+    )
+
+    # ---- canonical entity nodes -------------------------------------------
+    entities = (
+        resolved.groupBy("obj_canonical", "obj_kind")
+        .agg(F.collect_set("obj").alias("surfaces"))
+        .select(
+            F.col("obj_canonical").alias("id"),
+            F.col("obj_kind").alias("label"),
+            _entity_bucket(F.col("obj_canonical")).alias("partition_key"),
+            rename_reserved_keys(
+                F.create_map(
+                    F.lit("surfaces"), json_array(F.col("surfaces")),
+                    F.lit("kind"), F.col("obj_kind"),
+                )
+            ).alias("properties"),
+        )
+    )
+
+    nodes = files.unionByName(class_defs).unionByName(entities).dropDuplicates(["id"])
+
+    # ---- edges -------------------------------------------------------------
+    # subject node id + label: file:... → file node, class:... → class_def
+    subj_is_file = F.col("subj").startswith("file:")
+    base = resolved.select(
+        F.sha2(F.col("subj"), 256).alias("out_id"),
+        F.when(subj_is_file, F.lit("file")).otherwise(F.lit("class_def")).alias("out_label"),
+        F.col("repo").alias("out_pk"),
+        F.col("pred").alias("label"),
+        F.col("obj_canonical").alias("in_id"),
+        F.col("obj_kind").alias("in_label"),
+        _entity_bucket(F.col("obj_canonical")).alias("in_pk"),
+        "repo", "path", "commit", "lang", "content_sha",
+    )
+    defines = triples.filter(F.col("pred") == "defines-class").select(
+        F.sha2(F.col("subj"), 256).alias("out_id"),
+        F.lit("file").alias("out_label"),
+        F.col("repo").alias("out_pk"),
+        F.col("pred").alias("label"),
+        F.sha2(
+            F.concat_ws(":", F.lit("class"), F.col("repo"), F.col("path"), F.col("obj")), 256
+        ).alias("in_id"),
+        F.lit("class_def").alias("in_label"),
+        F.col("repo").alias("in_pk"),
+        "repo", "path", "commit", "lang", "content_sha",
+    )
+    all_edges = base.unionByName(defines)
+    edges = (
+        all_edges.withColumn(
+            "id",
+            edge_namespace(
+                F.sha2(F.concat_ws("|", "out_id", "label", "in_id", "repo", "path"), 256)
+            ),
+        )
+        .select(
+            "id", "label", "out_id", "in_id", "out_label", "in_label",
+            "out_pk", "in_pk",
+            rename_reserved_keys(
+                F.create_map(
+                    F.lit("repo"), F.col("repo"),
+                    F.lit("path"), F.col("path"),
+                    F.lit("commit"), F.col("commit"),
+                    F.lit("lang"), F.col("lang"),
+                    F.lit("content_sha"), F.col("content_sha"),
+                )
+            ).alias("properties"),
+        )
+        .dropDuplicates(["id"])
+    )
+    return nodes, edges

@@ -1,0 +1,25 @@
+"""Large-scale training-data operators over document / embedding tables.
+
+First-class components alongside the KG pipeline: deduplication (exact,
+MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
+(brute-force + LSH-bucketed ANN), text analysis (language-ID, quality,
+token counting, fingerprinting), and multimodal column plumbing.
+"""
+
+from kg.ops.dedup import (  # noqa: F401
+    embedding_near_duplicates,
+    exact_duplicates,
+    minhash_duplicates,
+    ngram_jaccard_pairs,
+    simhash_col,
+    simhash_candidates,
+)
+from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
+from kg.ops.similarity import brute_force_topk, lsh_ann_topk  # noqa: F401
+from kg.ops.text import (  # noqa: F401
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    tokens_col,
+)

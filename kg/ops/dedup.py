@@ -1,0 +1,226 @@
+"""Deduplication operators: exact, MinHash-LSH, SimHash, n-gram Jaccard,
+embedding-cosine near-dup.
+
+Design for 100 TB: every variant avoids the O(n²) all-pairs trap —
+exact dedup is one hash-shuffle; MinHash/SimHash block first and only
+score within buckets; embedding near-dup goes through hyperplane-LSH
+buckets (kg.ops.similarity).  The only Python is the SimHash bit-fold
+(vectorized, Arrow-batched).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, functions as F
+
+from kg.ops.minhash import minhash_candidate_pairs
+from kg.ops.text import tokens_col
+
+
+# ---------------------------------------------------------------------------
+# exact
+# ---------------------------------------------------------------------------
+def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """One row per distinct content hash: keeper id + duplicate count.
+    Single hash-partitioned aggregation; no join, no Python."""
+    return (
+        df.groupBy(F.md5(F.col(text_col)).alias("content_hash"))
+        .agg(
+            F.min(id_col).alias("keeper_id"),
+            F.count("*").alias("n_copies"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard
+# ---------------------------------------------------------------------------
+def token_ngrams(text: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles of a document (JVM-side)."""
+    toks = tokens_col(text)
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(F.size(toks) <= n, F.array(F.concat_ws(" ", toks))).otherwise(
+            F.transform(
+                idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
+            )
+        )
+    )
+
+
+def ngram_jaccard_pairs(
+    pairs: DataFrame, docs: DataFrame, id_col: str, text_col: str, n: int = 3
+) -> DataFrame:
+    """Score given candidate (a,b) pairs with word-n-gram Jaccard."""
+    sh = docs.select(
+        F.col(id_col), token_ngrams(F.col(text_col), n).alias("sh")
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        pairs.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b"))
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash-LSH near-dup
+# ---------------------------------------------------------------------------
+def minhash_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.7,
+    perms: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+) -> DataFrame:
+    """shingle → minhash → band → bucket-join → Jaccard filter.
+    Returns (a, b, jaccard) near-duplicate pairs above threshold."""
+    sh = df.select(
+        F.col(id_col).cast("string").alias(id_col),
+        token_ngrams(F.col(text_col), ngram).alias("sh"),
+    )
+    cands = minhash_candidate_pairs(
+        sh, id_col=id_col, shingles_col="sh", perms=perms, bands=bands
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    import numpy as np
+
+    for pdf in batches:
+        out = np.zeros(len(pdf), dtype=np.int64)
+        for i, toks in enumerate(pdf["tokens"]):
+            if toks is None or len(toks) == 0:
+                continue
+            # vectorized 64-bit simhash: per-token FNV-ish hash → bit votes
+            hs = np.array(
+                [hash_token(t) for t in toks], dtype=np.uint64
+            )
+            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
+                np.int32
+            )
+            votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 fold
+            sim = np.uint64(0)
+            for b in np.nonzero(votes > 0)[0]:
+                sim |= np.uint64(1) << np.uint64(b)
+            out[i] = np.int64(sim.astype(np.int64))
+        yield pd.DataFrame({"id": pdf["id"], "simhash": out})
+
+
+def hash_token(t: str) -> int:
+    """Deterministic 64-bit FNV-1a (stable across workers, unlike hash())."""
+    h = 0xCBF29CE484222325
+    for c in t.encode():
+        h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
+    return h
+
+
+def simhash_col(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """→ (id, simhash long). Arrow-batched; the only Python in dedup."""
+    toks = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        tokens_col(F.col(text_col)).alias("tokens"),
+    )
+    return toks.mapInPandas(_simhash_batches, schema="id string, simhash long")
+
+
+def simhash_candidates(sim: DataFrame, band_bits: int = 16) -> DataFrame:
+    """Near-dup candidates = docs sharing any 16-bit band of the simhash
+    (catches hamming distance ≤ 3 for 4 bands over 64 bits)."""
+    nbands = 64 // band_bits
+    bands = sim.select(
+        "id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftrightunsigned(
+                            F.col("simhash"), i * band_bits
+                        ).bitwiseAND(F.lit((1 << band_bits) - 1)).alias("key"),
+                    )
+                    for i in range(nbands)
+                ]
+            )
+        ).alias("bk"),
+    ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    x, y = bands.alias("x"), bands.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col("x.id") < F.col("y.id")),
+        )
+        .select(
+            F.col("x.id").alias("a"),
+            F.col("y.id").alias("b"),
+            F.bit_count(
+                F.col("x.simhash").bitwiseXOR(F.col("y.simhash"))
+            ).alias("hamming"),
+        )
+        .distinct()
+    )
+
+
+# ---------------------------------------------------------------------------
+# embedding cosine near-dup
+# ---------------------------------------------------------------------------
+def embedding_near_duplicates(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    threshold: float = 0.95,
+    planes: int = 16,
+) -> DataFrame:
+    """Near-dup pairs by cosine ≥ threshold, blocked by hyperplane-LSH
+    signature so the self-join is bucket-local (scale path)."""
+    from kg.ops.similarity import _with_signature, _cosine
+
+    sig = _with_signature(emb, id_col, vec_col, planes)
+    x, y = sig.alias("x"), sig.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.sig") == F.col("y.sig"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("a"),
+            F.col(f"y.{id_col}").alias("b"),
+            F.round(_cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6).alias(
+                "cosine"
+            ),
+        )
+        .filter(F.col("cosine") >= threshold)
+    )

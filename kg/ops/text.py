@@ -1,0 +1,79 @@
+"""Text-analysis operators over a documents table.
+
+All pure Column expressions (JVM, whole-stage codegen) so each has an
+exact ANSI-SQL oracle twin in ``__spark_entry__.oracle_sql``.  Heuristics
+are deliberately simple + deterministic: the point is the distributed
+plumbing and oracle-checkability, not linguistic accuracy.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, functions as F
+
+# language marker stopwords (tiny n-gram-free heuristic; deterministic)
+LANG_MARKERS: dict[str, tuple[str, ...]] = {
+    "en": ("the", "and", "of", "is", "a"),
+    "de": ("der", "und", "die", "ist", "das"),
+    "es": ("el", "la", "de", "es", "los"),
+    "fr": ("le", "la", "et", "est", "les"),
+}
+
+
+def tokens_col(text: Column) -> Column:
+    """Whitespace/non-alpha tokenization, lowercased, empties dropped.
+
+    Matches DuckDB ``regexp_split_to_array(lower(text), '[^a-z0-9]+')``
+    + empty filter exactly (both RE2/Java agree on this class)."""
+    return F.filter(
+        F.split(F.lower(text), r"[^a-z0-9]+"), lambda t: t != ""
+    )
+
+
+def token_count(text: Column) -> Column:
+    return F.size(tokens_col(text))
+
+
+def doc_fingerprint(text: Column) -> Column:
+    """Deterministic document fingerprint: md5 of whitespace-normalized
+    lowercase text (rolling-hash stand-in that has an exact SQL twin)."""
+    return F.md5(F.trim(F.regexp_replace(F.lower(text), r"\s+", " ")))
+
+
+def quality_score(text: Column) -> Column:
+    """Composite quality score in [0,1]: length factor × alpha ratio ×
+    (1 - stopword-overload).  Rounded to 6dp so float comparison against
+    the SQL oracle is stable."""
+    n_chars = F.length(text)
+    n_alpha = F.length(F.regexp_replace(text, r"[^A-Za-z]", ""))
+    toks = tokens_col(text)
+    n_tok = F.size(toks)
+    stop = F.size(
+        F.filter(toks, lambda t: t.isin(*LANG_MARKERS["en"]))
+    )
+    length_factor = F.least(n_chars / F.lit(500.0), F.lit(1.0))
+    alpha_ratio = n_alpha / F.greatest(n_chars, F.lit(1))
+    stop_ratio = stop / F.greatest(n_tok, F.lit(1))
+    return F.round(
+        length_factor * alpha_ratio * (F.lit(1.0) - F.least(stop_ratio * 2, F.lit(1.0))),
+        6,
+    )
+
+
+def language_id(text: Column) -> Column:
+    """Marker-stopword language ID: argmax of per-language marker hits,
+    'und' (undetermined) when no marker fires.  Ties break by language
+    code order (deterministic, mirrored in the SQL oracle)."""
+    toks = tokens_col(text)
+
+    def _hits(markers: tuple[str, ...]) -> Column:
+        return F.size(F.filter(toks, lambda t: t.isin(*markers)))
+
+    hits = {lang: _hits(markers) for lang, markers in LANG_MARKERS.items()}
+    best = F.greatest(*hits.values())
+    expr = F.lit("und")
+    # reversed so earlier languages win ties (first WHEN wins in SQL CASE)
+    for lang in reversed(list(LANG_MARKERS)):
+        expr = F.when((hits[lang] > 0) & (hits[lang] == best), F.lit(lang)).otherwise(
+            expr
+        )
+    return expr

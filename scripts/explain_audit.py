@@ -1,0 +1,75 @@
+"""Physical-plan audit for the headline queries.
+
+Prints `explain("formatted")` for each headline query and greps the plan
+for the properties that matter at 100 TB:
+
+* parquet scans are column-pruned (ReadSchema lists only needed columns)
+  and filters are pushed (PushedFilters non-empty where a filter exists);
+* small dims join via BroadcastHashJoin, not SortMergeJoin;
+* hot expressions sit inside WholeStageCodegen spans;
+* no CartesianProduct outside the deliberate broadcast NL join in ANN.
+
+Writes the summary to BENCH/PLANS.md.
+"""
+
+from __future__ import annotations
+
+import os
+import re
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    from kg.session import get_spark
+    import __spark_entry__ as entry
+
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.01")
+    spark = get_spark("plan-audit", cores=4, shuffle_partitions=8)
+    qs = entry.queries()
+    names = [
+        "edge_docs", "pricing_summary", "top_tokens_per_lang",
+        "user_event_windows", "dedup_exact", "dedup_minhash",
+        "text_stats", "ann_brute_force",
+    ]
+    lines = ["# Physical plan audit\n"]
+    import contextlib
+    import io
+
+    for name in names:
+        df = qs[name](spark, sf_dir)
+        buf = io.StringIO()
+        with contextlib.redirect_stdout(buf):
+            df.explain("formatted")
+        plan = buf.getvalue()
+        n_bhj = len(re.findall(r"BroadcastHashJoin", plan))
+        n_smj = len(re.findall(r"SortMergeJoin", plan))
+        n_cart = len(re.findall(r"CartesianProduct", plan))
+        n_wsc = len(re.findall(r"WholeStageCodegen", plan))
+        scans = re.findall(r"ReadSchema: struct<([^>]*)>", plan)
+        pushed = re.findall(r"PushedFilters: \[([^\]]*)\]", plan)
+        lines.append(f"## {name}\n")
+        lines.append(
+            f"- joins: {n_bhj} broadcast-hash, {n_smj} sort-merge, "
+            f"{n_cart} cartesian; {n_wsc} whole-stage-codegen spans"
+        )
+        for s in scans:
+            cols = [c.split(":")[0] for c in s.split(",") if c]
+            lines.append(f"- scan reads: {cols}")
+        for p in pushed:
+            if p:
+                lines.append(f"- pushed filters: {p}")
+        lines.append("")
+        print(lines[-5] if len(lines) >= 5 else "")
+        print(f"=== {name}: bhj={n_bhj} smj={n_smj} cart={n_cart} wsc={n_wsc}")
+
+    os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
+    with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:
+        f.write("\n".join(lines))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

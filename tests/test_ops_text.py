@@ -1,0 +1,71 @@
+"""Text-analysis operator tests over the driver testdata documents table."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kg.ops import (
+    doc_fingerprint,
+    language_id,
+    quality_score,
+    token_count,
+    tokens_col,
+)
+
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def test_token_count_matches_python(spark, sf_dir):
+    rows = (
+        _docs(spark, sf_dir)
+        .select("doc_id", "text", token_count(F.col("text")).alias("n"))
+        .limit(50)
+        .collect()
+    )
+    import re
+
+    for r in rows:
+        expect = len([t for t in re.split(r"[^a-z0-9]+", r.text.lower()) if t])
+        assert r.n == expect
+
+
+def test_fingerprint_invariant_to_whitespace(spark):
+    df = spark.createDataFrame(
+        [("a b  c",), ("A   b\tc",), ("a b d",)], "text string"
+    ).select(doc_fingerprint(F.col("text")).alias("fp"))
+    fps = [r.fp for r in df.collect()]
+    assert fps[0] == fps[1] != fps[2]
+
+
+def test_quality_score_bounds(spark, sf_dir):
+    scores = (
+        _docs(spark, sf_dir)
+        .select(quality_score(F.col("text")).alias("q"))
+        .agg(F.min("q"), F.max("q"))
+        .first()
+    )
+    assert 0.0 <= scores[0] <= scores[1] <= 1.0
+
+
+def test_language_id_markers(spark):
+    df = spark.createDataFrame(
+        [
+            ("the cat and the dog of it is a",),
+            ("der hund und die katze ist das",),
+            ("el gato la casa de es los",),
+            ("zzz qqq xxx",),
+        ],
+        "text string",
+    ).select(language_id(F.col("text")).alias("lang"))
+    assert [r.lang for r in df.collect()] == ["en", "de", "es", "und"]
+
+
+def test_tokens_drop_empties(spark):
+    row = (
+        spark.createDataFrame([("  Hello,,, WORLD!  ",)], "text string")
+        .select(tokens_col(F.col("text")).alias("t"))
+        .first()
+    )
+    assert row.t == ["hello", "world"]
