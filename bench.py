@@ -22,8 +22,11 @@ import time
 
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-    n_files = int(os.environ.get("KG_BENCH_FILES", "60000"))
+    # each task runs a JVM thread + a python worker; this box sustains ~20
+    # cores, so 16 slots is the throughput sweet spot (32 slots = 64
+    # threads = thrash). An explicit SPARK_GRAFT_CPUS still wins.
+    cpus = int(os.environ.get("SPARK_GRAFT_CPUS", "16"))
+    n_files = int(os.environ.get("KG_BENCH_FILES", "200000"))
 
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     from kg.session import get_spark

@@ -71,7 +71,9 @@ def connected_components(
     )
     prev = None
     for _ in range(max_iter):
+        old = e
         e = _small_star(_large_star(e)).localCheckpoint()
+        old.unpersist()  # free the superseded round's checkpoint blocks
         # cheap fixpoint detector: count + order-insensitive hash
         # order-insensitive checksum; modulo keeps the ANSI-mode sum from
         # overflowing long at any edge count

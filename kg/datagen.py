@@ -69,84 +69,128 @@ def file_spec(i: int) -> dict:
     mod = _h(i, "mod", 997)
     path = f"src/pkg{pkg}/mod{mod}_{i}.{EXT[lang]}"
     commit = hashlib.sha256(f"{repo}:{path}".encode()).hexdigest()[:40]
-    n_imports = 1 + _h(i, "nimp", 3)  # 1..3
+    n_imports = 2 + _h(i, "nimp", 4)  # 2..5
     imports = [MODULES[_h(i, f"imp{j}", len(MODULES))] for j in range(n_imports)]
     # dedupe while keeping order (templates emit one import line per module)
     seen: set[str] = set()
     imports = [m for m in imports if not (m in seen or seen.add(m))]
-    cls = CLASS_NAMES[_h(i, "cls", len(CLASS_NAMES))]
-    base = BASE_CLASSES[_h(i, "base", len(BASE_CLASSES))]
-    calls = [
-        CALL_NAMES[_h(i, "call0", len(CALL_NAMES))],
-        CALL_NAMES[_h(i, "call1", len(CALL_NAMES))],
+    # two distinct classes per file, each with its own base
+    c1 = _h(i, "cls", len(CLASS_NAMES))
+    c2 = (c1 + 1 + _h(i, "cls2", len(CLASS_NAMES) - 1)) % len(CLASS_NAMES)
+    classes = [
+        (CLASS_NAMES[c1], BASE_CLASSES[_h(i, "base", len(BASE_CLASSES))]),
+        (CLASS_NAMES[c2], BASE_CLASSES[_h(i, "base2", len(BASE_CLASSES))]),
     ]
-    if calls[0] == calls[1]:
-        calls = [calls[0]]
+    calls_raw = [
+        CALL_NAMES[_h(i, f"call{j}", len(CALL_NAMES))]
+        for j in range(2 + _h(i, "ncall", 3))  # 2..4
+    ]
+    seen_c: set[str] = set()
+    calls = [c for c in calls_raw if not (c in seen_c or seen_c.add(c))]
     return {
         "repo": repo,
         "path": path,
         "commit": commit,
         "lang": lang,
         "imports": imports,
-        "cls": cls,
-        "base": base,
+        "classes": classes,
         "calls": calls,
+        "filler_n": _h(i, "fill", 240),
     }
 
 
+def _filler(spec: dict) -> tuple[str, str]:
+    """Deterministic no-triple body lines (assignment chains + comments).
+
+    Real source files are hundreds of lines; these lines make per-file
+    extraction cost realistic (the regexes must scan them) without
+    emitting triples — none contain an import keyword, a class keyword,
+    or a call-shaped ``name(`` token.  Returns (python_style, curly_style).
+    """
+    n = 120 + spec["filler_n"]
+    py = "\n".join(
+        f"v{j} = v{j - 1} + {j * 7 % 31}  # step {j} accumulate" for j in range(1, n)
+    )
+    curly = "\n".join(
+        f"    var v{j} = v{j - 1} + {j * 7 % 31}; // step {j} accumulate"
+        for j in range(1, n)
+    )
+    return py, curly
+
+
 def _render(spec: dict) -> str:
-    lang, imports, cls, base, calls = (
+    lang, imports, classes, calls = (
         spec["lang"],
         spec["imports"],
-        spec["cls"],
-        spec["base"],
+        spec["classes"],
         spec["calls"],
     )
+    fill_py, fill_curly = _filler(spec)
     call_lines_py = "\n".join(f"        x = {c}(x)" for c in calls)
     call_lines_curly = "\n".join(f"        {c}(x);" for c in calls)
     if lang == "python":
         imp = "\n".join(f"import {m}" for m in imports)
-        return (
-            f'"""auto module"""\n'
-            f"# import decoy: not a real import\n"
-            f"{imp}\n\n\n"
+        blocks = "\n\n".join(
             f"class {cls}({base}):\n"
             f"    def run(self, x):\n"
             f"{call_lines_py}\n"
             f"        return x\n"
+            for cls, base in classes
+        )
+        return (
+            f'"""auto module"""\n'
+            f"# import decoy: not a real import\n"
+            f"{imp}\n\n\n"
+            f"{blocks}\n\n"
+            f"v0 = 1\n{fill_py}\n"
         )
     if lang == "java":
         imp = "\n".join(f"import {m};" for m in imports)
-        return (
-            f"// import decoy: not a real import\n"
-            f"{imp}\n\n"
+        blocks = "\n".join(
             f"public class {cls} extends {base} {{\n"
             f"    public void run(Object x) {{\n"
             f"{call_lines_curly}\n"
             f"    }}\n"
             f"}}\n"
+            for cls, base in classes
         )
-    if lang == "js":
-        imp = "\n".join(f"import x{j} from '{m}';" for j, m in enumerate(imports))
         return (
             f"// import decoy: not a real import\n"
             f"{imp}\n\n"
+            f"{blocks}"
+            f"// tail\n{fill_curly}\n"
+        )
+    if lang == "js":
+        imp = "\n".join(f"import x{j} from '{m}';" for j, m in enumerate(imports))
+        blocks = "\n".join(
             f"class {cls} extends {base} {{\n"
             f"    run(x) {{\n"
             f"{call_lines_curly}\n"
             f"    }}\n"
             f"}}\n"
+            for cls, base in classes
+        )
+        return (
+            f"// import decoy: not a real import\n"
+            f"{imp}\n\n"
+            f"{blocks}"
+            f"// tail\n{fill_curly}\n"
         )
     # cs
     imp = "\n".join(f"using {m};" for m in imports)
-    return (
-        f"// using decoy: not a real using\n"
-        f"{imp}\n\n"
+    blocks = "\n".join(
         f"public class {cls} : {base} {{\n"
         f"    public void Run(object x) {{\n"
         f"{call_lines_curly}\n"
         f"    }}\n"
         f"}}\n"
+        for cls, base in classes
+    )
+    return (
+        f"// using decoy: not a real using\n"
+        f"{imp}\n\n"
+        f"{blocks}"
+        f"// tail\n{fill_curly}\n"
     )
 
 
@@ -186,15 +230,16 @@ def expected_triples(i: int) -> list[dict]:
     out: list[dict] = []
     for m in spec["imports"]:
         out.append({"subj": fsubj, "pred": "imports-of", "obj": m, **prov})
-    out.append({"subj": fsubj, "pred": "defines-class", "obj": spec["cls"], **prov})
-    out.append(
-        {
-            "subj": class_subj(repo, path, spec["cls"]),
-            "pred": "extends",
-            "obj": spec["base"],
-            **prov,
-        }
-    )
+    for cls, base in spec["classes"]:
+        out.append({"subj": fsubj, "pred": "defines-class", "obj": cls, **prov})
+        out.append(
+            {
+                "subj": class_subj(repo, path, cls),
+                "pred": "extends",
+                "obj": base,
+                **prov,
+            }
+        )
     for c in spec["calls"]:
         out.append({"subj": fsubj, "pred": "calls-function", "obj": c, **prov})
     return out
@@ -215,12 +260,17 @@ def source_files_df(spark, n: int):
     from kg.schemas import SOURCE_FILES
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        cols = ("repo", "path", "commit", "lang", "content")
         for pdf in batches:
-            yield pd.DataFrame([make_file(int(i)) for i in pdf["id"]])
+            rows = [make_file(int(i)) for i in pdf["id"]]
+            # dict-of-lists: columnar construction is ~5× faster than
+            # pandas' list-of-dicts path at Arrow-batch sizes
+            yield pd.DataFrame({c: [r[c] for r in rows] for c in cols})
 
-    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
-    return (
-        spark.range(n)
-        .repartition(n_parts)
-        .mapInPandas(gen, schema=SOURCE_FILES)
+    # 4× finer than the core count: variable per-file cost would otherwise
+    # leave straggler tasks at low parallelism (tail latency)
+    n_parts = 4 * int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # numPartitions on range: parallel generation without a shuffle
+    return spark.range(n, numPartitions=n_parts).mapInPandas(
+        gen, schema=SOURCE_FILES
     )

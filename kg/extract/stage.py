@@ -28,18 +28,33 @@ from kg.schemas import TRIPLES
 
 
 def _extract_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    cols = ["subj", "pred", "obj", "repo", "path", "commit", "lang", "content_sha"]
+    cols = ("subj", "pred", "obj", "repo", "path", "commit", "lang", "content_sha")
     for pdf in batches:
-        rows: list[tuple] = []
+        out: dict[str, list] = {c: [] for c in cols}
+        ap = {c: out[c].append for c in cols}
         for repo, path, commit, lang, content in zip(
             pdf["repo"], pdf["path"], pdf["commit"], pdf["lang"], pdf["content"]
         ):
             sha = hashlib.sha256(content.encode()).hexdigest()
             fsubj = file_subj(repo, path)
+            # dedup inside the batch: triples can only repeat within one
+            # file (subjects embed repo:path), so a per-file set gives the
+            # same result as a global dropDuplicates WITHOUT the full
+            # corpus-wide shuffle that would cost at 10^12-file scale
+            seen: set[tuple] = set()
             for pred, obj, owner in extract_triples(lang, content):
-                subj = class_subj(repo, path, owner) if owner else fsubj
-                rows.append((subj, pred, obj, repo, path, commit, lang, sha))
-        yield pd.DataFrame(rows, columns=cols)
+                if (pred, obj, owner) in seen:
+                    continue
+                seen.add((pred, obj, owner))
+                ap["subj"](class_subj(repo, path, owner) if owner else fsubj)
+                ap["pred"](pred)
+                ap["obj"](obj)
+                ap["repo"](repo)
+                ap["path"](path)
+                ap["commit"](commit)
+                ap["lang"](lang)
+                ap["content_sha"](sha)
+        yield pd.DataFrame(out)
 
 
 def triples_from_source(source_files: DataFrame) -> DataFrame:
@@ -54,7 +69,10 @@ def triples_from_source(source_files: DataFrame) -> DataFrame:
 
 
 def run_extract(source_files: DataFrame) -> DataFrame:
-    """Stage entry used by the pipeline (deduped, stable)."""
-    return triples_from_source(source_files).dropDuplicates(
-        ["subj", "pred", "obj", "content_sha"]
-    )
+    """Stage entry used by the pipeline.
+
+    Output is already unique per (subj, pred, obj, content_sha): the
+    extractor dedupes within each file, and cross-file duplicates are
+    structurally impossible (subjects embed repo:path, content_sha is
+    per-file).  No global dropDuplicates shuffle needed."""
+    return triples_from_source(source_files)

@@ -158,8 +158,13 @@ def score_pairs(
 
 
 def run_link(triples: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
-    """Stage entry: triples → (mentions, scored match pairs)."""
-    mentions = mentions_from_triples(triples, cfg)
+    """Stage entry: triples → (mentions, scored match pairs).
+
+    mentions is vocabulary-sized but derives from a corpus-sized distinct;
+    it feeds candidate generation AND both sides of the scorer join, so it
+    is persisted — otherwise every consumer re-scans the full triple set.
+    """
+    mentions = mentions_from_triples(triples, cfg).persist()
     pairs = candidate_pairs(mentions, cfg)
     scored = score_pairs(pairs, mentions, cfg)
     return mentions, scored.filter(F.col("is_match"))

@@ -17,9 +17,19 @@ Edge rows mirror the reference's 8-field GremlinEdge (Migrator.cs:142-154):
 denormalized (O4), property bag with provenance incl. the content_sha
 lineage invariant.
 
-Scale notes: the only join against a corpus-sized table is
-triples ⋈ mention_map, and mention_map is vocabulary-sized → broadcast.
-The output write is partitioned/salted upstream by the pipeline driver.
+Plan-shape notes (scale + latency):
+* the only join against a corpus-sized table is triples ⋈ mention_map,
+  and mention_map is vocabulary-sized → broadcast;
+* file nodes come from ONE groupBy(subj) (metadata via ``first`` +
+  imports via conditional ``collect_set``) instead of a distinct + a
+  separate aggregation + a join;
+* no dropDuplicates anywhere: ids are unique by construction — file/class
+  subjects embed repo:path (unique per source row), entity ids are
+  canonical mention ids (grouped), and edge ids hash (out,label,in,repo,
+  path) of already-unique triples.  Each removed dedup is a full-table
+  shuffle that would dominate at 10^12-file scale.
+* edges are pure projections over the resolved triples — zero shuffles
+  until the partitioned write.
 """
 
 from __future__ import annotations
@@ -77,48 +87,50 @@ def run_materialize(
     """triples + entity_map → (nodes, edges) document DataFrames."""
     resolved = _resolved_objects(triples, entity_map)
 
-    # ---- file nodes ------------------------------------------------------
-    imports_per_file = (
-        triples.filter(F.col("pred") == "imports-of")
-        .groupBy("subj")
-        .agg(F.collect_set("obj").alias("imports"))
-    )
+    # ---- file nodes: ONE shuffle (groupBy subj) -----------------------------
     files = (
         triples.filter(F.col("subj").startswith("file:"))
-        .select("subj", "repo", "path", "commit", "lang", "content_sha")
-        .distinct()
-        .join(imports_per_file, "subj", "left")
+        .groupBy("subj")
+        .agg(
+            F.first("repo").alias("repo"),
+            F.first("path").alias("path"),
+            F.first("commit").alias("commit"),
+            F.first("lang").alias("lang"),
+            F.first("content_sha").alias("content_sha"),
+            F.collect_set(
+                F.when(F.col("pred") == "imports-of", F.col("obj"))
+            ).alias("imports"),
+        )
         .select(
             F.sha2(F.col("subj"), 256).alias("id"),
             F.lit("file").alias("label"),
             F.col("repo").alias("partition_key"),
             rename_reserved_keys(
-                F.map_filter(
-                    F.create_map(
-                        F.lit("id"), F.col("subj"),
-                        F.lit("path"), F.col("path"),
-                        F.lit("commit"), F.col("commit"),
-                        F.lit("lang"), F.col("lang"),
-                        F.lit("content_sha"), F.col("content_sha"),
-                        F.lit("imports"),
-                        json_array(F.coalesce("imports", F.array())),
-                    ),
-                    lambda _k, v: v.isNotNull(),
+                F.create_map(
+                    F.lit("id"), F.col("subj"),
+                    F.lit("path"), F.col("path"),
+                    F.lit("commit"), F.col("commit"),
+                    F.lit("lang"), F.col("lang"),
+                    F.lit("content_sha"), F.col("content_sha"),
+                    F.lit("imports"), json_array(F.col("imports")),
                 )
             ).alias("properties"),
         )
     )
 
-    # ---- class_def nodes -------------------------------------------------
+    # ---- class_def nodes: one shuffle (groupBy class subject) ---------------
     class_defs = (
         triples.filter(F.col("pred") == "defines-class")
-        .select(
-            F.concat_ws(":", F.lit("class"), F.col("repo"), F.col("path"), F.col("obj")).alias("csubj"),
-            F.col("obj").alias("name"),
-            "subj",
-            "repo",
+        .groupBy(
+            F.concat_ws(
+                ":", F.lit("class"), F.col("repo"), F.col("path"), F.col("obj")
+            ).alias("csubj")
         )
-        .distinct()
+        .agg(
+            F.first("obj").alias("name"),
+            F.first("subj").alias("fsubj"),
+            F.first("repo").alias("repo"),
+        )
         .select(
             F.sha2(F.col("csubj"), 256).alias("id"),
             F.lit("class_def").alias("label"),
@@ -126,13 +138,13 @@ def run_materialize(
             rename_reserved_keys(
                 F.create_map(
                     F.lit("name"), F.col("name"),
-                    F.lit("file"), F.col("subj"),
+                    F.lit("file"), F.col("fsubj"),
                 )
             ).alias("properties"),
         )
     )
 
-    # ---- canonical entity nodes -------------------------------------------
+    # ---- canonical entity nodes: one shuffle (groupBy canonical) ------------
     entities = (
         resolved.groupBy("obj_canonical", "obj_kind")
         .agg(F.collect_set("obj").alias("surfaces"))
@@ -149,10 +161,11 @@ def run_materialize(
         )
     )
 
-    nodes = files.unionByName(class_defs).unionByName(entities).dropDuplicates(["id"])
+    # branch ids cannot collide (sha of disjoint prefixes) → plain union,
+    # no dedup shuffle
+    nodes = files.unionByName(class_defs).unionByName(entities)
 
-    # ---- edges -------------------------------------------------------------
-    # subject node id + label: file:... → file node, class:... → class_def
+    # ---- edges: pure projections, no shuffle ---------------------------------
     subj_is_file = F.col("subj").startswith("file:")
     base = resolved.select(
         F.sha2(F.col("subj"), 256).alias("out_id"),
@@ -162,6 +175,10 @@ def run_materialize(
         F.col("obj_canonical").alias("in_id"),
         F.col("obj_kind").alias("in_label"),
         _entity_bucket(F.col("obj_canonical")).alias("in_pk"),
+        # raw surface keeps the edge id unique even when two variant
+        # surfaces in one file canonicalize to the same entity (one edge
+        # per extracted triple instance — no dedup shuffle needed)
+        F.col("obj").alias("surface"),
         "repo", "path", "commit", "lang", "content_sha",
     )
     defines = triples.filter(F.col("pred") == "defines-class").select(
@@ -174,29 +191,31 @@ def run_materialize(
         ).alias("in_id"),
         F.lit("class_def").alias("in_label"),
         F.col("repo").alias("in_pk"),
+        F.col("obj").alias("surface"),
         "repo", "path", "commit", "lang", "content_sha",
     )
     all_edges = base.unionByName(defines)
-    edges = (
-        all_edges.withColumn(
-            "id",
-            edge_namespace(
-                F.sha2(F.concat_ws("|", "out_id", "label", "in_id", "repo", "path"), 256)
-            ),
-        )
-        .select(
-            "id", "label", "out_id", "in_id", "out_label", "in_label",
-            "out_pk", "in_pk",
-            rename_reserved_keys(
-                F.create_map(
-                    F.lit("repo"), F.col("repo"),
-                    F.lit("path"), F.col("path"),
-                    F.lit("commit"), F.col("commit"),
-                    F.lit("lang"), F.col("lang"),
-                    F.lit("content_sha"), F.col("content_sha"),
-                )
-            ).alias("properties"),
-        )
-        .dropDuplicates(["id"])
+    edges = all_edges.withColumn(
+        "id",
+        edge_namespace(
+            F.sha2(
+                F.concat_ws(
+                    "|", "out_id", "label", "in_id", "surface", "repo", "path"
+                ),
+                256,
+            )
+        ),
+    ).select(
+        "id", "label", "out_id", "in_id", "out_label", "in_label",
+        "out_pk", "in_pk",
+        rename_reserved_keys(
+            F.create_map(
+                F.lit("repo"), F.col("repo"),
+                F.lit("path"), F.col("path"),
+                F.lit("commit"), F.col("commit"),
+                F.lit("lang"), F.col("lang"),
+                F.lit("content_sha"), F.col("content_sha"),
+            )
+        ).alias("properties"),
     )
     return nodes, edges

@@ -78,13 +78,20 @@ def minhash_candidate_pairs(
         )
         for b in range(bands)
     ]
-    bands_df = sig.select(
-        id_col, *group_cols, F.explode(F.array(*band_structs)).alias("bk")
-    ).select(
-        id_col,
-        *group_cols,
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
+    bands_df = (
+        sig.select(
+            id_col, *group_cols, F.explode(F.array(*band_structs)).alias("bk")
+        )
+        .select(
+            id_col,
+            *group_cols,
+            F.col("bk.band").alias("band"),
+            F.col("bk.band_key").alias("band_key"),
+        )
+        # consumed 3× (bucket counts + both sides of the self-join);
+        # without the persist every consumer recomputes the whole
+        # signature pipeline — including the upstream corpus scan
+        .persist()
     )
     # web-scale guard: drop degenerate buckets before the self-join (a huge
     # bucket means a stop-surface; its quadratic pair set would dominate)

@@ -36,7 +36,16 @@ STAGES = ("extract", "link", "canonicalize", "materialize")
 def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
     w = df.write.mode("overwrite")
     if partition_by:
-        w = w.partitionBy(*partition_by).option("partitionOverwriteMode", "dynamic")
+        # co-locate each output partition in one task first: without this,
+        # every task writes a file into every partition dir (tasks ×
+        # buckets small files — the classic partitioned-write explosion).
+        # width pinned to the bucket count (not cores) so write-task size
+        # — and therefore sort/commit behavior — is identical at every
+        # cluster size.
+        df = df.repartition(64, *[F.col(c) for c in partition_by])
+        w = df.write.mode("overwrite").partitionBy(*partition_by).option(
+            "partitionOverwriteMode", "dynamic"
+        )
     w.parquet(path)
 
 
@@ -63,13 +72,13 @@ def run_pipeline(
     )
     pending = src.filter(~F.col("bucket").isin(list(done))) if done else src
     with StageTimer() as t:
-        # salt the hot repos before the wide mapInPandas + write
-        salted = pending.repartition(
-            cfg.shuffle_partitions,
-            F.col("bucket"),
-            F.pmod(F.xxhash64("path"), F.lit(cfg.skew_salt)),
-        )
-        new_triples = run_extract(salted.drop("bucket")).withColumn(
+        # extraction is per-row (no keyed shuffle), so hot-repo skew is
+        # irrelevant here and repartitioning the full content would be a
+        # wasted shuffle.  Skew handling happens where keys appear: the
+        # triples write keys on bucket=hash(repo,path) (uniform by
+        # construction — this IS the salt: path salts the hot repo), and
+        # downstream joins key on sha256 ids (uniform).
+        new_triples = run_extract(pending.drop("bucket")).withColumn(
             "bucket", bucket_col("repo", "path", n_buckets=b)
         )
         # dynamic partition overwrite: only the buckets present in this

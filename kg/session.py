@@ -40,12 +40,25 @@ def get_spark(
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
+        # CPU-heavy Python stages sit right on top of file scans; the
+        # default 128 MB split would give far fewer tasks than cores on
+        # medium tables (e.g. a 700 MB corpus → 6 splits → 6 busy cores
+        # out of 16). 16 MB keeps every core fed; on a 100 TB cluster this
+        # knob trades scheduler overhead vs per-task Python work the same
+        # way.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("KG_SPLIT_BYTES", "16m"))
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.ui.enabled", "false")
-        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "16g"))
+        .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "48g"))
     )
-    # Only pin the master when not already launched under spark-submit.
-    if "SPARK_SUBMIT_OPTS" not in os.environ and not os.environ.get("SPARK_MASTER"):
+    # Only pin the master when none is set (spark-submit / cluster launch
+    # defines spark.master as a system property → visible in SparkConf).
+    # NB: checking SPARK_SUBMIT_OPTS is WRONG — this container exports it
+    # globally for ivy config, which silently turned every local[N]
+    # request into local[*].
+    from pyspark import SparkConf
+
+    if not SparkConf().contains("spark.master") and not os.environ.get("SPARK_MASTER"):
         builder = builder.master(master)
     if extra_conf:
         for k, v in extra_conf.items():

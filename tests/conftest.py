@@ -7,10 +7,12 @@ from kg.session import get_spark
 
 @pytest.fixture(scope="session")
 def spark():
-    s = get_spark("kg-tests", cores=4, shuffle_partitions=8)
+    s = get_spark("kg-tests", cores=8, shuffle_partitions=8)
     yield s
 
 
 @pytest.fixture(scope="session")
 def sf_dir() -> str:
-    return "/root/testdata/sf0.001"
+    import os
+
+    return os.environ.get("KG_TEST_SF_DIR", "/root/testdata/sf0.001")
