@@ -210,6 +210,45 @@ def q_region_rollup(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_cube_pricing(spark: SparkSession, sf: str) -> DataFrame:
+    """CUBE aggregation (multi-dim rollup over returnflag × linestatus)."""
+    li = _read(spark, sf, "lineitem")
+    return li.cube("l_returnflag", "l_linestatus").agg(
+        F.count("*").alias("n"),
+        F.sum("l_quantity").cast("long").alias("sum_qty"),
+    )
+
+
+def q_pivot_order_priority(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot via conditional aggregation (engine-portable formulation)."""
+    o = _read(spark, sf, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        *[
+            F.sum(F.when(F.col("o_orderpriority") == p, 1).otherwise(0))
+            .cast("long")
+            .alias(f"n_p{i}")
+            for i, p in enumerate(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                start=1,
+            )
+        ]
+    )
+
+
+def q_hourly_event_windows(spark: SparkSession, sf: str) -> DataFrame:
+    """Tumbling-window aggregation (batch twin of the streaming operator
+    kg.streaming.windowed_event_counts)."""
+    from kg.streaming import windowed_event_counts
+
+    e = _read(spark, sf, "events")
+    return windowed_event_counts(e, window="1 hour", watermark="2 hours").select(
+        "window_start",
+        "event_type",
+        "n_events",
+        F.round("sum_value", 4).alias("sum_value_r"),
+    )
+
+
 def q_user_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Window functions: per-user event sequence stats with lag-based gap
     counting (sessionization primitive)."""
@@ -374,6 +413,9 @@ def queries() -> dict[str, _T]:
         "pricing_summary": q_pricing_summary,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
+        "cube_pricing": q_cube_pricing,
+        "pivot_order_priority": q_pivot_order_priority,
+        "hourly_event_windows": q_hourly_event_windows,
         "user_event_windows": q_user_event_windows,
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
@@ -463,6 +505,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(floor(c_acctbal * 100)) AS BIGINT) AS acctbal_cents "
             "FROM customer JOIN nation ON c_nationkey = n_nationkey "
             "JOIN region ON n_regionkey = r_regionkey GROUP BY r_name"
+        ),
+        "cube_pricing": (
+            "SELECT l_returnflag, l_linestatus, count(*) AS n, "
+            "CAST(sum(l_quantity) AS BIGINT) AS sum_qty "
+            "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
+        ),
+        "pivot_order_priority": (
+            "SELECT o_orderstatus, "
+            + ", ".join(
+                f"CAST(sum(CASE WHEN o_orderpriority = '{p}' THEN 1 ELSE 0 END) AS BIGINT) AS n_p{i}"
+                for i, p in enumerate(
+                    ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                    start=1,
+                )
+            )
+            + " FROM orders GROUP BY o_orderstatus"
+        ),
+        "hourly_event_windows": (
+            "SELECT date_trunc('hour', ts) AS window_start, event_type, "
+            "count(*) AS n_events, round(sum(value), 4) AS sum_value_r "
+            "FROM events GROUP BY 1, 2"
         ),
         "user_event_windows": (
             "WITH g AS (SELECT user_id, "

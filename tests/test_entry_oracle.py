@@ -28,6 +28,8 @@ def duck(sf_dir):
 
 
 def _norm(v):
+    if v is None:
+        return "\x00null"  # sortable sentinel (CUBE/ROLLUP emit NULL keys)
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
