@@ -71,33 +71,40 @@ def run_pipeline(
         "bucket", bucket_col("repo", "path", n_buckets=b)
     )
     pending = src.filter(~F.col("bucket").isin(list(done))) if done else src
-    with StageTimer() as t:
-        # extraction is per-row (no keyed shuffle), so hot-repo skew is
-        # irrelevant here and repartitioning the full content would be a
-        # wasted shuffle.  Skew handling happens where keys appear: the
-        # triples write keys on bucket=hash(repo,path) (uniform by
-        # construction — this IS the salt: path salts the hot repo), and
-        # downstream joins key on sha256 ids (uniform).
-        new_triples = run_extract(pending.drop("bucket")).withColumn(
-            "bucket", bucket_col("repo", "path", n_buckets=b)
+    # no-op short-circuit: a rerun with every bucket recorded skips the
+    # whole extract job (one cheap early-terminating existence probe)
+    has_pending = not done or pending.limit(1).count() > 0
+    if has_pending:
+        with StageTimer() as t:
+            # extraction is per-row (no keyed shuffle), so hot-repo skew
+            # is irrelevant here and repartitioning the full content
+            # would be a wasted shuffle.  Skew handling happens where
+            # keys appear: the triples write keys on bucket=
+            # hash(repo,path) (uniform by construction — this IS the
+            # salt: path salts the hot repo), and downstream joins key
+            # on sha256 ids (uniform).
+            new_triples = run_extract(pending.drop("bucket")).withColumn(
+                "bucket", bucket_col("repo", "path", n_buckets=b)
+            )
+            # dynamic partition overwrite: only the buckets present in
+            # this run's output are replaced — a crash between data write
+            # and lineage append just rewrites those buckets
+            # byte-identically.
+            _write(new_triples, triples_path, ["bucket"])
+        per_bucket = (
+            spark.read.parquet(triples_path)
+            .groupBy("bucket")
+            .agg(
+                F.countDistinct("path").alias("rows_in"),
+                F.count("*").alias("rows_out"),
+                F.sum(F.pmod(F.xxhash64("content_sha"), F.lit(1_000_000_007)))
+                .cast("string")
+                .alias("content_sha_xor"),
+            )
         )
-        # dynamic partition overwrite: only the buckets present in this
-        # run's output are replaced — a crash between data write and
-        # lineage append just rewrites those buckets byte-identically.
-        _write(new_triples, triples_path, ["bucket"])
-    per_bucket = (
-        spark.read.parquet(triples_path)
-        .groupBy("bucket")
-        .agg(
-            F.countDistinct("path").alias("rows_in"),
-            F.count("*").alias("rows_out"),
-            F.sum(F.pmod(F.xxhash64("content_sha"), F.lit(1_000_000_007)))
-            .cast("string")
-            .alias("content_sha_xor"),
+        new_buckets = (
+            per_bucket.filter(~F.col("bucket").isin(list(done))) if done else per_bucket
         )
-    )
-    if not done or pending.limit(1).count() > 0:
-        new_buckets = per_bucket.filter(~F.col("bucket").isin(list(done))) if done else per_bucket
         lineage.record_buckets("extract", new_buckets, t.ms)
     triples = spark.read.parquet(triples_path).drop("bucket")
 
