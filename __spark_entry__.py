@@ -245,7 +245,9 @@ def q_hourly_event_windows(spark: SparkSession, sf: str) -> DataFrame:
         "window_start",
         "event_type",
         "n_events",
-        F.round("sum_value", 4).alias("sum_value_r"),
+        # integer fixed-point (floor per row before the sum): exact across
+        # engines, unlike round(sum(double)) which is order-sensitive
+        "sum_value_fp",
     )
 
 
@@ -524,7 +526,8 @@ def oracle_sql() -> dict[str, str]:
         ),
         "hourly_event_windows": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "
-            "count(*) AS n_events, round(sum(value), 4) AS sum_value_r "
+            "count(*) AS n_events, "
+            "CAST(sum(floor(value * 10000)) AS BIGINT) AS sum_value_fp "
             "FROM events GROUP BY 1, 2"
         ),
         "user_event_windows": (

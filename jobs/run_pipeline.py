@@ -30,6 +30,9 @@ def main(argv: list[str] | None = None) -> None:
     ap.add_argument("--warehouse", required=True)
     ap.add_argument("--restart", action="store_true",
                     help="truncate outputs + lineage before running (O15)")
+    ap.add_argument("--detect-changes", action="store_true",
+                    help="fingerprint source buckets and re-extract any "
+                         "whose input changed since the recorded lineage")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--partition-key", default="repo")
     args = ap.parse_args(argv)
@@ -56,7 +59,10 @@ def main(argv: list[str] | None = None) -> None:
     from kg.pipeline import run_pipeline
 
     t0 = time.monotonic()
-    out = run_pipeline(spark, source, cfg, restart=args.restart)
+    out = run_pipeline(
+        spark, source, cfg, restart=args.restart,
+        detect_changes=args.detect_changes,
+    )
     n_triples = out["triples"].count()
     n_nodes = out["nodes"].count()
     n_edges = out["edges"].count()

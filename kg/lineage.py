@@ -54,6 +54,36 @@ class LineageStore:
         )
         return {r.bucket for r in rows}
 
+    def changed_buckets(self, stage: str, cur_fp: DataFrame) -> set[int]:
+        """Buckets whose recorded input fingerprint differs from the
+        current one (changed-input merge; ``cur_fp``: bucket, cur_fp).
+        Both sides are bucket-count-sized — a driver-side set is fine."""
+        rec = self.read().filter(
+            (F.col("stage") == stage)
+            & (F.col("status") == "done")
+            & F.col("input_fp").isNotNull()
+        ).select("bucket", "input_fp")
+        rows = (
+            rec.join(cur_fp, "bucket")
+            .filter(F.col("input_fp") != F.col("cur_fp"))
+            .select("bucket")
+            .collect()
+        )
+        return {r.bucket for r in rows}
+
+    def invalidate_buckets(self, stage: str, buckets: set[int]) -> None:
+        """Drop lineage rows for changed buckets so the rerun re-records
+        them (the table is O(buckets) rows — a rewrite is trivial)."""
+        keep = self.read().filter(
+            ~((F.col("stage") == stage) & F.col("bucket").isin(list(buckets)))
+        )
+        pdf = keep.toPandas()
+        self.reset()
+        if len(pdf):
+            self.spark.createDataFrame(pdf, schema=LINEAGE).write.parquet(
+                self.path
+            )
+
     def stage_done(self, stage: str) -> bool:
         return bool(self.completed_buckets(stage))
 
@@ -65,14 +95,21 @@ class LineageStore:
     ) -> None:
         """Append one ``done`` row per bucket.
 
-        ``per_bucket`` columns: bucket, rows_in, rows_out, content_sha_xor.
+        ``per_bucket`` columns: bucket, rows_in, rows_out, content_sha_xor
+        and optionally input_fp (changed-input fingerprint).
         """
+        fp = (
+            F.col("input_fp")
+            if "input_fp" in per_bucket.columns
+            else F.lit(None)
+        )
         rows = per_bucket.select(
             F.lit(stage).alias("stage"),
             F.col("bucket").cast("int"),
             F.col("rows_in").cast("long"),
             F.col("rows_out").cast("long"),
             F.col("content_sha_xor").cast("string"),
+            fp.cast("string").alias("input_fp"),
             F.lit("done").alias("status"),
             F.lit(duration_ms).cast("long").alias("duration_ms"),
         )

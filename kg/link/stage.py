@@ -23,10 +23,7 @@ from pyspark.sql import DataFrame, functions as F
 from pyspark.sql import types as T
 
 from kg.conf import PipelineConfig
-
-# surfaces longer than this are truncated before shingling (pathological
-# inputs at web scale must not blow up the shingle explode)
-_MAX_SURFACE = 256
+from kg.ids import mention_id, truncated_surface
 # LSH buckets larger than this are dropped: at 10^12-file scale a huge
 # bucket means a degenerate surface (e.g. "utils"), and the quadratic
 # pair blow-up inside it would dominate the job. Real systems cap this.
@@ -59,15 +56,12 @@ def mentions_from_triples(triples: DataFrame, cfg: PipelineConfig) -> DataFrame:
     m = (
         triples.filter(F.col("pred").isin("imports-of", "extends"))
         .select(
-            F.substring(F.col("obj"), 1, _MAX_SURFACE).alias("surface"),
+            truncated_surface(F.col("obj")).alias("surface"),
             kinds.alias("kind"),
         )
         .distinct()
         .withColumn("norm", _norm_col(F.col("surface")))
-        .withColumn(
-            "mention_id",
-            F.sha2(F.concat_ws(":", F.col("kind"), F.col("surface")), 256),
-        )
+        .withColumn("mention_id", mention_id(F.col("kind"), F.col("surface")))
         .withColumn("shingles", _shingles_col(F.col("norm"), cfg.shingle_size))
     )
     return m.select("mention_id", "surface", "norm", "kind", "shingles")
@@ -162,9 +156,11 @@ def run_link(triples: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFr
 
     mentions is vocabulary-sized but derives from a corpus-sized distinct;
     it feeds candidate generation AND both sides of the scorer join, so it
-    is persisted — otherwise every consumer re-scans the full triple set.
+    is materialized once (localCheckpoint — GC-freed blocks, unlike a
+    persist nobody can unpersist) — otherwise every consumer re-scans the
+    full triple set.
     """
-    mentions = mentions_from_triples(triples, cfg).persist()
+    mentions = mentions_from_triples(triples, cfg).localCheckpoint()
     pairs = candidate_pairs(mentions, cfg)
     scored = score_pairs(pairs, mentions, cfg)
     return mentions, scored.filter(F.col("is_match"))

@@ -37,6 +37,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kg.conf import PipelineConfig
+from kg.ids import mention_id
 from kg.materialize.documents import (
     edge_namespace,
     json_array,
@@ -63,10 +64,13 @@ def _resolved_objects(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
     kind = F.when(F.col("pred") == "imports-of", F.lit("module")).when(
         F.col("pred") == "extends", F.lit("class")
     ).otherwise(F.lit("function"))
+    # mention_id applies the same surface truncation the link stage used
+    # when minting ids — a long surface must probe entity_map with the
+    # identical key or canonicalization silently misses (kg.ids).
     t = triples.filter(
         F.col("pred").isin(*_OBJ_KIND.keys())
     ).withColumn("obj_kind", kind).withColumn(
-        "obj_mention", F.sha2(F.concat_ws(":", F.col("obj_kind"), F.col("obj")), 256)
+        "obj_mention", mention_id(F.col("obj_kind"), F.col("obj"))
     )
     em = F.broadcast(
         entity_map.select(
@@ -79,12 +83,31 @@ def _resolved_objects(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
     )
 
 
+# provenance columns a user may choose as the partition key (the Spark
+# mapping of the reference's single user-chosen pk path, CosmosDb.cs:88-90,
+# read back at :46 and threaded into the edge query at Neo4j.cs:70)
+_PK_CHOICES = ("repo", "path", "commit", "lang")
+
+
 def run_materialize(
     triples: DataFrame,
     entity_map: DataFrame,
     cfg: PipelineConfig,
 ) -> tuple[DataFrame, DataFrame]:
-    """triples + entity_map → (nodes, edges) document DataFrames."""
+    """triples + entity_map → (nodes, edges) document DataFrames.
+
+    ``cfg.partition_key`` names the provenance column used as the sink
+    partition key for file/class nodes and edge endpoints — the reference
+    threads exactly one such user-chosen key through DDL and the edge
+    query (``CosmosDb.cs:46``, ``Migrator.cs:122``, ``Neo4j.cs:70``
+    ``a.{partitionKey}, b.{partitionKey}``).  Canonical entity nodes are
+    global (no provenance), so they keep the synthetic 2-hex bucket pk.
+    """
+    pk = cfg.partition_key
+    if pk not in _PK_CHOICES:
+        raise ValueError(
+            f"partition_key must be one of {_PK_CHOICES}, got {pk!r}"
+        )
     resolved = _resolved_objects(triples, entity_map)
 
     # ---- file nodes: ONE shuffle (groupBy subj) -----------------------------
@@ -104,7 +127,7 @@ def run_materialize(
         .select(
             F.sha2(F.col("subj"), 256).alias("id"),
             F.lit("file").alias("label"),
-            F.col("repo").alias("partition_key"),
+            F.col(pk).alias("partition_key"),
             rename_reserved_keys(
                 F.create_map(
                     F.lit("id"), F.col("subj"),
@@ -129,12 +152,12 @@ def run_materialize(
         .agg(
             F.first("obj").alias("name"),
             F.first("subj").alias("fsubj"),
-            F.first("repo").alias("repo"),
+            F.first(pk).alias("pk_val"),
         )
         .select(
             F.sha2(F.col("csubj"), 256).alias("id"),
             F.lit("class_def").alias("label"),
-            F.col("repo").alias("partition_key"),
+            F.col("pk_val").alias("partition_key"),
             rename_reserved_keys(
                 F.create_map(
                     F.lit("name"), F.col("name"),
@@ -170,7 +193,7 @@ def run_materialize(
     base = resolved.select(
         F.sha2(F.col("subj"), 256).alias("out_id"),
         F.when(subj_is_file, F.lit("file")).otherwise(F.lit("class_def")).alias("out_label"),
-        F.col("repo").alias("out_pk"),
+        F.col(pk).alias("out_pk"),
         F.col("pred").alias("label"),
         F.col("obj_canonical").alias("in_id"),
         F.col("obj_kind").alias("in_label"),
@@ -184,13 +207,13 @@ def run_materialize(
     defines = triples.filter(F.col("pred") == "defines-class").select(
         F.sha2(F.col("subj"), 256).alias("out_id"),
         F.lit("file").alias("out_label"),
-        F.col("repo").alias("out_pk"),
+        F.col(pk).alias("out_pk"),
         F.col("pred").alias("label"),
         F.sha2(
             F.concat_ws(":", F.lit("class"), F.col("repo"), F.col("path"), F.col("obj")), 256
         ).alias("in_id"),
         F.lit("class_def").alias("in_label"),
-        F.col("repo").alias("in_pk"),
+        F.col(pk).alias("in_pk"),
         F.col("obj").alias("surface"),
         "repo", "path", "commit", "lang", "content_sha",
     )

@@ -91,7 +91,9 @@ def minhash_duplicates(
     sh = df.select(
         F.col(id_col).cast("string").alias(id_col),
         token_ngrams(F.col(text_col), ngram).alias("sh"),
-    ).persist()  # scanned 3×: candidate gen + both sides of the score join
+    ).localCheckpoint()  # scanned 3× (candidate gen + both sides of the
+    # score join); checkpoint, not persist: blocks are GC-freed, a persist
+    # here would leak in long-lived sessions (no caller can unpersist)
     cands = minhash_candidate_pairs(
         sh, id_col=id_col, shingles_col="sh", perms=perms, bands=bands
     )

@@ -89,9 +89,14 @@ def minhash_candidate_pairs(
             F.col("bk.band_key").alias("band_key"),
         )
         # consumed 3× (bucket counts + both sides of the self-join);
-        # without the persist every consumer recomputes the whole
-        # signature pipeline — including the upstream corpus scan
-        .persist()
+        # without materialization every consumer recomputes the whole
+        # signature pipeline — including the upstream corpus scan.
+        # localCheckpoint (not persist): persist() entries live in the
+        # CacheManager until an explicit unpersist that no caller can
+        # issue (the result is lazy), so repeated invocations in a
+        # long-lived session would accumulate blocks; checkpoint blocks
+        # are freed by the ContextCleaner once the plan is GC'd.
+        .localCheckpoint()
     )
     # web-scale guard: drop degenerate buckets before the self-join (a huge
     # bucket means a stop-surface; its quadratic pair set would dominate)

@@ -9,11 +9,25 @@ Resume granularity:
     ``pmod(xxhash64(repo, path), B)`` so a rerun re-processes only missing
     buckets, mirroring the reference's page high-water-mark);
   * link / canonicalize / materialize — stage-level (inputs are
-    vocabulary- or output-sized; a rerun overwrites atomically).
+    vocabulary- or output-sized; a rerun overwrites atomically).  Any run
+    in which extract produced new output also invalidates downstream
+    stages (their inputs changed), so a changed-input rerun converges to
+    the same state as a clean run — the Spark mapping of the reference's
+    ``enableUpsert: true`` semantics for *modified* documents
+    (``CosmosDb.cs:144``).
+
+Changed-input detection (``detect_changes=True``): extract lineage records
+an order-insensitive per-bucket fingerprint of the input rows; a rerun
+compares current fingerprints against recorded ones and re-extracts only
+buckets whose input changed.  Off by default because it costs one full
+JVM-side hash scan of the source — at real scale you would fingerprint
+commit metadata instead of content bytes.  Deleted files are out of scope
+(the reference's upsert cannot delete either).
 
 Skew: the hot-repo problem (one repo = ~30% of rows) is defeated *before*
-the first wide transform by repartitioning on (bucket, salt) where salt is
-``pmod(xxhash64(path), skew_salt)`` — SURVEY.md §4 watch list.
+the first wide transform by keying work buckets on (repo, path) — path
+salts the hot repo; downstream joins key on sha256 ids (uniform) —
+SURVEY.md §4 watch list.
 """
 
 from __future__ import annotations
@@ -21,7 +35,7 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import DataFrame, SparkSession, functions as F
+from pyspark.sql import Column, DataFrame, SparkSession, functions as F
 
 from kg.canonicalize import run_canonicalize
 from kg.conf import PipelineConfig
@@ -32,17 +46,31 @@ from kg.materialize import run_materialize
 
 STAGES = ("extract", "link", "canonicalize", "materialize")
 
+# bound for hash-sum fingerprints: Spark 4 ANSI mode faults on overflow,
+# so every summed xxhash64 is reduced mod this prime first
+_FP_PRIME = 1_000_000_007
 
-def _write(df: DataFrame, path: str, partition_by: list[str] | None = None) -> None:
+
+def _fingerprint(*cols: str) -> Column:
+    """Order-insensitive content fingerprint: sum of bounded xxhash64."""
+    return F.sum(F.pmod(F.xxhash64(*cols), F.lit(_FP_PRIME))).cast("string")
+
+
+def _write(
+    df: DataFrame,
+    path: str,
+    partition_by: list[str] | None = None,
+    buckets: int = 64,
+) -> None:
     w = df.write.mode("overwrite")
     if partition_by:
         # co-locate each output partition in one task first: without this,
         # every task writes a file into every partition dir (tasks ×
         # buckets small files — the classic partitioned-write explosion).
-        # width pinned to the bucket count (not cores) so write-task size
-        # — and therefore sort/commit behavior — is identical at every
-        # cluster size.
-        df = df.repartition(64, *[F.col(c) for c in partition_by])
+        # width pinned to the caller's bucket count (not cores) so
+        # write-task size — and therefore sort/commit behavior — is
+        # identical at every cluster size.
+        df = df.repartition(buckets, *[F.col(c) for c in partition_by])
         w = df.write.mode("overwrite").partitionBy(*partition_by).option(
             "partitionOverwriteMode", "dynamic"
         )
@@ -54,11 +82,12 @@ def run_pipeline(
     source_files: DataFrame,
     cfg: PipelineConfig,
     restart: bool = False,
+    detect_changes: bool = False,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns the output DataFrames."""
     lineage = LineageStore(spark, cfg.table_path("lineage"))
     if restart:  # O15 + O17: truncate sink and checkpoints
-        for t in ("triples", "mentions", "entity_map", "nodes", "edges"):
+        for t in ("triples", "mentions", "matches", "entity_map", "nodes", "edges"):
             shutil.rmtree(cfg.table_path(t), ignore_errors=True)
         lineage.reset()
 
@@ -66,15 +95,23 @@ def run_pipeline(
     triples_path = cfg.table_path("triples")
 
     # ---- extract (bucket-level resume) ------------------------------------
-    done = lineage.completed_buckets("extract")
     src = source_files.withColumn(
         "bucket", bucket_col("repo", "path", n_buckets=b)
     )
+    done = lineage.completed_buckets("extract")
+    if detect_changes and done:
+        cur_fp = src.groupBy("bucket").agg(
+            _fingerprint("repo", "path", "content").alias("cur_fp")
+        )
+        changed = lineage.changed_buckets("extract", cur_fp)
+        if changed:
+            lineage.invalidate_buckets("extract", changed)
+            done = done - changed
     pending = src.filter(~F.col("bucket").isin(list(done))) if done else src
     # no-op short-circuit: a rerun with every bucket recorded skips the
     # whole extract job (one cheap early-terminating existence probe)
-    has_pending = not done or pending.limit(1).count() > 0
-    if has_pending:
+    extract_ran = not done or pending.limit(1).count() > 0
+    if extract_ran:
         with StageTimer() as t:
             # extraction is per-row (no keyed shuffle), so hot-repo skew
             # is irrelevant here and repartitioning the full content
@@ -90,28 +127,43 @@ def run_pipeline(
             # this run's output are replaced — a crash between data write
             # and lineage append just rewrites those buckets
             # byte-identically.
-            _write(new_triples, triples_path, ["bucket"])
-        per_bucket = (
+            _write(new_triples, triples_path, ["bucket"], buckets=b)
+        # lineage is recorded from the SOURCE side (group pending input
+        # rows by bucket), so a bucket whose files all yield zero triples
+        # is still marked done — deriving it from the output would
+        # re-extract such buckets forever on real corpora.  rows_in counts
+        # actual input rows; input_fp is the changed-input fingerprint.
+        src_per_bucket = pending.groupBy("bucket").agg(
+            F.count("*").alias("rows_in"),
+            _fingerprint("repo", "path", "content").alias("input_fp"),
+        )
+        out_per_bucket = (
             spark.read.parquet(triples_path)
             .groupBy("bucket")
             .agg(
-                F.countDistinct("path").alias("rows_in"),
                 F.count("*").alias("rows_out"),
-                F.sum(F.pmod(F.xxhash64("content_sha"), F.lit(1_000_000_007)))
-                .cast("string")
-                .alias("content_sha_xor"),
+                _fingerprint("content_sha").alias("content_sha_xor"),
             )
         )
-        new_buckets = (
-            per_bucket.filter(~F.col("bucket").isin(list(done))) if done else per_bucket
+        per_bucket = src_per_bucket.join(out_per_bucket, "bucket", "left").select(
+            "bucket",
+            "rows_in",
+            F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
+            "content_sha_xor",
+            "input_fp",
         )
-        lineage.record_buckets("extract", new_buckets, t.ms)
+        lineage.record_buckets("extract", per_bucket, t.ms)
     triples = spark.read.parquet(triples_path).drop("bucket")
 
     # ---- link (stage-level resume) -----------------------------------------
+    # extract_ran ⇒ downstream inputs changed ⇒ downstream must rebuild
     mentions_path = cfg.table_path("mentions")
     matches_path = cfg.table_path("matches")
-    if not (lineage.stage_done("link") and os.path.exists(mentions_path)):
+    if extract_ran or not (
+        lineage.stage_done("link")
+        and os.path.exists(mentions_path)
+        and os.path.exists(matches_path)
+    ):
         with StageTimer() as t:
             mentions, matches = run_link(triples, cfg)
             _write(mentions.drop("shingles"), mentions_path)
@@ -122,7 +174,9 @@ def run_pipeline(
 
     # ---- canonicalize --------------------------------------------------------
     emap_path = cfg.table_path("entity_map")
-    if not (lineage.stage_done("canonicalize") and os.path.exists(emap_path)):
+    if extract_ran or not (
+        lineage.stage_done("canonicalize") and os.path.exists(emap_path)
+    ):
         with StageTimer() as t:
             emap = run_canonicalize(mentions, matches)
             _write(emap, emap_path)
@@ -132,7 +186,11 @@ def run_pipeline(
     # ---- materialize ---------------------------------------------------------
     nodes_path = cfg.table_path("nodes")
     edges_path = cfg.table_path("edges")
-    if not (lineage.stage_done("materialize") and os.path.exists(nodes_path)):
+    if extract_ran or not (
+        lineage.stage_done("materialize")
+        and os.path.exists(nodes_path)
+        and os.path.exists(edges_path)
+    ):
         with StageTimer() as t:
             nodes, edges = run_materialize(triples, entity_map, cfg)
             # partition the sink by a bucket of the partition key — the
@@ -144,8 +202,8 @@ def run_pipeline(
             edges = edges.withColumn(
                 "pk_bucket", bucket_col("out_pk", n_buckets=b)
             )
-            _write(nodes, nodes_path, ["pk_bucket"])
-            _write(edges, edges_path, ["pk_bucket"])
+            _write(nodes, nodes_path, ["pk_bucket"], buckets=b)
+            _write(edges, edges_path, ["pk_bucket"], buckets=b)
         lineage.record_stage("materialize", -1, -1, t.ms)
     nodes = spark.read.parquet(nodes_path).drop("pk_bucket")
     edges = spark.read.parquet(edges_path).drop("pk_bucket")

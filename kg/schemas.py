@@ -43,20 +43,6 @@ TRIPLES = T.StructType(
 
 PREDICATES = ("imports-of", "defines-class", "calls-function", "extends")
 
-# what mapInPandas emits before provenance columns are joined back on
-EXTRACTED = T.StructType(
-    [
-        T.StructField("subj", T.StringType(), False),
-        T.StructField("pred", T.StringType(), False),
-        T.StructField("obj", T.StringType(), False),
-        T.StructField("repo", T.StringType(), False),
-        T.StructField("path", T.StringType(), False),
-        T.StructField("commit", T.StringType(), False),
-        T.StructField("lang", T.StringType(), False),
-        T.StructField("content_sha", T.StringType(), False),
-    ]
-)
-
 # ---------------------------------------------------------------------------
 # link stage
 # ---------------------------------------------------------------------------
@@ -135,6 +121,7 @@ LINEAGE = T.StructType(
         T.StructField("rows_in", T.LongType(), False),
         T.StructField("rows_out", T.LongType(), False),
         T.StructField("content_sha_xor", T.StringType(), True),
+        T.StructField("input_fp", T.StringType(), True),
         T.StructField("status", T.StringType(), False),
         T.StructField("duration_ms", T.LongType(), False),
     ]

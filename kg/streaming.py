@@ -75,6 +75,11 @@ def windowed_event_counts(
         .agg(
             F.count("*").alias("n_events"),
             F.sum("value").alias("sum_value"),
+            # fixed-point twin: floor per row BEFORE the sum, so the total
+            # is an exact integer independent of partial-aggregation order
+            # (float sums are order-sensitive near rounding boundaries and
+            # flake against other engines — money-as-cents convention)
+            F.sum(F.floor(F.col("value") * 10000)).cast("long").alias("sum_value_fp"),
         )
         .select(
             F.col("win.start").alias("window_start"),
@@ -82,5 +87,6 @@ def windowed_event_counts(
             "event_type",
             "n_events",
             "sum_value",
+            "sum_value_fp",
         )
     )

@@ -139,6 +139,61 @@ def test_content_sha_survives_to_edges(graph):
     assert edge_shas == src_shas
 
 
+def test_partition_key_is_threaded(spark):
+    """O18/reference parity: the user-chosen partition key (CosmosDb.cs:46,
+    Neo4j.cs:70 a.{pk}, b.{pk}) must reach file/class nodes and edge
+    endpoints — KG_PARTITION_KEY=commit means pk IS the commit."""
+    cfg = PipelineConfig(partition_key="commit")
+    triples = run_extract(source_files_df(spark, 20)).cache()
+    mentions, matches = run_link(triples, cfg)
+    emap = run_canonicalize(mentions, matches)
+    nodes, edges = run_materialize(triples, emap, cfg)
+
+    files = nodes.filter(F.col("label") == "file").select(
+        "partition_key", F.col("properties").getItem("commit").alias("commit")
+    )
+    assert files.count() > 0
+    assert files.filter(F.col("partition_key") != F.col("commit")).count() == 0
+    # edges: out endpoint pk must be the commit of the provenance row
+    bad = edges.join(
+        triples.select("commit").distinct().withColumnRenamed("commit", "c"),
+        edges.out_pk == F.col("c"),
+        "left_anti",
+    )
+    assert bad.count() == 0
+    with pytest.raises(ValueError):
+        run_materialize(triples, emap, PipelineConfig(partition_key="nope"))
+
+
+def test_long_surface_resolves_through_entity_map(spark):
+    """Regression: mention ids are minted over a truncated surface
+    (kg.ids.MAX_SURFACE); materialize must probe entity_map with the SAME
+    truncation or long-surface objects never canonicalize."""
+    import hashlib
+
+    from kg.ids import MAX_SURFACE, mention_id  # noqa: F401
+
+    long_obj = "verylongmodule" + "x" * 300  # > MAX_SURFACE
+    expected_mid = hashlib.sha256(
+        f"module:{long_obj[:MAX_SURFACE]}".encode()
+    ).hexdigest()
+    triples = spark.createDataFrame(
+        [
+            ("file:r:p.py", "imports-of", long_obj, "r", "p.py", "c0", "python", "sha0"),
+        ],
+        "subj string, pred string, obj string, repo string, path string, "
+        "commit string, lang string, content_sha string",
+    )
+    emap = spark.createDataFrame(
+        [(expected_mid, "CANON")], "mention_id string, canonical_id string"
+    )
+    nodes, edges = run_materialize(triples, emap, PipelineConfig())
+    # the edge must land on the canonical entity, proving the entity_map
+    # join hit (pre-fix it probed with the untruncated hash and missed)
+    assert [r.in_id for r in edges.collect()] == ["CANON"]
+    assert nodes.filter(F.col("id") == "CANON").count() == 1
+
+
 def test_linked_variants_share_canonical_node(graph):
     """'requests' / 'Requests' / 'requests.py' must resolve to ONE module
     node whose surfaces property lists the variants."""

@@ -79,6 +79,100 @@ def test_resume_processes_only_missing_buckets(spark, tmp_path_factory):
     )
 
 
+def _with_modified_file(spark, src, n):
+    """Corpus with ONE python file's content changed (adds an import)."""
+    from kg.datagen import make_file
+
+    target = next(f for f in map(make_file, range(n)) if f["lang"] == "python")
+    is_target = (F.col("repo") == target["repo"]) & (
+        F.col("path") == target["path"]
+    )
+    new_content = target["content"] + "\nimport sentinelxyz\n"
+    return (
+        src.withColumn(
+            "content",
+            F.when(is_target, F.lit(new_content)).otherwise(F.col("content")),
+        ),
+        target,
+    )
+
+
+def test_changed_input_bucket_is_rewritten(spark, tmp_path_factory):
+    """Merge-with-changed-input (reference upsert semantics for *modified*
+    documents, CosmosDb.cs:144): a rerun with detect_changes re-extracts
+    only the changed bucket, converges to the clean-run state, keeps ids
+    deterministic and introduces no duplicates."""
+    cfg = _cfg(tmp_path_factory, "merge")
+    src = source_files_df(spark, N)
+    run_pipeline(spark, src, cfg, restart=True)
+    store = LineageStore(spark, cfg.table_path("lineage"))
+    n_lineage_rows_1 = store.read().filter("stage = 'extract'").count()
+
+    src2, target = _with_modified_file(spark, src, N)
+    # clean-run golden on the modified corpus
+    golden = _snapshot(
+        run_pipeline(spark, src2, _cfg(tmp_path_factory, "merge_g"), restart=True)
+    )
+
+    out = run_pipeline(spark, src2, cfg, detect_changes=True)
+    assert _snapshot(out) == golden
+    # the new import reached the graph
+    sent = out["triples"].filter(
+        (F.col("pred") == "imports-of") & (F.col("obj") == "sentinelxyz")
+    )
+    assert sent.count() == 1
+    # no duplicate ids (the changed bucket was overwritten, not appended)
+    assert out["nodes"].count() == out["nodes"].select("id").distinct().count()
+    assert out["edges"].count() == out["edges"].select("id").distinct().count()
+    # exactly one bucket was invalidated + re-recorded: row count unchanged
+    assert store.read().filter("stage = 'extract'").count() == n_lineage_rows_1
+
+    # a further rerun detects nothing to do (fingerprints now match)
+    before = store.read().toPandas()
+    run_pipeline(spark, src2, cfg, detect_changes=True)
+    after = store.read().toPandas()
+    assert len(before) == len(after)
+
+
+def test_zero_output_bucket_is_marked_done(spark, tmp_path_factory):
+    """Lineage is recorded from the source side: a bucket whose files
+    yield no triples must still be marked done (else real corpora with
+    unknown-language files re-extract it on every rerun)."""
+    from kg.lineage import bucket_col
+
+    cfg = PipelineConfig(
+        warehouse=str(tmp_path_factory.mktemp("zero")), lineage_buckets=64
+    )
+    src = source_files_df(spark, 6)
+    # add a file that yields zero triples (pure filler, no imports/classes)
+    extra = src.sparkSession.createDataFrame(
+        [("orgz/repoz", "src/empty.py", "c" * 40, "python", "x = 1\ny = x + 1\n")],
+        src.schema,
+    )
+    src = src.unionByName(extra)
+    out = run_pipeline(spark, src, cfg, restart=True)
+
+    b0 = (
+        extra.select(bucket_col("repo", "path", n_buckets=64).alias("b"))
+        .first()
+        .b
+    )
+    store = LineageStore(spark, cfg.table_path("lineage"))
+    assert b0 in store.completed_buckets("extract")
+    row = (
+        store.read()
+        .filter((F.col("stage") == "extract") & (F.col("bucket") == b0))
+        .first()
+    )
+    assert row.rows_in >= 1
+    # rerun: nothing pending, lineage unchanged (the short-circuit holds
+    # even though the bucket produced no triples)
+    n1 = store.read().count()
+    run_pipeline(spark, src, cfg)
+    assert store.read().count() == n1
+    assert out["triples"].filter(F.col("path") == "src/empty.py").count() == 0
+
+
 def test_restart_truncates_everything(spark, tmp_path_factory):
     cfg = _cfg(tmp_path_factory, "restart")
     src = source_files_df(spark, 20)
