@@ -316,12 +316,39 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     return simhash_col(_read(spark, sf, "documents"), "doc_id", "text")
 
 
+_EMB_DIM = 64  # embeddings.parquet vector width (all scale factors)
+# banded hyperplane-LSH shape: near-dup wants selective bands (r=8 bits →
+# random-pair band hit 2^-8); ANN over mid-cosine neighbors wants r=4
+_NEARDUP_PLANES, _NEARDUP_BANDS = 64, 8
+_ANN_PLANES, _ANN_BANDS = 32, 8
+
+
+def _augmented_embeddings(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus + deterministic perturbed twins of the first 20 vectors
+    (w = v + 0.6*v*v elementwise, exact IEEE arithmetic in both engines,
+    cosine ≈ 0.984-0.995).  The raw testdata has no pairs above cosine
+    ~0.6, so an unaugmented near-dup query is vacuously empty at any
+    sane threshold."""
+    emb = _read(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    twins = emb.filter(F.col("vec_id") < 20).select(
+        (F.col("vec_id") + 1000000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.6) * x * x).alias("v"),
+    )
+    return emb.unionByName(twins)
+
+
 def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
-    """Embedding-cosine near-dups via hyperplane LSH (no SQL twin)."""
+    """Embedding-cosine near-dups: banded hyperplane LSH (OR-of-ANDs)
+    candidates + exact-cosine re-rank.  Hyperplanes are deterministic
+    literals → fully SQL-expressible (DuckDB twin replicates the
+    augmentation, banding, bucket cap and re-rank)."""
     from kg.ops import embedding_near_duplicates
 
     return embedding_near_duplicates(
-        _read(spark, sf, "embeddings"), "vec_id", "embedding", threshold=0.9
+        _augmented_embeddings(spark, sf), "vec_id", "v", dim=_EMB_DIM,
+        threshold=0.9, planes=_NEARDUP_PLANES, bands=_NEARDUP_BANDS,
     )
 
 
@@ -337,11 +364,16 @@ def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
+    """Approximate top-k via banded hyperplane buckets + exact re-rank
+    (SQL twin replicates the banding, so this is oracle-checked)."""
     from kg.ops import lsh_ann_topk
 
     emb = _read(spark, sf, "embeddings")
     queries = emb.filter(F.col("vec_id") < 5)
-    return lsh_ann_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5, planes=6)
+    return lsh_ann_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", dim=_EMB_DIM,
+        k=5, planes=_ANN_PLANES, bands=_ANN_BANDS,
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -432,6 +464,71 @@ def queries() -> dict[str, _T]:
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
     }
+
+
+def _bands_sql(src: str, planes: int, bands: int) -> str:
+    """SQL twin of kg.ops.similarity.banded_signatures over ``src``
+    (columns: vec_id, v DOUBLE[]): UNION ALL of one SELECT per band,
+    key = concatenated sign bits of the band's hyperplane slice.  The
+    hyperplanes are the same deterministic literals the Spark side uses
+    (kg.ops.similarity.plane), so signatures match bit-for-bit."""
+    from kg.ops.similarity import plane
+
+    r = planes // bands
+    selects = []
+    for b in range(bands):
+        bits = []
+        for j in range(r):
+            w = plane(_EMB_DIM, b * r + j)
+            lit = "[" + ", ".join(repr(x) for x in w) + "]"
+            bits.append(
+                f"(CASE WHEN list_dot_product(v, {lit}) >= 0 THEN '1' ELSE '0' END)"
+            )
+        key = " || ".join(bits)
+        selects.append(f"SELECT vec_id, {b} AS band, {key} AS key FROM {src}")
+    return " UNION ALL ".join(selects)
+
+
+# exact cosine between aliases va/vb holding v DOUBLE[] columns
+_COS_SQL = (
+    "list_dot_product(va.v, vb.v) / "
+    "(sqrt(list_dot_product(va.v, va.v)) * sqrt(list_dot_product(vb.v, vb.v)))"
+)
+
+
+def _dedup_embedding_sql() -> str:
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "aug AS (SELECT vec_id, v FROM base UNION ALL "
+        "        SELECT vec_id + 1000000, list_transform(v, x -> x + 0.6 * x * x) "
+        "        FROM base WHERE vec_id < 20), "
+        "bands AS (" + _bands_sql("aug", _NEARDUP_PLANES, _NEARDUP_BANDS) + "), "
+        "kept AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 1024), "
+        "sig AS (SELECT bands.* FROM bands JOIN kept USING (band, key)), "
+        "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b FROM sig x "
+        "         JOIN sig y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id), "
+        "scored AS (SELECT a, b, " + _COS_SQL + " AS c FROM cand "
+        "           JOIN aug va ON va.vec_id = cand.a JOIN aug vb ON vb.vec_id = cand.b) "
+        "SELECT a, b, round(c, 6) AS cosine FROM scored WHERE c >= 0.9"
+    )
+
+
+def _ann_lsh_sql() -> str:
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        "bands AS (" + _bands_sql("base", _ANN_PLANES, _ANN_BANDS) + "), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "         FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key "
+        "         AND q.vec_id <> c.vec_id WHERE q.vec_id < 5), "
+        "scored AS (SELECT query_id, neighbor_id, round(" + _COS_SQL + ", 6) AS cosine "
+        "           FROM cand JOIN base va ON va.vec_id = query_id "
+        "           JOIN base vb ON vb.vec_id = neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER "
+        "           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
+        "           FROM scored) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk "
+        "FROM ranked WHERE rk <= 5"
+    )
 
 
 _EN = ", ".join(f"'{t}'" for t in LANG_MARKERS["en"])
@@ -570,6 +667,8 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored) "
             "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5"
         ),
+        "dedup_embedding": _dedup_embedding_sql(),
+        "ann_lsh": _ann_lsh_sql(),
         # no SQL twin (seeded hashing / UDF / iterative): dedup_minhash,
-        # dedup_simhash, dedup_embedding, ann_lsh, kg_* → rows-only checks
+        # dedup_simhash, kg_* → rows-only checks
     }

@@ -15,7 +15,12 @@ from kg.ops.dedup import (  # noqa: F401
     simhash_candidates,
 )
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
-from kg.ops.similarity import brute_force_topk, lsh_ann_topk  # noqa: F401
+from kg.ops.similarity import (  # noqa: F401
+    banded_lsh_pairs,
+    banded_signatures,
+    brute_force_topk,
+    lsh_ann_topk,
+)
 from kg.ops.text import (  # noqa: F401
     doc_fingerprint,
     language_id,

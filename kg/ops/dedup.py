@@ -202,27 +202,42 @@ def embedding_near_duplicates(
     emb: DataFrame,
     id_col: str,
     vec_col: str,
-    threshold: float = 0.95,
-    planes: int = 16,
+    dim: int,
+    threshold: float = 0.9,
+    planes: int = 64,
+    bands: int = 8,
+    max_bucket: int = 1024,
 ) -> DataFrame:
-    """Near-dup pairs by cosine ≥ threshold, blocked by hyperplane-LSH
-    signature so the self-join is bucket-local (scale path)."""
-    from kg.ops.similarity import _with_signature, _cosine
+    """Near-dup pairs by cosine ≥ threshold.
 
-    sig = _with_signature(emb, id_col, vec_col, planes)
-    x, y = sig.alias("x"), sig.alias("y")
+    Candidates come from **banded** hyperplane LSH (OR-of-ANDs,
+    kg.ops.similarity.banded_lsh_pairs) and are re-ranked with the EXACT
+    cosine, so precision is exact and recall ≈ 1-(1-p^r)^bands (r =
+    planes/bands, p = 1-θ/π).  An AND-only full-signature join — the
+    previous design — has recall p^planes, ~8% at its own default
+    threshold; banding is what makes the operator usable.  The self-join
+    stays bucket-local (``max_bucket`` guards degenerate buckets), never
+    all-pairs: the 100 TB path.
+    """
+    from kg.ops.similarity import _cosine, banded_lsh_pairs
+
+    cand = banded_lsh_pairs(
+        emb, id_col, vec_col, dim, planes=planes, bands=bands,
+        max_bucket=max_bucket,
+    )
+    a = emb.select(
+        F.col(id_col).alias("a"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    b = emb.select(
+        F.col(id_col).alias("b"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
     return (
-        x.join(
-            y,
-            (F.col("x.sig") == F.col("y.sig"))
-            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
-        )
-        .select(
-            F.col(f"x.{id_col}").alias("a"),
-            F.col(f"y.{id_col}").alias("b"),
-            F.round(_cosine(F.col(f"x.{vec_col}"), F.col(f"y.{vec_col}")), 6).alias(
-                "cosine"
-            ),
-        )
+        cand.join(a, "a")
+        .join(b, "b")
+        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        # threshold on the unrounded value (the DuckDB twin does the same)
         .filter(F.col("cosine") >= threshold)
+        .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )

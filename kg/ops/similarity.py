@@ -1,14 +1,32 @@
-"""Similarity search over an embedding column (array<float>).
+"""Similarity search over an embedding column (array<float|double>).
 
 Two paths:
+
 * ``brute_force_topk`` — exact cosine top-k, queries × corpus.  The dot
   product is pure JVM (``zip_with`` + ``aggregate``); the corpus side
   stays partitioned, the (small) query side is broadcast.  Baseline and
   oracle-checkable.
-* ``lsh_ann_topk`` — approximate path: random-hyperplane signatures bucket
-  the corpus; each query only scores its own bucket (and hamming-adjacent
-  probes).  This is the 100 TB strategy: the self-join never goes
-  all-pairs.
+* ``lsh_ann_topk`` / ``banded_lsh_pairs`` — approximate path built on
+  **banded random-hyperplane LSH (OR-of-ANDs)**, the same band structure
+  ``kg.ops.minhash`` uses for Jaccard: ``planes`` sign bits are split
+  into ``bands`` keys of ``planes/bands`` bits; two vectors are
+  candidates when they agree on ANY band (OR across bands, AND within a
+  band).  An AND-only signature's recall collapses as ``p_bit^planes``;
+  banding keeps recall ≈ ``1-(1-p_bit^r)^bands`` while the per-band key
+  still prunes the bucket join.  Candidates are then re-ranked with the
+  EXACT cosine, so precision is exact and only recall is approximate.
+
+Scale notes (100 TB):
+* the bucket self-join is the only quadratic-risk spot; a ``max_bucket``
+  cap drops degenerate buckets (e.g. all-zero vectors) exactly like the
+  minhash path;
+* hyperplanes are sha256-derived literals — deterministic across
+  executors AND SQL-expressible, so the whole operator has a DuckDB twin;
+* selectivity physics: with ``r = planes/bands`` bits per band, a random
+  (orthogonal) pair collides per band with prob ``2^-r`` — near-dup
+  detection (cos ≥ 0.9) wants r≈8; ANN over mid-cosine neighbors wants
+  r≈4 and accepts more candidates.  There is NO multiprobe here; recall
+  comes from the OR over bands.
 """
 
 from __future__ import annotations
@@ -32,8 +50,10 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
-def _plane(dim: int, seed: int) -> list[float]:
-    """Deterministic pseudo-random hyperplane (hash-derived, no RNG state)."""
+def plane(dim: int, seed: int) -> list[float]:
+    """Deterministic pseudo-random hyperplane (hash-derived, no RNG state).
+
+    Public so the DuckDB oracle can embed the identical literals."""
     import struct
     import hashlib
 
@@ -41,21 +61,80 @@ def _plane(dim: int, seed: int) -> list[float]:
     for j in range(dim):
         h = hashlib.sha256(f"plane:{seed}:{j}".encode()).digest()
         (u,) = struct.unpack(">q", h[:8])
-        out.append(u / float(1 << 63))
+        # 6-decimal components: both engines parse the same short literal
+        # to the identical double, and the SQL twin stays compact
+        out.append(round(u / float(1 << 63), 6))
     return out
 
 
-def _with_signature(
-    df: DataFrame, id_col: str, vec_col: str, planes: int
+def banded_signatures(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int = 64,
+    bands: int = 8,
 ) -> DataFrame:
-    """Append a hyperplane-LSH signature string: sign bit per plane."""
-    dim = len(df.select(vec_col).first()[0])
-    bits = [
-        F.when(_dot(F.col(vec_col), F.array(*[F.lit(x) for x in _plane(dim, p)])) >= 0,
-               F.lit("1")).otherwise(F.lit("0"))
-        for p in range(planes)
+    """Long-format band keys: one row per (id, band) with the band's
+    sign-bit key.  ``dim`` is a parameter (NOT probed from the data —
+    a ``.first()`` here would be a hidden eager action at plan time).
+
+    All JVM-side: one literal-array dot product per plane; key = the
+    concatenated '0'/'1' bits of the band's plane slice.
+    """
+    if planes % bands or planes // bands < 1:
+        raise ValueError(f"planes ({planes}) must be a multiple of bands ({bands})")
+    r = planes // bands
+    v = F.col(vec_col).cast("array<double>")
+
+    def bit(p: int) -> Column:
+        w = F.array(*[F.lit(x) for x in plane(dim, p)])
+        return F.when(_dot(v, w) >= 0, F.lit("1")).otherwise(F.lit("0"))
+
+    band_structs = [
+        F.struct(
+            F.lit(b).alias("band"),
+            F.concat(*[bit(b * r + j) for j in range(r)]).alias("key"),
+        )
+        for b in range(bands)
     ]
-    return df.withColumn("sig", F.concat(*bits))
+    return df.select(
+        F.col(id_col), F.explode(F.array(*band_structs)).alias("bk")
+    ).select(id_col, F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+
+
+def banded_lsh_pairs(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    planes: int = 64,
+    bands: int = 8,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """→ distinct (a, b) candidate pairs (a < b) sharing ≥1 band key.
+
+    ``max_bucket`` drops degenerate buckets before the self-join (web-
+    scale guard, same rationale as kg.ops.minhash.minhash_candidate_pairs).
+    """
+    sigs = banded_signatures(df, id_col, vec_col, dim, planes, bands)
+    # consumed by the cap count AND both sides of the self-join
+    sigs = sigs.localCheckpoint()
+    kept = sigs.groupBy("band", "key").agg(F.count("*").alias("n")).filter(
+        F.col("n") <= max_bucket
+    ).drop("n")
+    sigs = sigs.join(kept, ["band", "key"])
+    x, y = sigs.alias("x"), sigs.alias("y")
+    return (
+        x.join(
+            y,
+            (F.col("x.band") == F.col("y.band"))
+            & (F.col("x.key") == F.col("y.key"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
+        .distinct()
+    )
 
 
 def brute_force_topk(
@@ -95,28 +174,40 @@ def lsh_ann_topk(
     query_id: str,
     corpus_id: str,
     vec_col: str,
+    dim: int,
     k: int = 5,
-    planes: int = 8,
+    planes: int = 32,
+    bands: int = 8,
 ) -> DataFrame:
-    """Approximate top-k: score only within the query's hyperplane bucket.
-    Recall < 1 by construction; planes trades recall for bucket size."""
+    """Approximate top-k: banded hyperplane buckets (OR-of-ANDs), exact
+    cosine re-rank inside the candidate set.
+
+    Recall per true neighbor at bit-agreement prob p is
+    ``1-(1-p^r)^bands`` (r = planes/bands): high for angularly-close
+    neighbors, degrading toward orthogonality — the inherent LSH
+    trade; ``bands``/``planes`` tune recall vs candidate volume.
+    """
     from pyspark.sql import Window as W
 
-    qs = _with_signature(
-        queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")),
-        "query_id", "qv", planes,
-    )
-    cs = _with_signature(
-        corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")),
-        "neighbor_id", "cv", planes,
+    qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"))
+    cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"))
+    qs = banded_signatures(qv, "query_id", "qv", dim, planes, bands)
+    cs = banded_signatures(cv, "neighbor_id", "cv", dim, planes, bands)
+    cand = (
+        qs.join(cs, ["band", "key"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
     )
     scored = (
-        qs.join(cs, "sig")
-        .filter(F.col("query_id") != F.col("neighbor_id"))
+        cand.join(F.broadcast(qv), "query_id")
+        .join(cv, "neighbor_id")
         .select(
             "query_id",
             "neighbor_id",
-            F.round(_cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cosine"),
+            F.round(
+                _cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6
+            ).alias("cosine"),
         )
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))

@@ -96,7 +96,10 @@ def test_brute_force_topk_self_similarity(spark, sf_dir):
 def test_lsh_ann_subset_of_brute_force_space(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").limit(200)
     queries = emb.limit(2)
-    ann = lsh_ann_topk(queries, emb, "vec_id", "vec_id", "embedding", k=3, planes=4)
+    ann = lsh_ann_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", dim=64, k=3,
+        planes=16, bands=8,
+    )
     rows = ann.collect()
     # ANN returns ranked rows with valid cosine; bucket may be small
     for r in rows:
@@ -114,8 +117,54 @@ def test_embedding_near_duplicates_finds_identical(spark):
     out = {
         (r.a, r.b): r.cosine
         for r in embedding_near_duplicates(
-            emb, "vec_id", "embedding", threshold=0.95
+            emb, "vec_id", "embedding", dim=4, threshold=0.95
         ).collect()
     }
     assert out[(1, 2)] == 1.0
     assert (1, 4) not in out
+
+
+def _planted_near_dups(spark, sf_dir, n_twins=50):
+    """Corpus + perturbed twins (cosine ≈ 0.98-0.995): ground truth for
+    recall, since the raw testdata has no pairs above cosine ~0.6."""
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+        .limit(250)
+    )
+    twins = emb.filter(F.col("vec_id") < n_twins).select(
+        (F.col("vec_id") + 100000).alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.6) * x * x).alias("v"),
+    )
+    return emb.unionByName(twins)
+
+
+def test_banded_lsh_recall_vs_brute_force(spark, sf_dir):
+    """VERDICT r1 gate: banded OR-of-ANDs recall ≥ 0.9 vs the exact
+    ground truth on a planted near-dup set (the AND-only design this
+    replaces had ~8% recall at its own default threshold)."""
+    from kg.ops.similarity import _cosine
+
+    aug = _planted_near_dups(spark, sf_dir).localCheckpoint()
+    found = {
+        (r.a, r.b)
+        for r in embedding_near_duplicates(
+            aug, "vec_id", "v", dim=64, threshold=0.9
+        ).collect()
+    }
+    # exact ground truth by brute force (test scale only)
+    a = aug.select(F.col("vec_id").alias("a"), F.col("v").alias("va"))
+    b = aug.select(F.col("vec_id").alias("b"), F.col("v").alias("vb"))
+    truth = {
+        (r.a, r.b)
+        for r in a.crossJoin(b)
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("c", _cosine(F.col("va"), F.col("vb")))
+        .filter(F.col("c") >= 0.9)
+        .select("a", "b")
+        .collect()
+    }
+    assert len(truth) >= 40  # the plant worked
+    assert found <= truth  # exact re-rank → perfect precision
+    recall = len(found & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
