@@ -11,13 +11,15 @@ where SQL-expressible.  Column names/aliases match exactly on both sides
 fixed precision and avoid cross-engine-ambiguous rounding (floor on
 integers-in-double instead of round-half cases).
 
-Non-SQL-expressible ops (MinHash/SimHash banding, the KG pipeline stages,
-iterative connected components) are registered without an oracle → the
-driver records the weaker rows-only check.
+KG pipeline entries are oracle-checked against golden parquet twins
+(closed-form analytic triples; pinned stage outputs for entity_map/nodes/
+edges, kept honest by tests/test_goldens_pinned.py).  Only seeded-hash
+banding ops (MinHash/SimHash) remain rows-only.
 """
 
 from __future__ import annotations
 
+import os
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
@@ -391,7 +393,7 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# KG pipeline stages (synthetic corpus; no SQL twin — rows-only checks)
+# KG pipeline stages (synthetic 200-file corpus; golden-backed SQL twins)
 # ---------------------------------------------------------------------------
 def _kg_outputs(spark: SparkSession) -> dict[str, DataFrame]:
     from kg.datagen import source_files_df
@@ -488,6 +490,10 @@ def _bands_sql(src: str, planes: int, bands: int) -> str:
         selects.append(f"SELECT vec_id, {b} AS band, {key} AS key FROM {src}")
     return " UNION ALL ".join(selects)
 
+
+_GOLDEN_DIR = os.path.join(
+    os.path.dirname(os.path.abspath(__file__)), "tests", "goldens"
+)
 
 # exact cosine between aliases va/vb holding v DOUBLE[] columns
 _COS_SQL = (
@@ -669,6 +675,27 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding": _dedup_embedding_sql(),
         "ann_lsh": _ann_lsh_sql(),
-        # no SQL twin (seeded hashing / UDF / iterative): dedup_minhash,
-        # dedup_simhash, kg_* → rows-only checks
+        # kg_* twins: golden-backed. kg_triples reads the CLOSED-FORM
+        # analytic golden (kg.datagen.golden_triples — derived from the
+        # corpus spec, not from the extractor), so it is a true oracle;
+        # entity_map/nodes/edges goldens are pinned pipeline outputs kept
+        # honest by tests/test_goldens_pinned.py (regenerated == pinned).
+        "kg_triples": (
+            "SELECT subj, pred, obj, repo, path, commit, lang, content_sha "
+            f"FROM read_parquet('{_GOLDEN_DIR}/golden_triples_200.parquet')"
+        ),
+        "kg_entity_map": (
+            "SELECT mention_id, canonical_id "
+            f"FROM read_parquet('{_GOLDEN_DIR}/golden_entity_map_200.parquet')"
+        ),
+        "kg_nodes": (
+            "SELECT id, label, partition_key "
+            f"FROM read_parquet('{_GOLDEN_DIR}/golden_kg_nodes_200.parquet')"
+        ),
+        "kg_edges": (
+            "SELECT id, label, out_id, in_id, out_label, in_label, out_pk, in_pk "
+            f"FROM read_parquet('{_GOLDEN_DIR}/golden_kg_edges_200.parquet')"
+        ),
+        # no SQL twin (seeded hashing, non-SQL-expressible): dedup_minhash,
+        # dedup_simhash → rows-only checks
     }

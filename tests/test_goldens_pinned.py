@@ -27,3 +27,34 @@ def test_golden_triples_match_committed_fixture():
     pinned = pd.read_parquet(f"{HERE}/goldens/golden_triples_100.parquet")
     now = golden_triples(100)
     pd.testing.assert_frame_equal(_sorted(pinned), _sorted(now))
+
+
+def test_golden_triples_200_is_closed_form():
+    """The kg_triples DuckDB oracle fixture IS the analytic golden — not
+    extractor output — so the driver's kg_triples check is a true oracle."""
+    pinned = pd.read_parquet(f"{HERE}/goldens/golden_triples_200.parquet")
+    now = golden_triples(200)[list(pinned.columns)]
+    pd.testing.assert_frame_equal(_sorted(pinned), _sorted(now))
+
+
+def test_pinned_kg_outputs_match_pipeline(spark):
+    """The pinned entity_map/nodes/edges goldens backing the kg_* DuckDB
+    oracles must equal a fresh pipeline run over the same 200-file corpus
+    — otherwise the driver's oracle check silently goes stale."""
+    import __spark_entry__ as e
+
+    out = e._kg_outputs(spark)
+    fresh = {
+        "entity_map": out["entity_map"].toPandas(),
+        "kg_nodes": out["nodes"].drop("properties").toPandas(),
+        "kg_edges": out["edges"].drop("properties").toPandas(),
+    }
+    for name, now in fresh.items():
+        pinned = pd.read_parquet(f"{HERE}/goldens/golden_{name}_200.parquet")
+        pd.testing.assert_frame_equal(
+            _sorted(pinned), _sorted(now[list(pinned.columns)])
+        )
+    # and the extractor agrees with the closed-form triple golden
+    tr = out["triples"].toPandas()
+    gt = golden_triples(200)[list(tr.columns)]
+    pd.testing.assert_frame_equal(_sorted(gt), _sorted(tr))
