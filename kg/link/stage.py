@@ -9,9 +9,10 @@ Pipeline (SURVEY.md §2.1 "link"):
             ──► LSH banding: groupBy(mention, band) → band key
             ──► candidate pairs: self-join on (band, band_key), a < b
             ──► scorer: Jaccard via array_intersect/array_union (JVM) +
-                batched embedding cosine (vectorized pandas UDF over Arrow)
+                embedding dot over per-MENTION embeddings computed once
+                (mapInPandas over the vocabulary) — zero per-pair Python
 
-Everything except the embedding scorer stays inside whole-stage codegen.
+Everything except the per-mention embedding stays inside whole-stage codegen.
 The LSH band self-join is the only quadratic-risk spot; a bucket-size cap
 drops degenerate stop-surface buckets (web-scale guard, documented below).
 """
@@ -20,7 +21,6 @@ from __future__ import annotations
 
 import pandas as pd
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql import types as T
 
 from kg.conf import PipelineConfig
 from kg.ids import mention_id, truncated_surface
@@ -88,48 +88,83 @@ def candidate_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
     )
 
 
-@F.pandas_udf(T.DoubleType())
-def _cosine_udf(a: pd.Series, b: pd.Series) -> pd.Series:
-    """Batched embedding cosine over Arrow (the north_star's "batched
-    Jaccard/embedding scorer").  Embeddings here are deterministic
-    hash-derived random projections of the shingle sets — a stand-in with
-    the exact Spark plumbing (array columns in, vectorized numpy math) a
-    learned encoder would use; swap `_embed` for a model without touching
-    the plan."""
+_EMB_DIM = 32
+
+
+def _embed_batches(batches) -> "pd.DataFrame":
+    """One embedding per MENTION (not per pair): deterministic
+    hash-seeded random projection of the shingle set, normalized.  A
+    stand-in with the exact Spark plumbing (Arrow batches in, array
+    column out) a learned encoder would use — swap the body for a model
+    without touching the plan.  Shingle vectors are memoized per batch:
+    the shingle vocabulary is tiny relative to its usage count, so the
+    RNG construction cost is amortized away (the previous design built a
+    fresh RNG per shingle per PAIR — the link stage's wall at vocabulary
+    growth, VERDICT r1)."""
     import numpy as np
 
-    dim = 32
+    cache: dict[str, "np.ndarray"] = {}
 
-    def _embed(shingles) -> "np.ndarray":
-        v = np.zeros(dim)
-        for s in shingles:
+    def vec(s: str) -> "np.ndarray":
+        v = cache.get(s)
+        if v is None:
             rng = np.random.default_rng(
                 int.from_bytes(s.encode()[:8].ljust(8, b"\0"), "big")
             )
-            v += rng.standard_normal(dim)
-        n = np.linalg.norm(v)
-        return v / n if n > 0 else v
+            v = rng.standard_normal(_EMB_DIM)
+            cache[s] = v
+        return v
 
-    out = np.empty(len(a))
-    for i, (sa, sb) in enumerate(zip(a, b)):
-        out[i] = float(np.dot(_embed(sa), _embed(sb)))
-    return pd.Series(out)
+    for pdf in batches:
+        out = np.zeros((len(pdf), _EMB_DIM))
+        for i, sh in enumerate(pdf["shingles"]):
+            if sh is None or len(sh) == 0:
+                continue
+            v = np.sum([vec(s) for s in sh], axis=0)
+            n = np.linalg.norm(v)
+            out[i] = v / n if n > 0 else v
+        yield pd.DataFrame(
+            {
+                "mention_id": pdf["mention_id"],
+                "shingles": pdf["shingles"],
+                "emb": list(out),
+            }
+        )
+
+
+def _dot(a, b):
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
 
 
 def score_pairs(
     pairs: DataFrame, mentions: DataFrame, cfg: PipelineConfig
 ) -> DataFrame:
-    """Jaccard (JVM array ops) + embedding cosine (pandas UDF) per pair.
+    """Jaccard (JVM array ops) + embedding dot (JVM zip_with/aggregate)
+    per pair.  Embeddings are computed ONCE per mention (mapInPandas,
+    vocabulary-sized input) and carried as an array column into the pair
+    join — the scorer itself does zero per-pair Python.
 
     The mentions side is vocabulary-sized → broadcast both lookups."""
+    embedded = mentions.select("mention_id", "shingles").mapInPandas(
+        _embed_batches,
+        schema="mention_id string, shingles array<string>, emb array<double>",
+    )
     ma = F.broadcast(
-        mentions.select(
-            F.col("mention_id").alias("a"), F.col("shingles").alias("sh_a")
+        embedded.select(
+            F.col("mention_id").alias("a"),
+            F.col("shingles").alias("sh_a"),
+            F.col("emb").alias("emb_a"),
         )
     )
     mb = F.broadcast(
-        mentions.select(
-            F.col("mention_id").alias("b"), F.col("shingles").alias("sh_b")
+        embedded.select(
+            F.col("mention_id").alias("b"),
+            F.col("shingles").alias("sh_b"),
+            F.col("emb").alias("emb_b"),
         )
     )
     scored = (
@@ -140,7 +175,8 @@ def score_pairs(
             F.size(F.array_intersect("sh_a", "sh_b"))
             / F.size(F.array_union("sh_a", "sh_b")),
         )
-        .withColumn("emb_score", _cosine_udf(F.col("sh_a"), F.col("sh_b")))
+        # embeddings are normalized → dot IS the cosine
+        .withColumn("emb_score", _dot(F.col("emb_a"), F.col("emb_b")))
         .withColumn(
             "is_match",
             (F.col("jaccard") >= cfg.jaccard_threshold)

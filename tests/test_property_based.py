@@ -7,7 +7,7 @@ from hypothesis import given, settings, strategies as st
 
 from kg.datagen import expected_triples, file_spec, make_file
 from kg.extract.extractors import extract_triples
-from kg.ops.dedup import hash_token
+from kg.ops.dedup import _simhash_batches
 
 LANGS = ["python", "java", "js", "cs", "unknown"]
 
@@ -32,12 +32,39 @@ def test_extracted_objects_appear_in_text(text):
             assert obj in text
 
 
-@settings(max_examples=200, deadline=None)
-@given(st.text(min_size=1, max_size=100))
-def test_hash_token_is_64bit_and_stable(t):
-    h = hash_token(t)
-    assert 0 <= h < 2**64
-    assert h == hash_token(t)
+@settings(max_examples=100, deadline=None)
+@given(
+    st.lists(
+        st.lists(
+            st.integers(min_value=-(2**63), max_value=2**63 - 1), max_size=20
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_simhash_fold_matches_naive(rows):
+    """The whole-batch vectorized bit-fold equals a naive per-row fold
+    for arbitrary pre-hashed token lists (incl. empty rows)."""
+    import numpy as np
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {"id": [str(i) for i in range(len(rows))], "hashes": rows}
+    )
+    out = next(_simhash_batches(iter([pdf])))
+    got = dict(zip(out["id"], out["simhash"]))
+
+    for i, hs in enumerate(rows):
+        if not hs:
+            assert got[str(i)] == 0
+            continue
+        u = np.array(hs, dtype=np.int64).view(np.uint64)
+        sim = np.uint64(0)
+        for b in range(64):
+            votes = int(((u >> np.uint64(b)) & np.uint64(1)).sum()) * 2 - len(hs)
+            if votes > 0:
+                sim |= np.uint64(1) << np.uint64(b)
+        assert got[str(i)] == np.int64(sim.astype(np.int64))
 
 
 @settings(max_examples=50, deadline=None)
