@@ -430,7 +430,11 @@ def q_kg_nodes(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_kg_edges(spark: SparkSession, sf: str) -> DataFrame:
-    return _kg_outputs(spark)["edges"].drop("properties")
+    # the 8-field GremlinEdge surface (provenance is flat storage detail)
+    return _kg_outputs(spark)["edges"].select(
+        "id", "label", "out_id", "in_id", "out_label", "in_label",
+        "out_pk", "in_pk",
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -1,4 +1,5 @@
 from kg.materialize.documents import (  # noqa: F401
+    as_graphson_edges,
     denormalize_endpoints,
     edge_namespace,
     json_array,

@@ -47,6 +47,29 @@ def edge_namespace(edge_id: Column) -> Column:
     return F.concat(F.lit("edge_"), edge_id)
 
 
+def as_graphson_edges(edges: DataFrame) -> DataFrame:
+    """GraphSON-document projection of the flat edge table: assemble the
+    property bag (Migrator.cs:93) from the flat provenance columns.
+
+    Zero-shuffle (pure projection).  The pipeline STORES edges flat —
+    repeated map keys + a single mixed-domain parquet chunk made the bag
+    the dominant shuffle/encode cost at scale — and materializes the
+    document shape only where a consumer wants documents."""
+    return edges.select(
+        "id", "label", "out_id", "in_id", "out_label", "in_label",
+        "out_pk", "in_pk",
+        rename_reserved_keys(
+            F.create_map(
+                F.lit("repo"), F.col("repo"),
+                F.lit("path"), F.col("path"),
+                F.lit("commit"), F.col("commit"),
+                F.lit("lang"), F.col("lang"),
+                F.lit("content_sha"), F.col("content_sha"),
+            )
+        ).alias("properties"),
+    )
+
+
 def denormalize_endpoints(
     edges: DataFrame,
     nodes: DataFrame,

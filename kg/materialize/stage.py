@@ -14,8 +14,12 @@ content-derived ids, never monotonically_increasing_id):
 
 Edge rows mirror the reference's 8-field GremlinEdge (Migrator.cs:142-154):
 ``edge_``-prefixed id (O11), label = predicate, endpoint label+pk
-denormalized (O4), property bag with provenance incl. the content_sha
-lineage invariant.
+denormalized (O4), plus FLAT provenance columns (repo/path/commit/lang/
+content_sha incl. the content_sha lineage invariant).  The GraphSON
+property bag (Migrator.cs:93) is assembled at READ time by
+``as_graphson_edges`` — maps shuffle and encode terribly (repeated keys,
+one mixed-domain parquet chunk), so the storage layout is columnar-flat
+and the document shape is a projection.
 
 Plan-shape notes (scale + latency):
 * the only join against a corpus-sized table is triples ⋈ mention_map,
@@ -231,14 +235,12 @@ def run_materialize(
     ).select(
         "id", "label", "out_id", "in_id", "out_label", "in_label",
         "out_pk", "in_pk",
-        rename_reserved_keys(
-            F.create_map(
-                F.lit("repo"), F.col("repo"),
-                F.lit("path"), F.col("path"),
-                F.lit("commit"), F.col("commit"),
-                F.lit("lang"), F.col("lang"),
-                F.lit("content_sha"), F.col("content_sha"),
-            )
-        ).alias("properties"),
+        # provenance stays FLAT through shuffle + parquet: a
+        # map<string,string> bag repeats its keys in every row, mixes all
+        # value domains into one parquet column chunk (kills dictionary
+        # encoding) and dominated materialize's shuffle bytes — the r1
+        # scaling bottleneck.  The GraphSON property bag is a zero-shuffle
+        # READ-TIME projection: kg.materialize.documents.as_graphson_edges.
+        "repo", "path", "commit", "lang", "content_sha",
     )
     return nodes, edges

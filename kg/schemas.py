@@ -94,6 +94,10 @@ NODES = T.StructType(
     ]
 )
 
+# edges are stored FLAT (provenance as top-level columns — maps repeat
+# keys per row and defeat parquet dictionary encoding); the GraphSON
+# property-bag document shape is a read-time projection
+# (kg.materialize.documents.as_graphson_edges)
 EDGES = T.StructType(
     [
         T.StructField("id", T.StringType(), False),
@@ -104,7 +108,11 @@ EDGES = T.StructType(
         T.StructField("in_label", T.StringType(), False),
         T.StructField("out_pk", T.StringType(), False),
         T.StructField("in_pk", T.StringType(), False),
-        T.StructField("properties", T.MapType(T.StringType(), T.StringType()), True),
+        T.StructField("repo", T.StringType(), False),
+        T.StructField("path", T.StringType(), False),
+        T.StructField("commit", T.StringType(), False),
+        T.StructField("lang", T.StringType(), False),
+        T.StructField("content_sha", T.StringType(), False),
     ]
 )
 

@@ -47,7 +47,10 @@ def test_pinned_kg_outputs_match_pipeline(spark):
     fresh = {
         "entity_map": out["entity_map"].toPandas(),
         "kg_nodes": out["nodes"].drop("properties").toPandas(),
-        "kg_edges": out["edges"].drop("properties").toPandas(),
+        "kg_edges": out["edges"].select(
+            "id", "label", "out_id", "in_id", "out_label", "in_label",
+            "out_pk", "in_pk",
+        ).toPandas(),
     }
     for name, now in fresh.items():
         pinned = pd.read_parquet(f"{HERE}/goldens/golden_{name}_200.parquet")

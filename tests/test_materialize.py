@@ -15,6 +15,7 @@ from kg.extract import run_extract
 from kg.link import run_link
 from kg.canonicalize import run_canonicalize
 from kg.materialize import (
+    as_graphson_edges,
     denormalize_endpoints,
     edge_namespace,
     json_array,
@@ -76,7 +77,7 @@ def test_node_edge_id_spaces_disjoint(graph):
 
 def test_no_reserved_property_keys(graph):
     _, _, nodes, edges = graph
-    for df in (nodes, edges):
+    for df in (nodes, as_graphson_edges(edges)):
         bad = df.select(F.explode(F.map_keys("properties")).alias("k")).filter(
             F.col("k").isin("id", "_rid", "_self", "_ts", "_etag")
         )
@@ -130,13 +131,29 @@ def test_endpoint_denormalization_consistent(graph):
 def test_content_sha_survives_to_edges(graph):
     triples, _, _, edges = graph
     src_shas = {r.content_sha for r in triples.select("content_sha").distinct().collect()}
-    edge_shas = {
+    # flat storage column AND the GraphSON projection both carry it
+    edge_shas = {r.content_sha for r in edges.select("content_sha").distinct().collect()}
+    doc_shas = {
         r.sha
-        for r in edges.select(
+        for r in as_graphson_edges(edges).select(
             F.col("properties").getItem("content_sha").alias("sha")
         ).distinct().collect()
     }
-    assert edge_shas == src_shas
+    assert edge_shas == src_shas == doc_shas
+
+
+def test_graphson_edge_projection_shape(graph):
+    """The document projection restores the reference's 8-field GremlinEdge
+    + property bag exactly (Migrator.cs:142-154), while storage stays
+    columnar-flat."""
+    _, _, _, edges = graph
+    docs = as_graphson_edges(edges)
+    assert docs.columns == [
+        "id", "label", "out_id", "in_id", "out_label", "in_label",
+        "out_pk", "in_pk", "properties",
+    ]
+    row = docs.first()
+    assert set(row.properties) == {"repo", "path", "commit", "lang", "content_sha"}
 
 
 def test_partition_key_is_threaded(spark):
