@@ -50,6 +50,7 @@ def main() -> None:
         "dedup_exact",
         "dedup_minhash",
         "dedup_simhash",
+        "dedup_embedding",
         "text_stats",
         "ann_brute_force",
         "ann_lsh",

@@ -42,12 +42,26 @@ def get_spark(
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "10000")
         # CPU-heavy Python stages sit right on top of file scans; the
         # default 128 MB split would give far fewer tasks than cores on
-        # medium tables (e.g. a 700 MB corpus → 6 splits → 6 busy cores
-        # out of 16). 16 MB keeps every core fed; on a 100 TB cluster this
-        # knob trades scheduler overhead vs per-task Python work the same
-        # way.
-        .config("spark.sql.files.maxPartitionBytes", os.environ.get("KG_SPLIT_BYTES", "16m"))
+        # medium tables. Splits are sized on COMPRESSED bytes and Spark
+        # bin-packs small files up to this limit, so with zstd's ~10x
+        # ratio on text a 16 MB split already carries ~160 MB of raw
+        # content — an 800k-file corpus collapsed to ~8 splits and
+        # starved local[16] (measured: extract 2x slower, materialize
+        # flat across core counts). 4 MB keeps every core fed at bench
+        # scale; on a 100 TB cluster raise KG_SPLIT_BYTES — the knob
+        # trades scheduler overhead vs per-task Python work.
+        .config("spark.sql.files.maxPartitionBytes", os.environ.get("KG_SPLIT_BYTES", "4m"))
         .config("spark.sql.session.timeZone", "UTC")
+        # zstd for shuffle/spill blocks and parquet output: more CPU per
+        # byte but far fewer bytes — compression CPU parallelizes across
+        # cores while memory/disk bandwidth does not, so trading bandwidth
+        # for compute is exactly what a bandwidth-bound stage needs to
+        # scale (and on a real cluster it cuts network shuffle too)
+        .config("spark.io.compression.codec", os.environ.get("KG_IO_CODEC", "zstd"))
+        .config(
+            "spark.sql.parquet.compression.codec",
+            os.environ.get("KG_PARQUET_CODEC", "zstd"),
+        )
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("KG_DRIVER_MEM", "48g"))
     )

@@ -53,8 +53,15 @@ from kg.conf import PipelineConfig
 from kg.pipeline import run_pipeline
 
 cores, src_path, shm = int(sys.argv[1]), sys.argv[2], sys.argv[3]
+# size the JVM's internal pools (GC, JIT, netty) for the level's core
+# count, exactly as a containerized executor would be — otherwise both
+# levels spawn 32-core pools and the low level drowns in GC threads
 spark = get_spark("scaling-bench", cores=cores, shuffle_partitions=cores,
-                  extra_conf={"spark.local.dir": shm})
+                  extra_conf={
+                      "spark.local.dir": shm,
+                      "spark.driver.extraJavaOptions":
+                          f"-XX:ActiveProcessorCount={cores + 2}",
+                  })
 wh = tempfile.mkdtemp(prefix=f"kg_scale_{cores}_", dir=shm)
 cfg = PipelineConfig(warehouse=wh, shuffle_partitions=cores)
 src = spark.read.parquet(src_path)
