@@ -35,7 +35,26 @@ def main(argv: list[str] | None = None) -> None:
                          "whose input changed since the recorded lineage")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--partition-key", default="repo")
+    ap.add_argument("-l", "--log-level", default="INFO",
+                    help="kg logger level (reference -l, CommandLineOptions.cs:24)")
+    ap.add_argument("--show-ddl", action="store_true",
+                    help="print the Iceberg sink DDL (O14) and exit")
     args = ap.parse_args(argv)
+
+    import logging
+
+    logging.basicConfig(
+        stream=sys.stderr,
+        format="%(asctime)s %(name)s %(levelname)s %(message)s",
+    )
+    logging.getLogger("kg").setLevel(args.log_level.upper())
+
+    if args.show_ddl:
+        from kg.io.tables import sink_ddl_statements
+
+        for stmt in sink_ddl_statements(warehouse=args.warehouse):
+            print(stmt + ";")
+        return
 
     from kg.conf import PipelineConfig
     from kg.session import get_spark

@@ -22,7 +22,8 @@ def _env_int(name: str, default: int) -> int:
 class PipelineConfig:
     """Everything a pipeline run needs, resolvable from env + CLI."""
 
-    # warehouse root for all managed tables (parquet-backed; see kg.io.tables)
+    # warehouse root for all managed tables (parquet-backed here; Iceberg
+    # DDL for a jar-equipped cluster: kg.io.tables.sink_ddl_statements)
     warehouse: str = field(
         default_factory=lambda: os.environ.get("KG_WAREHOUSE", "/tmp/kg_warehouse")
     )

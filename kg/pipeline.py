@@ -42,6 +42,7 @@ from kg.conf import PipelineConfig
 from kg.extract import run_extract
 from kg.lineage import LineageStore, StageTimer, bucket_col
 from kg.link import run_link
+from kg.log import log_event
 from kg.materialize import run_materialize
 
 STAGES = ("extract", "link", "canonicalize", "materialize")
@@ -86,10 +87,16 @@ def run_pipeline(
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns the output DataFrames."""
     lineage = LineageStore(spark, cfg.table_path("lineage"))
+    log_event(
+        "pipeline_start", warehouse=cfg.warehouse, restart=restart,
+        detect_changes=detect_changes, partition_key=cfg.partition_key,
+        lineage_buckets=cfg.lineage_buckets,
+    )
     if restart:  # O15 + O17: truncate sink and checkpoints
         for t in ("triples", "mentions", "matches", "entity_map", "nodes", "edges"):
             shutil.rmtree(cfg.table_path(t), ignore_errors=True)
         lineage.reset()
+        log_event("restart_truncated", warehouse=cfg.warehouse)
 
     b = cfg.lineage_buckets
     triples_path = cfg.table_path("triples")
@@ -107,11 +114,14 @@ def run_pipeline(
         if changed:
             lineage.invalidate_buckets("extract", changed)
             done = done - changed
+            log_event("changed_buckets_invalidated", stage="extract",
+                      buckets=sorted(changed))
     pending = src.filter(~F.col("bucket").isin(list(done))) if done else src
     # no-op short-circuit: a rerun with every bucket recorded skips the
     # whole extract job (one cheap early-terminating existence probe)
     extract_ran = not done or pending.limit(1).count() > 0
     if extract_ran:
+        log_event("stage_start", stage="extract", done_buckets=len(done))
         with StageTimer() as t:
             # extraction is per-row (no keyed shuffle), so hot-repo skew
             # is irrelevant here and repartitioning the full content
@@ -153,6 +163,9 @@ def run_pipeline(
             "input_fp",
         )
         lineage.record_buckets("extract", per_bucket, t.ms)
+        log_event("stage_done", stage="extract", duration_ms=t.ms)
+    else:
+        log_event("stage_skipped", stage="extract", done_buckets=len(done))
     triples = spark.read.parquet(triples_path).drop("bucket")
 
     # ---- link (stage-level resume) -----------------------------------------
@@ -164,11 +177,15 @@ def run_pipeline(
         and os.path.exists(mentions_path)
         and os.path.exists(matches_path)
     ):
+        log_event("stage_start", stage="link")
         with StageTimer() as t:
             mentions, matches = run_link(triples, cfg)
             _write(mentions.drop("shingles"), mentions_path)
             _write(matches, matches_path)
         lineage.record_stage("link", -1, -1, t.ms)
+        log_event("stage_done", stage="link", duration_ms=t.ms)
+    else:
+        log_event("stage_skipped", stage="link")
     mentions = spark.read.parquet(mentions_path)
     matches = spark.read.parquet(matches_path)
 
@@ -177,10 +194,14 @@ def run_pipeline(
     if extract_ran or not (
         lineage.stage_done("canonicalize") and os.path.exists(emap_path)
     ):
+        log_event("stage_start", stage="canonicalize")
         with StageTimer() as t:
             emap = run_canonicalize(mentions, matches)
             _write(emap, emap_path)
         lineage.record_stage("canonicalize", -1, -1, t.ms)
+        log_event("stage_done", stage="canonicalize", duration_ms=t.ms)
+    else:
+        log_event("stage_skipped", stage="canonicalize")
     entity_map = spark.read.parquet(emap_path)
 
     # ---- materialize ---------------------------------------------------------
@@ -191,6 +212,7 @@ def run_pipeline(
         and os.path.exists(nodes_path)
         and os.path.exists(edges_path)
     ):
+        log_event("stage_start", stage="materialize")
         with StageTimer() as t:
             nodes, edges = run_materialize(triples, entity_map, cfg)
             # partition the sink by a bucket of the partition key — the
@@ -205,6 +227,9 @@ def run_pipeline(
             _write(nodes, nodes_path, ["pk_bucket"], buckets=b)
             _write(edges, edges_path, ["pk_bucket"], buckets=b)
         lineage.record_stage("materialize", -1, -1, t.ms)
+        log_event("stage_done", stage="materialize", duration_ms=t.ms)
+    else:
+        log_event("stage_skipped", stage="materialize")
     nodes = spark.read.parquet(nodes_path).drop("pk_bucket")
     edges = spark.read.parquet(edges_path).drop("pk_bucket")
 
