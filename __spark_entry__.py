@@ -524,11 +524,16 @@ def _dedup_embedding_sql() -> str:
 
 
 def _ann_lsh_sql() -> str:
+    # kept/sig mirror lsh_ann_topk's corpus-side max_bucket=1024 cap: the
+    # corpus signatures here are `bands` itself (queries ⊂ corpus), so the
+    # HAVING count is computed over the same rows Spark counts.
     return (
         "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
         "bands AS (" + _bands_sql("base", _ANN_PLANES, _ANN_BANDS) + "), "
+        "kept AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= 1024), "
+        "sig AS (SELECT bands.* FROM bands JOIN kept USING (band, key)), "
         "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
-        "         FROM bands q JOIN bands c ON q.band = c.band AND q.key = c.key "
+        "         FROM bands q JOIN sig c ON q.band = c.band AND q.key = c.key "
         "         AND q.vec_id <> c.vec_id WHERE q.vec_id < 5), "
         "scored AS (SELECT query_id, neighbor_id, round(" + _COS_SQL + ", 6) AS cosine "
         "           FROM cand JOIN base va ON va.vec_id = query_id "

@@ -166,9 +166,18 @@ def simhash_col(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return toks.mapInPandas(_simhash_batches, schema="id string, simhash long")
 
 
-def simhash_candidates(sim: DataFrame, band_bits: int = 16) -> DataFrame:
+def simhash_candidates(
+    sim: DataFrame, band_bits: int = 16, max_bucket: int = 1024
+) -> DataFrame:
     """Near-dup candidates = docs sharing any 16-bit band of the simhash
-    (catches hamming distance ≤ 3 for 4 bands over 64 bits)."""
+    (catches hamming distance ≤ 3 for 4 bands over 64 bits).
+
+    ``max_bucket`` drops degenerate buckets before the self-join: every
+    empty/boilerplate document hashes to simhash 0 and shares ALL four
+    bands, so one such cluster makes the pair set quadratic in corpus
+    size.  Same guard as kg.ops.minhash.minhash_candidate_pairs — a pair
+    lost to the cap sat in a bucket with zero selectivity anyway (its
+    members are better handled by exact dedup, which such docs hit)."""
     nbands = 64 // band_bits
     bands = sim.select(
         "id",
@@ -187,6 +196,12 @@ def simhash_candidates(sim: DataFrame, band_bits: int = 16) -> DataFrame:
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    # consumed 3× (bucket-count cap + both sides of the self-join)
+    bands = bands.localCheckpoint()
+    kept = bands.groupBy("band", "key").agg(F.count("*").alias("n")).filter(
+        F.col("n") <= max_bucket
+    ).drop("n")
+    bands = bands.join(kept, ["band", "key"])
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(

@@ -178,6 +178,7 @@ def lsh_ann_topk(
     k: int = 5,
     planes: int = 32,
     bands: int = 8,
+    max_bucket: int = 1024,
 ) -> DataFrame:
     """Approximate top-k: banded hyperplane buckets (OR-of-ANDs), exact
     cosine re-rank inside the candidate set.
@@ -186,6 +187,14 @@ def lsh_ann_topk(
     ``1-(1-p^r)^bands`` (r = planes/bands): high for angularly-close
     neighbors, degrading toward orthogonality — the inherent LSH
     trade; ``bands``/``planes`` tune recall vs candidate volume.
+
+    ``max_bucket`` caps the CORPUS side of the band join: with r = 4
+    bits per band a mildly clustered corpus puts a large fraction of
+    rows into one 16-value band key and the candidate set becomes
+    |queries| × |bucket| — quadratic in corpus size.  Degenerate
+    buckets are dropped before the join, same guard as
+    ``banded_lsh_pairs`` (a neighbor lost this way was sharing its
+    band with >max_bucket rows, i.e. the band carried no selectivity).
     """
     from pyspark.sql import Window as W
 
@@ -193,6 +202,12 @@ def lsh_ann_topk(
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"))
     qs = banded_signatures(qv, "query_id", "qv", dim, planes, bands)
     cs = banded_signatures(cv, "neighbor_id", "cv", dim, planes, bands)
+    # consumed twice (bucket-count cap + the band join)
+    cs = cs.localCheckpoint()
+    kept = cs.groupBy("band", "key").agg(F.count("*").alias("n")).filter(
+        F.col("n") <= max_bucket
+    ).drop("n")
+    cs = cs.join(kept, ["band", "key"])
     cand = (
         qs.join(cs, ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))

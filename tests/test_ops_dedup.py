@@ -114,6 +114,45 @@ def test_lsh_ann_subset_of_brute_force_space(spark, sf_dir):
         assert -1.0001 <= r.cosine <= 1.0001 and r.rk >= 1
 
 
+def test_simhash_candidates_degenerate_bucket_capped(spark):
+    """500 empty docs all hash to simhash 0 and share every band; without
+    the max_bucket cap the self-join is quadratic (~125k pairs here,
+    corpus² at scale).  With the cap the degenerate bucket is dropped
+    while real near-dup pairs survive."""
+    rows = [(i, "") for i in range(500)] + [
+        (1000, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (1001, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+    ]
+    sim = simhash_col(
+        spark.createDataFrame(rows, "doc_id long, text string"), "doc_id", "text"
+    )
+    pairs = simhash_candidates(sim, max_bucket=64).collect()
+    ids = {int(r.a) for r in pairs} | {int(r.b) for r in pairs}
+    assert all(i >= 1000 for i in ids)  # empty-doc cluster fully dropped
+    assert ("1000", "1001") in {(r.a, r.b) for r in pairs}  # real pair kept
+
+
+def test_lsh_ann_degenerate_bucket_capped(spark):
+    """500 zero vectors share one band key per band (every sign bit fires
+    the same way); the corpus-side cap must drop them so candidates stay
+    |q|×|small buckets|, while a distinctive vector remains findable."""
+    zeros = [(i, [0.0, 0.0, 0.0, 0.0]) for i in range(500)]
+    real = [
+        (1000, [1.0, 2.0, -3.0, 0.5]),
+        (1001, [1.0, 2.1, -3.0, 0.4]),
+        (1002, [-5.0, 1.0, 2.0, -0.5]),
+    ]
+    emb = spark.createDataFrame(zeros + real, "vec_id long, embedding array<double>")
+    queries = emb.filter(F.col("vec_id") == 1000)
+    out = lsh_ann_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", dim=4, k=5,
+        planes=16, bands=4, max_bucket=64,
+    ).collect()
+    neighbors = {r.neighbor_id for r in out}
+    assert all(n >= 1000 for n in neighbors)  # zero-vector cluster dropped
+    assert 1001 in neighbors  # the true near neighbor survives the cap
+
+
 def test_embedding_near_duplicates_finds_identical(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),
