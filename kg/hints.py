@@ -1,0 +1,77 @@
+"""Plan-shape hints gated on evidence instead of hope.
+
+An explicit ``F.broadcast`` OVERRIDES Catalyst's size check: on a table
+that later outgrows the executor broadcast budget the job OOMs instead of
+degrading to a shuffle join.  The reference never has this problem (its
+sink client streams documents); the Spark mapping must therefore gate
+every broadcast hint on an actual size estimate and otherwise leave the
+decision to Catalyst + AQE, whose runtime re-plan converts a sort-merge
+join back to broadcast when the built side turns out small.
+
+Two gates:
+
+* ``maybe_broadcast`` — uses Catalyst's own optimized-plan statistics:
+  file-backed plans report real bytes, and checkpoints/UDF stages
+  propagate their child's estimate (SPARK-39834), so the gate sees what
+  auto-broadcast would see — just with this module's explicit budget.
+  Plans with NO estimate (raw-RDD lineage reports the
+  ``spark.sql.defaultSizeInBytes`` Long.Max sentinel) get NO hint and
+  AQE decides.
+* ``broadcast_if_small`` — for tables whose Catalyst estimate mistrusts
+  the caller less than the caller mistrusts it: gates on an exact row
+  count the caller already paid for (e.g. over localCheckpoint blocks)
+  times a documented bytes-per-row model.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+# conservative executor broadcast budget: well under the 8 GB hard limit
+# and the default 10 MB auto threshold × a healthy margin for the
+# vocabulary tables this repo broadcasts (entity_map, mention embeddings)
+DEFAULT_MAX_BYTES = 64 * 1024 * 1024
+
+
+def plan_size_bytes(df: DataFrame) -> int | None:
+    """Catalyst's size estimate for the optimized plan, or None when the
+    estimate is unavailable/unknown.  "Unknown" includes the
+    defaultSizeInBytes sentinel (Long.Max-ish) that in-memory relations
+    and post-UDF plans report."""
+    try:
+        # py4j maps scala.math.BigInt to a Python int
+        size = int(df._jdf.queryExecution().optimizedPlan().stats().sizeInBytes())
+    except Exception:
+        return None
+    # defaultSizeInBytes is Long.MaxValue; anything absurdly large is the
+    # "no statistics" sentinel rather than a real estimate
+    if size < 0 or size >= (1 << 62):
+        return None
+    return size
+
+
+def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFrame:
+    """Broadcast hint iff Catalyst's size estimate proves the side small.
+
+    Unknown or over-budget size → the DataFrame is returned UNHINTED and
+    the join strategy is left to Catalyst/AQE (shuffle join at worst) —
+    the scale-safe failure mode, vs the unconditional hint's OOM."""
+    size = plan_size_bytes(df)
+    if size is not None and size <= max_bytes:
+        return F.broadcast(df)
+    return df
+
+
+def broadcast_if_small(
+    df: DataFrame,
+    row_count: int,
+    bytes_per_row: int,
+    max_bytes: int = DEFAULT_MAX_BYTES,
+) -> DataFrame:
+    """Broadcast hint iff ``row_count × bytes_per_row`` fits the budget.
+    For materialized DataFrames whose Catalyst stats are unknown (e.g. a
+    localCheckpoint'd mapInPandas result) — the caller supplies the row
+    count it already paid for."""
+    if row_count * bytes_per_row <= max_bytes:
+        return F.broadcast(df)
+    return df

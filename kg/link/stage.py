@@ -23,6 +23,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, functions as F
 
 from kg.conf import PipelineConfig
+from kg.hints import broadcast_if_small
 from kg.ids import mention_id, truncated_surface
 # LSH buckets larger than this are dropped: at 10^12-file scale a huge
 # bucket means a degenerate surface (e.g. "utils"), and the quadratic
@@ -89,6 +90,11 @@ def candidate_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
 
 
 _EMB_DIM = 32
+# per-mention payload model for the broadcast gate: shingle array (~20
+# × ~10 B strings + Arrow/UnsafeRow overhead) + 32 doubles + a 64-char id
+# ≈ 1 KB — so the 64 MB budget admits ~65k mentions; past that the scorer
+# join degrades to a shuffle join instead of an executor OOM.
+_MENTION_ROW_BYTES = 1024
 
 
 def _embed_batches(batches) -> "pd.DataFrame":
@@ -148,24 +154,33 @@ def score_pairs(
     vocabulary-sized input) and carried as an array column into the pair
     join — the scorer itself does zero per-pair Python.
 
-    The mentions side is vocabulary-sized → broadcast both lookups."""
+    The mentions side is vocabulary-sized TODAY, but the vocabulary grows
+    with the corpus — the broadcast hint is gated on the row count (paid
+    for once: the checkpoint materializes the embeddings anyway, so the
+    count scans cached blocks; without the checkpoint the un-materialized
+    mapInPandas plan would be EXECUTED TWICE, once per join side)."""
     embedded = mentions.select("mention_id", "shingles").mapInPandas(
         _embed_batches,
         schema="mention_id string, shingles array<string>, emb array<double>",
-    )
-    ma = F.broadcast(
+    ).localCheckpoint()
+    n_mentions = embedded.count()
+    ma = broadcast_if_small(
         embedded.select(
             F.col("mention_id").alias("a"),
             F.col("shingles").alias("sh_a"),
             F.col("emb").alias("emb_a"),
-        )
+        ),
+        n_mentions,
+        _MENTION_ROW_BYTES,
     )
-    mb = F.broadcast(
+    mb = broadcast_if_small(
         embedded.select(
             F.col("mention_id").alias("b"),
             F.col("shingles").alias("sh_b"),
             F.col("emb").alias("emb_b"),
-        )
+        ),
+        n_mentions,
+        _MENTION_ROW_BYTES,
     )
     scored = (
         pairs.join(ma, "a")

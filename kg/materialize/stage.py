@@ -41,6 +41,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, functions as F
 
 from kg.conf import PipelineConfig
+from kg.hints import maybe_broadcast
 from kg.ids import mention_id
 from kg.materialize.documents import (
     edge_namespace,
@@ -76,7 +77,11 @@ def _resolved_objects(triples: DataFrame, entity_map: DataFrame) -> DataFrame:
     ).withColumn("obj_kind", kind).withColumn(
         "obj_mention", mention_id(F.col("obj_kind"), F.col("obj"))
     )
-    em = F.broadcast(
+    # entity_map is vocabulary-sized TODAY, but distinct surfaces grow with
+    # the corpus (10^12 files → plausibly 10^8 rows); the broadcast hint is
+    # therefore GATED on Catalyst's size estimate (parquet-backed input →
+    # real bytes). Unknown/over-budget → no hint, AQE picks the join.
+    em = maybe_broadcast(
         entity_map.select(
             F.col("mention_id").alias("obj_mention"),
             F.col("canonical_id").alias("obj_canonical"),

@@ -1,0 +1,172 @@
+"""Broadcast-gate tests (VERDICT r2 "unguarded broadcast hints").
+
+The scale failure being guarded: an explicit F.broadcast on a table that
+outgrows the executor budget OOMs, because the hint overrides Catalyst's
+size check.  The gate must (a) keep the hint when the size is provably
+small, (b) drop it when the size is unknown or large — letting the plan
+degrade to a shuffle join, never an OOM — with results unchanged.
+"""
+
+from __future__ import annotations
+
+from contextlib import contextmanager
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg.conf import PipelineConfig
+from kg.hints import broadcast_if_small, maybe_broadcast, plan_size_bytes
+from kg.materialize import run_materialize
+
+
+@contextmanager
+def _conf(spark, **kv):
+    old = {k: spark.conf.get(k, None) for k in kv}
+    try:
+        for k, v in kv.items():
+            spark.conf.set(k, v)
+        yield
+    finally:
+        for k, v in old.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def _stats_blind(df):
+    """Rebuild the DataFrame from its raw RDD: same rows, but the new
+    LogicalRDD has no originating Dataset, so Catalyst reports the
+    defaultSizeInBytes sentinel (Long.Max) — a truly unknown size."""
+    spark = df.sparkSession
+    return spark.createDataFrame(df.rdd, df.schema)
+
+
+def test_plan_size_known_for_files_unknown_for_raw_rdd(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    size = plan_size_bytes(region)
+    assert size is not None and 0 < size < 1 << 30
+    assert plan_size_bytes(_stats_blind(region)) is None
+    # localCheckpoint and mapInPandas PROPAGATE the child's estimate
+    # (SPARK-39834) — possibly wrong about output width, but an estimate,
+    # not a sentinel; the gate treats it exactly like auto-broadcast would
+    assert plan_size_bytes(region.localCheckpoint()) == size
+    mapped = region.mapInPandas(lambda it: it, schema=region.schema)
+    assert plan_size_bytes(mapped) == size
+
+
+def test_maybe_broadcast_keeps_hint_only_when_provably_small(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    nation = spark.read.parquet(f"{sf_dir}/nation.parquet")
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        # provably small → hint survives the disabled auto-threshold
+        hinted = nation.join(
+            maybe_broadcast(region), nation.n_regionkey == region.r_regionkey
+        )
+        assert "BroadcastHashJoin" in _plan(hinted)
+        # unknown stats → NO hint → Catalyst falls back to a shuffle join
+        blind = _stats_blind(region)
+        unhinted = nation.join(
+            maybe_broadcast(blind), nation.n_regionkey == blind.r_regionkey
+        )
+        p = _plan(unhinted)
+        assert "BroadcastHashJoin" not in p and "SortMergeJoin" in p
+        # over-budget estimate → no hint either
+        tiny_budget = nation.join(
+            maybe_broadcast(region, max_bytes=1),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        assert "BroadcastHashJoin" not in _plan(tiny_budget)
+
+
+def test_broadcast_if_small_row_gate(spark, sf_dir):
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    small = broadcast_if_small(region, row_count=100, bytes_per_row=1024)
+    big = broadcast_if_small(region, row_count=10**9, bytes_per_row=1024)
+    assert small is not region  # hinted copy
+    assert big is region  # unhinted passthrough
+
+
+def _tiny_graph(spark):
+    triples = spark.createDataFrame(
+        [
+            ("file:r:a.py", "imports-of", "requests", "r", "a.py", "c0", "python", "s0"),
+            ("file:r:b.py", "imports-of", "Requests", "r", "b.py", "c0", "python", "s1"),
+            ("file:r:b.py", "extends", "BaseModel", "r", "b.py", "c0", "python", "s1"),
+        ],
+        "subj string, pred string, obj string, repo string, path string, "
+        "commit string, lang string, content_sha string",
+    )
+    from kg.ids import mention_id
+
+    m = triples.filter(F.col("obj").isin("requests", "Requests")).select(
+        mention_id(F.lit("module"), F.col("obj")).alias("mention_id")
+    )
+    mids = sorted(r.mention_id for r in m.collect())
+    emap = spark.createDataFrame(
+        [(mid, mids[0]) for mid in mids], "mention_id string, canonical_id string"
+    )
+    return triples, emap
+
+
+def test_materialize_degrades_to_shuffle_join_not_oom(spark):
+    """Forced worst case: auto-broadcast off AND a stats-less entity_map.
+    The plan must contain a shuffle join (no broadcast anywhere on the
+    entity_map edge) and the output must equal the stats-backed run."""
+    triples, emap = _tiny_graph(spark)
+    cfg = PipelineConfig(partition_key="repo")
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        nodes_b, edges_b = run_materialize(triples, _stats_blind(emap), cfg)
+        assert "SortMergeJoin" in _plan(edges_b)
+        blind_edges = sorted(map(tuple, edges_b.collect()))
+        blind_nodes = sorted(map(tuple, nodes_b.collect()))
+    nodes, edges = run_materialize(triples, emap, cfg)
+    assert sorted(map(tuple, edges.collect())) == blind_edges
+    assert sorted(map(tuple, nodes.collect())) == blind_nodes
+
+
+def test_link_scorer_gate_degrades_to_shuffle_join(spark, monkeypatch):
+    """Force the mention vocabulary over budget (1-byte budget): score
+    matches must be identical, only the join strategy changes."""
+    import kg.link.stage as ls
+    from kg.datagen import source_files_df
+    from kg.extract import run_extract
+    from kg.link import run_link
+
+    cfg = PipelineConfig(partition_key="repo")
+    triples = run_extract(source_files_df(spark, 30)).localCheckpoint()
+    _, matches = run_link(triples, cfg)
+    baseline = sorted((r.a, r.b) for r in matches.collect())
+
+    monkeypatch.setattr(
+        ls, "broadcast_if_small",
+        lambda df, row_count, bytes_per_row, max_bytes=0: broadcast_if_small(
+            df, row_count, bytes_per_row, max_bytes=0
+        ),
+    )
+    with _conf(
+        spark,
+        **{
+            "spark.sql.autoBroadcastJoinThreshold": "-1",
+            "spark.sql.adaptive.enabled": "false",
+        },
+    ):
+        _, matches2 = run_link(triples, cfg)
+        assert "SortMergeJoin" in _plan(matches2)
+        assert sorted((r.a, r.b) for r in matches2.collect()) == baseline
