@@ -12,6 +12,7 @@ from kg.ops.dedup import (  # noqa: F401
     minhash_duplicates,
     ngram_jaccard_pairs,
     simhash_col,
+    simhash_col_jvm,
     simhash_candidates,
 )
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401

@@ -115,55 +115,130 @@ def minhash_duplicates(
 # ---------------------------------------------------------------------------
 # SimHash
 # ---------------------------------------------------------------------------
-def _simhash_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-    """Bit-fold pre-hashed tokens into 64-bit simhashes, whole-batch
-    vectorized.  Input column ``hashes``: array<long> of per-token
+# peak transient of the bit-fold is CHUNK×64 int32 (~64 MB at 256k): the
+# (T, 64) bit matrix is built per chunk, never for a whole Arrow batch —
+# 10k long documents per batch would otherwise push each of the parallel
+# python workers to multi-GB allocations
+_FOLD_CHUNK_TOKENS = 256 * 1024
+
+
+def _simhash_fold_fn(chunk_tokens: int):
+    """Build the Arrow bit-fold (closure so the chunk bound ships to the
+    python workers).  Input column ``hashes``: array<long> of per-token
     xxhash64 values (computed JVM-side — NO per-token Python anywhere;
-    the previous version ran a pure-Python FNV loop over every token)."""
-    import numpy as np
+    the pre-r2 version ran a pure-Python FNV loop per token)."""
 
-    shifts = np.arange(64, dtype=np.uint64)
-    for pdf in batches:
-        n = len(pdf)
-        packed = np.zeros(n, dtype=np.uint64)
-        if n:
-            rows = [np.asarray(h, dtype=np.int64) for h in pdf["hashes"]]
-            lens = np.array([len(r) for r in rows], dtype=np.int64)
-            nz = np.flatnonzero(lens)
-            if len(nz):
-                flat = np.concatenate([rows[i] for i in nz]).view(np.uint64)
-                # (T, 64) bit matrix → per-row segment sums via reduceat
-                bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(
-                    np.int32
-                )
-                starts = np.zeros(len(nz), dtype=np.int64)
-                np.cumsum(lens[nz][:-1], out=starts[1:])
-                sums = np.add.reduceat(bits, starts, axis=0)
-                votes = 2 * sums - lens[nz, None]  # +1/-1 fold
-                simbits = (votes > 0).astype(np.uint64)
-                packed_nz = np.zeros(len(nz), dtype=np.uint64)
-                for b in range(64):
-                    packed_nz |= simbits[:, b] << np.uint64(b)
-                packed[nz] = packed_nz
-        yield pd.DataFrame(
-            {"id": pdf["id"], "simhash": packed.view(np.int64)}
-        )
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        shifts = np.arange(64, dtype=np.uint64)
+
+        def fold(rows: list, lens: "np.ndarray") -> "np.ndarray":
+            flat = np.concatenate(rows).view(np.uint64)
+            # (T, 64) bit matrix → per-row segment sums via reduceat
+            bits = ((flat[:, None] >> shifts) & np.uint64(1)).astype(np.int32)
+            starts = np.zeros(len(rows), dtype=np.int64)
+            np.cumsum(lens[:-1], out=starts[1:])
+            sums = np.add.reduceat(bits, starts, axis=0)
+            votes = 2 * sums - lens[:, None]  # +1/-1 fold
+            simbits = (votes > 0).astype(np.uint64)
+            packed = np.zeros(len(rows), dtype=np.uint64)
+            for b in range(64):
+                packed |= simbits[:, b] << np.uint64(b)
+            return packed
+
+        for pdf in batches:
+            n = len(pdf)
+            packed = np.zeros(n, dtype=np.uint64)
+            if n:
+                rows = [np.asarray(h, dtype=np.int64) for h in pdf["hashes"]]
+                lens = np.array([len(r) for r in rows], dtype=np.int64)
+                nz = np.flatnonzero(lens)
+                # chunk on cumulative token count so peak memory is
+                # bounded independent of document length or batch size
+                lo = 0
+                while lo < len(nz):
+                    hi, tok = lo, 0
+                    while hi < len(nz) and (
+                        tok == 0 or tok + lens[nz[hi]] <= chunk_tokens
+                    ):
+                        tok += lens[nz[hi]]
+                        hi += 1
+                    idx = nz[lo:hi]
+                    packed[idx] = fold([rows[i] for i in idx], lens[idx])
+                    lo = hi
+            yield pd.DataFrame(
+                {"id": pdf["id"], "simhash": packed.view(np.int64)}
+            )
+
+    return run
 
 
-def simhash_col(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """→ (id, simhash long).
+def simhash_col(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    chunk_tokens: int = _FOLD_CHUNK_TOKENS,
+) -> DataFrame:
+    """→ (id, simhash long).  JVM token hashing (``xxhash64`` inside
+    ``F.transform``), numpy bit-fold in Python over bounded-memory Arrow
+    chunks.
 
-    Token hashing happens JVM-side (``xxhash64`` inside ``F.transform``,
-    whole-stage codegen); only the numpy bit-fold crosses into Python,
-    Arrow-batched with one array column per row — per-token Python cost
-    is zero, the extract-like wall the VERDICT flagged."""
+    A/B vs the zero-Python ``simhash_col_jvm`` fold (best-of-4
+    interleaved, sf0.1 documents, 16 slots): arrow 0.70 s, jvm 1.52 s —
+    the 64-wide explode + 65-column aggregate costs more than one
+    array<long> Arrow crossing, so the Arrow fold stays the default;
+    the JVM twin is kept and equivalence-tested bit-for-bit."""
     toks = df.select(
         F.col(id_col).cast("string").alias("id"),
         F.transform(
             tokens_col(F.col(text_col)), lambda t: F.xxhash64(t)
         ).alias("hashes"),
     )
-    return toks.mapInPandas(_simhash_batches, schema="id string, simhash long")
+    return toks.mapInPandas(
+        _simhash_fold_fn(chunk_tokens), schema="id string, simhash long"
+    )
+
+
+def simhash_col_jvm(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """100% JVM-side simhash (zero Python crossings): explode the
+    per-token xxhash64 values and majority-vote each of the 64 bits with
+    one conditional-sum aggregate per bit — partial (map-side)
+    aggregation reduces every partition to one 65-column row per doc
+    before the shuffle, and the whole fold stays inside codegen.
+
+    Slower than the Arrow fold at bench scale (see simhash_col) but kept
+    as its independent cross-check and for clusters where python workers
+    are unavailable/expensive.  Vote semantics match bit-for-bit: bit b
+    set iff 2·Σ bit_b(h) > n_tokens (ties → 0), empty doc → signature 0."""
+    one = F.lit(1).cast("long")
+    toks = df.select(
+        F.col(id_col).cast("string").alias("id"),
+        F.explode_outer(
+            F.transform(tokens_col(F.col(text_col)), lambda t: F.xxhash64(t))
+        ).alias("h"),
+    )
+    sums = toks.groupBy("id").agg(
+        F.count("h").alias("n"),
+        *[
+            F.sum(
+                F.shiftrightunsigned(F.col("h"), b).bitwiseAND(one)
+            ).alias(f"s{b}")
+            for b in range(64)
+        ],
+    )
+    from functools import reduce
+
+    packed = reduce(
+        lambda acc, term: acc.bitwiseOR(term),
+        [
+            F.when(
+                F.col(f"s{b}") * 2 > F.col("n"), F.shiftleft(one, b)
+            ).otherwise(F.lit(0).cast("long"))
+            for b in range(64)
+        ],
+    )
+    return sums.select("id", packed.alias("simhash"))
 
 
 def simhash_candidates(

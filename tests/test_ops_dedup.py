@@ -14,6 +14,7 @@ from kg.ops import (
     ngram_jaccard_pairs,
     simhash_candidates,
     simhash_col,
+    simhash_col_jvm,
 )
 # pinned in test_simhash_pinned_value; regenerate ONLY on a deliberate
 # hash-recipe change (old signatures become invalid — re-band everything)
@@ -74,6 +75,27 @@ def test_simhash_deterministic_and_near(docs_with_dups):
     assert cands[("1", "2")] == 0
     # near-dup 3 shares bands with 1 (one word changed)
     assert ("1", "3") in cands and cands[("1", "3")] <= 16
+
+
+def test_simhash_jvm_and_arrow_folds_agree(spark):
+    """The JVM explode/groupBy fold and the Arrow numpy fold must produce
+    identical signatures — including ties (2s == n → bit 0), empty docs,
+    and documents long enough to span multiple fold chunks."""
+    rows = [
+        (1, ""),
+        (2, "one"),
+        (3, "a b a b"),  # tie-heavy tiny doc
+        (4, " ".join(f"w{i % 97}" for i in range(5000))),  # long doc
+        (5, "the quick brown fox jumps over the lazy dog"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    jvm = {r.id: r.simhash for r in simhash_col_jvm(df, "doc_id", "text").collect()}
+    # chunk of 512 makes doc 4 (5000 tokens) span multiple reduceat chunks
+    arrow = {
+        r.id: r.simhash
+        for r in simhash_col(df, "doc_id", "text", chunk_tokens=512).collect()
+    }
+    assert jvm == arrow
 
 
 def test_simhash_pinned_value(spark):
