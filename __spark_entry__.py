@@ -402,7 +402,10 @@ def _kg_outputs(spark: SparkSession) -> dict[str, DataFrame]:
     from kg.canonicalize import run_canonicalize
     from kg.materialize import run_materialize
 
-    cfg = PipelineConfig()
+    # pinned explicitly: the kg_nodes/kg_edges goldens were generated with
+    # partition_key='repo'; defaulting from KG_PARTITION_KEY would make the
+    # oracle gate fail spuriously under a stray env var (ADVICE r2)
+    cfg = PipelineConfig(partition_key="repo")
     triples = run_extract(source_files_df(spark, 200))
     mentions, matches = run_link(triples, cfg)
     emap = run_canonicalize(mentions, matches)

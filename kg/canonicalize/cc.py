@@ -74,14 +74,12 @@ def connected_components(
         old = e
         e = _small_star(_large_star(e)).localCheckpoint()
         old.unpersist()  # free the superseded round's checkpoint blocks
-        # cheap fixpoint detector: count + order-insensitive hash
-        # order-insensitive checksum; modulo keeps the ANSI-mode sum from
-        # overflowing long at any edge count
+        # cheap fixpoint detector: count + order-insensitive checksum;
+        # bit_xor is overflow-free at any edge count (an ANSI-mode sum of
+        # bounded hashes still faults past ~9.2e9 rows — ADVICE r2)
         chk = e.agg(
             F.count("*").alias("n"),
-            F.coalesce(
-                F.sum(F.pmod(F.xxhash64("u", "v"), F.lit(1_000_000_007))), F.lit(0)
-            ).alias("h"),
+            F.coalesce(F.bit_xor(F.xxhash64("u", "v")), F.lit(0)).alias("h"),
         ).first()
         cur = (chk["n"], chk["h"])
         if cur == prev:

@@ -73,19 +73,45 @@ def sink_ddl_statements(
     ]
 
 
+# error signatures meaning "the data source isn't on the classpath" — the
+# ONLY condition under which falling back to parquet is correct.  A typo'd
+# statement, a permission failure, or a catalog error must surface: on a
+# jar-equipped cluster a blanket except would silently degrade the sink
+# forever (VERDICT r2 #5).
+_MISSING_SOURCE_MARKERS = (
+    "DATA_SOURCE_NOT_FOUND",
+    "Failed to find the data source",
+    "Failed to find data source",
+    "ClassNotFoundException",
+    "NoClassDefFoundError",
+)
+
+
 def ensure_sink(
     spark: SparkSession, warehouse: str, buckets: int = 64
 ) -> str:
     """Execute the sink DDL; returns the mode actually in effect.
 
     ``"iceberg"`` when the catalog accepts the statements (real cluster);
-    ``"parquet-dir"`` in this container (no Iceberg jars) — the pipeline's
-    bucketed, dynamically-overwritten parquet layout provides the same
-    partitioning + idempotent-upsert semantics (``kg.pipeline._write``).
+    ``"parquet-dir"`` when — and ONLY when — the Iceberg data source is
+    absent from the classpath (this container): the pipeline's bucketed,
+    dynamically-overwritten parquet layout provides the same partitioning
+    + idempotent-upsert semantics (``kg.pipeline._write``).  Any other
+    DDL failure re-raises.
     """
+    from kg.log import log_event
+
     try:
         for stmt in sink_ddl_statements(warehouse, buckets):
             spark.sql(stmt)
         return "iceberg"
-    except Exception:
-        return "parquet-dir"
+    except Exception as e:
+        msg = str(e)
+        if any(m in msg for m in _MISSING_SOURCE_MARKERS):
+            log_event(
+                "sink_fallback",
+                mode="parquet-dir",
+                reason=msg.splitlines()[0][:200],
+            )
+            return "parquet-dir"
+        raise

@@ -47,14 +47,18 @@ from kg.materialize import run_materialize
 
 STAGES = ("extract", "link", "canonicalize", "materialize")
 
-# bound for hash-sum fingerprints: Spark 4 ANSI mode faults on overflow,
-# so every summed xxhash64 is reduced mod this prime first
-_FP_PRIME = 1_000_000_007
-
-
 def _fingerprint(*cols: str) -> Column:
-    """Order-insensitive content fingerprint: sum of bounded xxhash64."""
-    return F.sum(F.pmod(F.xxhash64(*cols), F.lit(_FP_PRIME))).cast("string")
+    """Order-insensitive content fingerprint: ``count:bit_xor(xxhash64)``.
+
+    XOR is overflow-free at ANY row count — the previous sum-of-bounded-
+    hashes faulted under ANSI mode past ~9.2e9 rows/bucket, reachable at
+    the documented 10^12-doc scale with 64 buckets (ADVICE r2).  The
+    count term disambiguates the one blind spot XOR alone has that a sum
+    does not: duplicate-row multiplicity changes that cancel pairwise."""
+    h = F.xxhash64(*cols)
+    return F.concat_ws(
+        ":", F.count(F.lit(1)).cast("string"), F.bit_xor(h).cast("string")
+    )
 
 
 def _write(

@@ -5,6 +5,8 @@ from __future__ import annotations
 import json
 import logging
 
+import pytest
+
 from kg.conf import PipelineConfig
 from kg.datagen import source_files_df
 from kg.io.tables import ensure_sink, sink_ddl_statements
@@ -65,9 +67,35 @@ def test_sink_ddl_statements_shape():
     assert "PARTITIONED BY (bucket(64, partition_key))" in by_name["nodes"]
 
 
-def test_ensure_sink_falls_back_without_iceberg(spark, tmp_path_factory):
+def test_ensure_sink_falls_back_without_iceberg(spark, tmp_path_factory, caplog):
     """This container ships no Iceberg jars: ensure_sink must report the
     parquet-dir fallback instead of raising (on a jar-equipped cluster the
-    same statements execute as-is)."""
+    same statements execute as-is) — and log the degradation."""
     wh = str(tmp_path_factory.mktemp("ddl"))
-    assert ensure_sink(spark, wh) == "parquet-dir"
+    with caplog.at_level(logging.INFO, logger="kg"):
+        assert ensure_sink(spark, wh) == "parquet-dir"
+    assert any(e["event"] == "sink_fallback" for e in _events(caplog))
+
+
+def test_ensure_sink_raises_on_malformed_ddl(spark, tmp_path_factory, monkeypatch):
+    """VERDICT r2 #5: only missing-data-source errors may fall back; a
+    typo'd statement must FAIL — a blanket except would hide it forever
+    on a jar-equipped cluster."""
+    import kg.io.tables as t
+
+    monkeypatch.setattr(
+        t, "sink_ddl_statements", lambda *a, **k: ["CREATE TABL oops (x int)"]
+    )
+    with pytest.raises(Exception) as exc:
+        ensure_sink(spark, str(tmp_path_factory.mktemp("bad")))
+    assert "parquet-dir" not in str(exc.value)
+
+
+def test_sink_ddl_parses(spark):
+    """Parse-level gate for the generated DDL (VERDICT r2 #8): the
+    container cannot EXECUTE iceberg statements, but Spark's SQL parser
+    accepts or rejects them without resolving the data source — so the
+    generated strings cannot silently rot into syntax errors."""
+    parser = spark._jsparkSession.sessionState().sqlParser()
+    for stmt in sink_ddl_statements("/wh", buckets=64):
+        parser.parsePlan(stmt)  # raises ParseException on bad syntax
