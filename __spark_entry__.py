@@ -428,8 +428,19 @@ def q_kg_entity_map(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_kg_nodes(spark: SparkSession, sf: str) -> DataFrame:
-    # map column dropped: driver hashing needs orderable columns
-    return _kg_outputs(spark)["nodes"].drop("properties")
+    # the map column itself is unhashable for the driver compare, so the
+    # property bag is serialized as key-sorted entry JSON — the O9/O10
+    # invariants (prop_ renames, array→JSON imports) are thereby verified
+    # END-TO-END through the pipeline, not only in vertex_docs
+    nodes = _kg_outputs(spark)["nodes"]
+    return nodes.select(
+        "id",
+        "label",
+        "partition_key",
+        F.to_json(F.array_sort(F.map_entries("properties"))).alias(
+            "properties_json"
+        ),
+    )
 
 
 def q_kg_edges(spark: SparkSession, sf: str) -> DataFrame:
@@ -701,7 +712,7 @@ def oracle_sql() -> dict[str, str]:
             f"FROM read_parquet('{_GOLDEN_DIR}/golden_entity_map_200.parquet')"
         ),
         "kg_nodes": (
-            "SELECT id, label, partition_key "
+            "SELECT id, label, partition_key, properties_json "
             f"FROM read_parquet('{_GOLDEN_DIR}/golden_kg_nodes_200.parquet')"
         ),
         "kg_edges": (

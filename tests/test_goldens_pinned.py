@@ -44,9 +44,18 @@ def test_pinned_kg_outputs_match_pipeline(spark):
     import __spark_entry__ as e
 
     out = e._kg_outputs(spark)
+    from pyspark.sql import functions as F
+
     fresh = {
         "entity_map": out["entity_map"].toPandas(),
-        "kg_nodes": out["nodes"].drop("properties").toPandas(),
+        # incl. the serialized property bag: O9 (prop_ renames) and O10
+        # (array→JSON imports) stay pinned end-to-end via the oracle
+        "kg_nodes": out["nodes"].select(
+            "id", "label", "partition_key",
+            F.to_json(F.array_sort(F.map_entries("properties"))).alias(
+                "properties_json"
+            ),
+        ).toPandas(),
         "kg_edges": out["edges"].select(
             "id", "label", "out_id", "in_id", "out_label", "in_label",
             "out_pk", "in_pk",
