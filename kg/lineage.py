@@ -84,6 +84,22 @@ class LineageStore:
                 self.path
             )
 
+    def invalidate_stages(self, *stages: str) -> None:
+        """Drop ALL lineage rows for the given stages — used when a
+        stage's inputs changed (e.g. extract produced new output, so
+        every previously-done materialize bucket is stale).  No-op when
+        nothing is recorded for them."""
+        cur = self.read()
+        hit = cur.filter(F.col("stage").isin(list(stages)))
+        if hit.limit(1).count() == 0:
+            return
+        pdf = cur.filter(~F.col("stage").isin(list(stages))).toPandas()
+        self.reset()
+        if len(pdf):
+            self.spark.createDataFrame(pdf, schema=LINEAGE).write.parquet(
+                self.path
+            )
+
     def stage_done(self, stage: str) -> bool:
         return bool(self.completed_buckets(stage))
 

@@ -5,11 +5,15 @@ sink DDL → vertices → edges, ``Migrator.cs:31-48``) becomes four Spark
 stages, each independently resumable through the lineage table.
 
 Resume granularity:
-  * extract — bucket-level (the corpus-sized stage; buckets are
+  * extract — bucket-level (corpus-sized; buckets are
     ``pmod(xxhash64(repo, path), B)`` so a rerun re-processes only missing
     buckets, mirroring the reference's page high-water-mark);
-  * link / canonicalize / materialize — stage-level (inputs are
-    vocabulary- or output-sized; a rerun overwrites atomically).  Any run
+  * materialize — bucket-level per element kind (the other corpus-sized
+    stage: lineage rows per pk_bucket for nodes AND edges, the analogue of
+    the reference's per-page checkpoints for both kinds, Migrator.cs:80-81,
+    129-130; a crash mid-materialize rewrites only missing buckets);
+  * link / canonicalize — stage-level (inputs are vocabulary- or
+    output-sized; a rerun overwrites atomically).  Any run
     in which extract produced new output also invalidates downstream
     stages (their inputs changed), so a changed-input rerun converges to
     the same state as a clean run — the Spark mapping of the reference's
@@ -58,6 +62,34 @@ def _fingerprint(*cols: str) -> Column:
     h = F.xxhash64(*cols)
     return F.concat_ws(
         ":", F.count(F.lit(1)).cast("string"), F.bit_xor(h).cast("string")
+    )
+
+
+def _pk_bucket_stats(
+    spark: SparkSession, path: str, pending: set[int]
+) -> DataFrame:
+    """Per-bucket lineage stats for the just-written pending buckets of a
+    pk-partitioned table: rows_out + id fingerprint, read back from the
+    partition-pruned sink scan.  Buckets that produced no rows are still
+    recorded done (rows_out 0) — deriving done-ness from output presence
+    would re-materialize them forever."""
+    agg = (
+        spark.read.parquet(path)
+        .filter(F.col("pk_bucket").isin(list(pending)))
+        .groupBy(F.col("pk_bucket").cast("int").alias("bucket"))
+        .agg(
+            F.count("*").alias("rows_out"),
+            _fingerprint("id").alias("content_sha_xor"),
+        )
+    )
+    ids = spark.createDataFrame(
+        [(i,) for i in sorted(pending)], "bucket int"
+    )
+    return ids.join(agg, "bucket", "left").select(
+        "bucket",
+        F.lit(-1).cast("long").alias("rows_in"),
+        F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
+        "content_sha_xor",
     )
 
 
@@ -208,15 +240,35 @@ def run_pipeline(
         log_event("stage_skipped", stage="canonicalize")
     entity_map = spark.read.parquet(emap_path)
 
-    # ---- materialize ---------------------------------------------------------
+    # ---- materialize (bucket-level resume) -----------------------------------
+    # the other corpus-sized stage: nodes/edges are written per pk_bucket
+    # with dynamic overwrite and lineage records one row per bucket per
+    # element kind, so a crash mid-materialize reruns only the missing
+    # buckets — the Spark mapping of the reference's per-page checkpoints
+    # for BOTH element kinds (Migrator.cs:80-81, 129-130).  The transform
+    # is recomputed (deterministic), but only pending buckets are WRITTEN,
+    # which is the corpus-sized cost at 10^12 files.
     nodes_path = cfg.table_path("nodes")
     edges_path = cfg.table_path("edges")
-    if extract_ran or not (
-        lineage.stage_done("materialize")
-        and os.path.exists(nodes_path)
-        and os.path.exists(edges_path)
-    ):
-        log_event("stage_start", stage="materialize")
+    if extract_ran:
+        # inputs changed → every previously recorded bucket is stale
+        lineage.invalidate_stages("materialize_nodes", "materialize_edges")
+    all_buckets = set(range(b))
+    pend_n = (
+        all_buckets - lineage.completed_buckets("materialize_nodes")
+        if os.path.exists(nodes_path)
+        else all_buckets
+    )
+    pend_e = (
+        all_buckets - lineage.completed_buckets("materialize_edges")
+        if os.path.exists(edges_path)
+        else all_buckets
+    )
+    if pend_n or pend_e:
+        log_event(
+            "stage_start", stage="materialize",
+            pending_node_buckets=len(pend_n), pending_edge_buckets=len(pend_e),
+        )
         with StageTimer() as t:
             nodes, edges = run_materialize(triples, entity_map, cfg)
             # partition the sink by a bucket of the partition key — the
@@ -228,9 +280,28 @@ def run_pipeline(
             edges = edges.withColumn(
                 "pk_bucket", bucket_col("out_pk", n_buckets=b)
             )
-            _write(nodes, nodes_path, ["pk_bucket"], buckets=b)
-            _write(edges, edges_path, ["pk_bucket"], buckets=b)
-        lineage.record_stage("materialize", -1, -1, t.ms)
+            for pend, df, path in (
+                (pend_n, nodes, nodes_path),
+                (pend_e, edges, edges_path),
+            ):
+                if not pend:
+                    continue
+                out = (
+                    df
+                    if len(pend) == b
+                    else df.filter(F.col("pk_bucket").isin(list(pend)))
+                )
+                _write(out, path, ["pk_bucket"], buckets=b)
+        # lineage after the data writes: a crash in between just rewrites
+        # the pending buckets byte-identically on the next run
+        for pend, path, stage in (
+            (pend_n, nodes_path, "materialize_nodes"),
+            (pend_e, edges_path, "materialize_edges"),
+        ):
+            if pend:
+                lineage.record_buckets(
+                    stage, _pk_bucket_stats(spark, path, pend), t.ms
+                )
         log_event("stage_done", stage="materialize", duration_ms=t.ms)
     else:
         log_event("stage_skipped", stage="materialize")

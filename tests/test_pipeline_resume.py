@@ -173,6 +173,44 @@ def test_zero_output_bucket_is_marked_done(spark, tmp_path_factory):
     assert out["triples"].filter(F.col("path") == "src/empty.py").count() == 0
 
 
+def test_materialize_resume_rewrites_only_missing_buckets(
+    spark, tmp_path_factory
+):
+    """Kill-mid-materialize (VERDICT r2 #6): with extract fully done, a
+    rerun must rewrite ONLY the node buckets whose lineage is missing —
+    completed buckets' files stay untouched on disk — and converge to the
+    clean-run state."""
+    import os
+
+    cfg = _cfg(tmp_path_factory, "mat_resume")
+    src = source_files_df(spark, N)
+    golden = _snapshot(run_pipeline(spark, src, cfg, restart=True))
+
+    store = LineageStore(spark, cfg.table_path("lineage"))
+    done = sorted(store.completed_buckets("materialize_nodes"))
+    assert done == list(range(cfg.lineage_buckets))  # every bucket recorded
+    # simulated crash: half the node buckets unrecorded + their data gone
+    lost = set(done[: len(done) // 2])
+    store.invalidate_buckets("materialize_nodes", lost)
+    nodes_path = cfg.table_path("nodes")
+    for bkt in lost:
+        shutil.rmtree(f"{nodes_path}/pk_bucket={bkt}", ignore_errors=True)
+
+    survivor = f"{nodes_path}/pk_bucket={done[-1]}"
+    mtimes_before = {
+        f: os.path.getmtime(f"{survivor}/{f}") for f in os.listdir(survivor)
+    }
+
+    out = run_pipeline(spark, src, cfg)
+    assert _snapshot(out) == golden
+    # completed buckets were NOT rewritten (same files, same mtimes)
+    mtimes_after = {
+        f: os.path.getmtime(f"{survivor}/{f}") for f in os.listdir(survivor)
+    }
+    assert mtimes_after == mtimes_before
+    assert sorted(store.completed_buckets("materialize_nodes")) == done
+
+
 def test_restart_truncates_everything(spark, tmp_path_factory):
     cfg = _cfg(tmp_path_factory, "restart")
     src = source_files_df(spark, 20)
@@ -187,7 +225,10 @@ def test_lineage_metrics_recorded(spark, tmp_path_factory):
     out = run_pipeline(spark, source_files_df(spark, 30), cfg, restart=True)
     lin = out["lineage"]
     stages = {r.stage for r in lin.select("stage").distinct().collect()}
-    assert stages == {"extract", "link", "canonicalize", "materialize"}
+    assert stages == {
+        "extract", "link", "canonicalize",
+        "materialize_nodes", "materialize_edges",
+    }
     ext = lin.filter("stage = 'extract'")
     assert ext.agg(F.sum("rows_out")).first()[0] == out["triples"].count()
     assert ext.filter("duration_ms >= 0").count() == ext.count()
