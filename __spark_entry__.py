@@ -365,6 +365,29 @@ def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
 
 
+_IVF_CELLS, _IVF_NPROBE = 8, 2
+
+
+def q_ann_ivf(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF cell-probe ANN (second approximate family next to LSH): the 8
+    lowest-id vectors act as deterministic centroids — a stand-in for a
+    k-means pass with identical cell-probe mechanics, chosen because it
+    is reproducible AND SQL-expressible, so the whole operator has a
+    DuckDB twin."""
+    from kg.ops import ivf_topk
+
+    emb = _read(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_topk(
+        queries, emb, centroids, "vec_id", "vec_id", "embedding",
+        k=5, nprobe=_IVF_NPROBE,
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k via banded hyperplane buckets + exact re-rank
     (SQL twin replicates the banding, so this is oracle-checked)."""
@@ -478,6 +501,7 @@ def queries() -> dict[str, _T]:
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
+        "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
         "kg_triples": q_kg_triples,
         "kg_entity_map": q_kg_entity_map,
@@ -534,6 +558,34 @@ def _dedup_embedding_sql() -> str:
         "scored AS (SELECT a, b, " + _COS_SQL + " AS c FROM cand "
         "           JOIN aug va ON va.vec_id = cand.a JOIN aug vb ON vb.vec_id = cand.b) "
         "SELECT a, b, round(c, 6) AS cosine FROM scored WHERE c >= 0.9"
+    )
+
+
+def _ann_ivf_sql() -> str:
+    # twin of q_ann_ivf: same centroid set (vec_id < 8), same total-order
+    # tie-break (cosine desc, cid asc), corpus nprobe=1, query nprobe=2
+    cos_cent = (
+        "list_dot_product(b.v, c.cv) / "
+        "(sqrt(list_dot_product(b.v, b.v)) * sqrt(list_dot_product(c.cv, c.cv)))"
+    )
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings), "
+        f"cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_IVF_CELLS}), "
+        "assign AS (SELECT b.vec_id, c.cid, row_number() OVER "
+        f"          (PARTITION BY b.vec_id ORDER BY {cos_cent} DESC, c.cid ASC) AS rk "
+        "           FROM base b CROSS JOIN cent c), "
+        "cells AS (SELECT vec_id, cid FROM assign WHERE rk = 1), "
+        f"qcells AS (SELECT vec_id, cid FROM assign WHERE rk <= {_IVF_NPROBE} AND vec_id < 5), "
+        "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "         FROM qcells q JOIN cells c ON q.cid = c.cid AND q.vec_id <> c.vec_id), "
+        "scored AS (SELECT query_id, neighbor_id, round(" + _COS_SQL + ", 6) AS cosine "
+        "           FROM cand JOIN base va ON va.vec_id = query_id "
+        "           JOIN base vb ON vb.vec_id = neighbor_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER "
+        "           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
+        "           FROM scored) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk "
+        "FROM ranked WHERE rk <= 5"
     )
 
 
@@ -698,6 +750,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "dedup_embedding": _dedup_embedding_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "ann_ivf": _ann_ivf_sql(),
         # kg_* twins: golden-backed. kg_triples reads the CLOSED-FORM
         # analytic golden (kg.datagen.golden_triples — derived from the
         # corpus spec, not from the extractor), so it is a true oracle;

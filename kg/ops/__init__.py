@@ -20,6 +20,8 @@ from kg.ops.similarity import (  # noqa: F401
     banded_lsh_pairs,
     banded_signatures,
     brute_force_topk,
+    ivf_assign,
+    ivf_topk,
     lsh_ann_topk,
 )
 from kg.ops.text import (  # noqa: F401

@@ -175,6 +175,46 @@ def test_lsh_ann_degenerate_bucket_capped(spark):
     assert 1001 in neighbors  # the true near neighbor survives the cap
 
 
+def test_ivf_topk_exact_rerank_and_twin_guarantee(spark, sf_dir):
+    """IVF cell-probe ANN: (a) identical vectors land in the same cell
+    (total-order tie-break), so an exact twin is ALWAYS found at cosine
+    1.0 rank 1; (b) every returned cosine equals the brute-force cosine
+    for that pair (exact re-rank); (c) corpus vectors sit in exactly one
+    cell."""
+    from kg.ops import brute_force_topk, ivf_assign, ivf_topk
+
+    emb = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.col("vec_id") < 200)
+        .select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    )
+    # plant an exact twin of vector 50
+    twin = emb.filter(F.col("vec_id") == 50).select(
+        F.lit(9999).cast(emb.schema["vec_id"].dataType).alias("vec_id"), "v"
+    )
+    aug = emb.unionByName(twin).localCheckpoint()
+    centroids = aug.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    queries = aug.filter(F.col("vec_id") == 50)
+
+    cells = ivf_assign(aug, "vec_id", "v", centroids, nprobe=1)
+    assert cells.count() == aug.count()  # exactly one cell per vector
+
+    ivf = ivf_topk(queries, aug, centroids, "vec_id", "vec_id", "v", k=5)
+    rows = {r.neighbor_id: (r.cosine, r.rk) for r in ivf.collect()}
+    assert rows[9999] == (1.0, 1)  # twin guaranteed: same cell, cosine 1
+
+    brute = {
+        r.neighbor_id: r.cosine
+        for r in brute_force_topk(
+            queries, aug, "vec_id", "vec_id", "v", k=250
+        ).collect()
+    }
+    for nid, (cos, _) in rows.items():
+        assert brute[nid] == cos  # re-rank is the exact cosine
+
+
 def test_embedding_near_duplicates_finds_identical(spark):
     rows = [
         (1, [1.0, 0.0, 0.0, 0.0]),

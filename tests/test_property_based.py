@@ -7,7 +7,10 @@ from hypothesis import given, settings, strategies as st
 
 from kg.datagen import expected_triples, file_spec, make_file
 from kg.extract.extractors import extract_triples
-from kg.ops.dedup import _simhash_batches
+from kg.ops.dedup import _simhash_fold_fn
+
+# small chunk so hypothesis-sized inputs also exercise chunk boundaries
+_simhash_batches = _simhash_fold_fn(chunk_tokens=7)
 
 LANGS = ["python", "java", "js", "cs", "unknown"]
 
