@@ -42,6 +42,14 @@ def _dot(a: Column, b: Column) -> Column:
     )
 
 
+# NOTE (measured, r3): unrolling the literal-plane dot into 64 explicit
+# element_at multiply-adds per plane — hoping to escape interpreted
+# higher-order-fn lambdas — made banded queries ~5× SLOWER (ann_lsh
+# 4.6 s → 26.9 s at sf0.1): 2048-term expression trees per projection
+# overwhelm codegen/analysis.  The aggregate(zip_with) form below is the
+# fast shape; keep it.
+
+
 def _norm(a: Column) -> Column:
     return F.sqrt(F.aggregate(a, F.lit(0.0), lambda acc, v: acc + v * v))
 
@@ -84,6 +92,16 @@ def banded_signatures(
     """
     if planes % bands or planes // bands < 1:
         raise ValueError(f"planes ({planes}) must be a multiple of bands ({bands})")
+    # the signature projection is compute-bound (planes × dim fused
+    # multiply-adds per row), so it must see at least one partition per
+    # task slot: a small/compact parquet input arrives as ONE split and
+    # would serialize the whole corpus scan onto one core (measured: the
+    # entire r2 ann_lsh/dedup_embedding "regression" was this).  At real
+    # scale input splits >> slots and this branch never fires — no
+    # gratuitous corpus shuffle.
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        df = df.repartition(slots)
     r = planes // bands
     v = F.col(vec_col).cast("array<double>")
 
