@@ -62,6 +62,19 @@ def maybe_broadcast(df: DataFrame, max_bytes: int = DEFAULT_MAX_BYTES) -> DataFr
     return df
 
 
+def spread_to_slots(df: DataFrame) -> DataFrame:
+    """Repartition UP to the task-slot count when the input arrives
+    coarser — for compute-bound per-row stages (signature projections,
+    shingling, Arrow UDFs) that a compact parquet input would otherwise
+    serialize onto one core (a small file is ONE split).  At real scale
+    inputs have more splits than slots and this is a no-op, so no
+    gratuitous corpus shuffle."""
+    slots = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < slots:
+        return df.repartition(slots)
+    return df
+
+
 def broadcast_if_small(
     df: DataFrame,
     row_count: int,

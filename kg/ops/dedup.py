@@ -88,7 +88,9 @@ def minhash_duplicates(
 ) -> DataFrame:
     """shingle → minhash → band → bucket-join → Jaccard filter.
     Returns (a, b, jaccard) near-duplicate pairs above threshold."""
-    sh = df.select(
+    from kg.hints import spread_to_slots
+
+    sh = spread_to_slots(df).select(
         F.col(id_col).cast("string").alias(id_col),
         token_ngrams(F.col(text_col), ngram).alias("sh"),
     ).localCheckpoint()  # scanned 3× (candidate gen + both sides of the
@@ -189,7 +191,9 @@ def simhash_col(
     the 64-wide explode + 65-column aggregate costs more than one
     array<long> Arrow crossing, so the Arrow fold stays the default;
     the JVM twin is kept and equivalence-tested bit-for-bit."""
-    toks = df.select(
+    from kg.hints import spread_to_slots
+
+    toks = spread_to_slots(df).select(
         F.col(id_col).cast("string").alias("id"),
         F.transform(
             tokens_col(F.col(text_col)), lambda t: F.xxhash64(t)

@@ -93,15 +93,13 @@ def banded_signatures(
     if planes % bands or planes // bands < 1:
         raise ValueError(f"planes ({planes}) must be a multiple of bands ({bands})")
     # the signature projection is compute-bound (planes × dim fused
-    # multiply-adds per row), so it must see at least one partition per
-    # task slot: a small/compact parquet input arrives as ONE split and
-    # would serialize the whole corpus scan onto one core (measured: the
-    # entire r2 ann_lsh/dedup_embedding "regression" was this).  At real
-    # scale input splits >> slots and this branch never fires — no
-    # gratuitous corpus shuffle.
-    slots = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < slots:
-        df = df.repartition(slots)
+    # multiply-adds per row): spread a coarse input across task slots or
+    # a compact parquet corpus (ONE split) serializes it on one core —
+    # measured: the entire r2 ann_lsh/dedup_embedding "regression" was
+    # this, not the band join.
+    from kg.hints import spread_to_slots
+
+    df = spread_to_slots(df)
     r = planes // bands
     v = F.col(vec_col).cast("array<double>")
 
