@@ -249,7 +249,10 @@ def ivf_topk(
     qcells = ivf_assign(qv, "query_id", "qv", centroids, nprobe=nprobe)
     ccells = ivf_assign(cv, "neighbor_id", "cv_raw", centroids, nprobe=1)
     cand = (
-        qcells.join(ccells, "cid")
+        # |queries| × nprobe rows of (id, cid) — provably tiny by
+        # construction (queries ARE the small side of a top-k search),
+        # so the hint is safe; the corpus cell table stays partitioned
+        F.broadcast(qcells).join(ccells, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()

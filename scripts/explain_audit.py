@@ -32,7 +32,7 @@ def main() -> None:
     names = [
         "edge_docs", "pricing_summary", "top_tokens_per_lang",
         "user_event_windows", "dedup_exact", "dedup_minhash",
-        "dedup_embedding", "text_stats", "ann_brute_force", "ann_lsh",
+        "dedup_embedding", "text_stats", "ann_brute_force", "ann_lsh", "ann_ivf",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib
