@@ -311,11 +311,38 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """Same minhash pipeline with the engine-portable md5 base hash and
+    raw band keys — every intermediate is DuckDB-computable, so THIS
+    variant carries a full SQL oracle (closing the r2 'seeded hashing
+    has no DuckDB twin' caveat for the algorithm itself; the xxhash64
+    default remains the 100 TB fast path, quality-gated by the recall
+    test)."""
+    from kg.ops import minhash_duplicates
+
+    return minhash_duplicates(
+        _read(spark, sf, "documents"), "doc_id", "text", threshold=0.5,
+        portable=True,
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash values per document (bit-fold UDF — no SQL twin)."""
     from kg.ops import simhash_col
 
     return simhash_col(_read(spark, sf, "documents"), "doc_id", "text")
+
+
+def q_dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
+    """SimHash with the engine-portable md5 token hash: the identical
+    majority-vote fold, every intermediate DuckDB-computable → full SQL
+    oracle (the xxhash64 default stays the fast path, quality-gated by
+    the hamming ≤ 3 recall guarantee test)."""
+    from kg.ops import simhash_col
+
+    return simhash_col(
+        _read(spark, sf, "documents"), "doc_id", "text", portable=True
+    )
 
 
 _EMB_DIM = 64  # embeddings.parquet vector width (all scale factors)
@@ -497,7 +524,9 @@ def queries() -> dict[str, _T]:
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash": q_dedup_minhash,
+        "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_simhash": q_dedup_simhash,
+        "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_embedding": q_dedup_embedding,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -558,6 +587,75 @@ def _dedup_embedding_sql() -> str:
         "scored AS (SELECT a, b, " + _COS_SQL + " AS c FROM cand "
         "           JOIN aug va ON va.vec_id = cand.a JOIN aug vb ON vb.vec_id = cand.b) "
         "SELECT a, b, round(c, 6) AS cosine FROM scored WHERE c >= 0.9"
+    )
+
+
+def _minhash_portable_sql(
+    threshold: float = 0.5, perms: int = 64, bands: int = 16,
+    max_bucket: int = 64,
+) -> str:
+    """DuckDB twin of minhash_duplicates(portable=True): identical base
+    hash (top-60-bit md5 mod PRIME), identical affine permutation
+    constants, identical comma-joined band keys, bucket cap, string-id
+    ordering and exact-Jaccard re-score."""
+    from kg.ops.minhash import _PRIME, _affine_params
+
+    r = perms // bands
+    tok = _TOK.format(c="text")
+    mins = ", ".join(
+        f"min(({a}*h+{b})%{_PRIME}) AS m{i}"
+        for i, (a, b) in ((i, _affine_params(i)) for i in range(perms))
+    )
+    band_sel = " UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, concat_ws(',', "
+        + ", ".join(f"m{b * r + j}" for j in range(r))
+        + ") AS key FROM sig"
+        for b in range(bands)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, " + tok + " AS t FROM documents), "
+        "shs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
+        "        CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')] "
+        "        ELSE list_distinct(list_transform(generate_series(1, len(t)-2), "
+        "             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS shset "
+        "        FROM toks), "
+        "h AS (SELECT doc_id, CAST((('0x' || substring(md5(u), 1, 15))::UBIGINT "
+        f"      % {_PRIME}) AS BIGINT) AS h "
+        "      FROM (SELECT doc_id, unnest(shset) AS u FROM shs)), "
+        f"sig AS (SELECT doc_id, {mins} FROM h GROUP BY doc_id), "
+        f"bands AS ({band_sel}), "
+        f"kept AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= {max_bucket}), "
+        "sig2 AS (SELECT bands.* FROM bands JOIN kept USING (band, key)), "
+        "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig2 x "
+        "         JOIN sig2 y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id), "
+        "scored AS (SELECT a, b, CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) / "
+        "           len(list_distinct(list_concat(sa.shset, sb.shset))) AS j "
+        "           FROM cand JOIN shs sa ON sa.doc_id = cand.a "
+        "           JOIN shs sb ON sb.doc_id = cand.b) "
+        f"SELECT a, b, round(j, 6) AS jaccard FROM scored WHERE j >= {threshold}"
+    )
+
+
+def _simhash_portable_sql() -> str:
+    """DuckDB twin of simhash_col(portable=True): top-60-bit md5 token
+    hashes, per-bit majority vote (bit b set iff 2·Σ bit_b > n_tokens,
+    ties → 0), zero-token docs → signature 0.  Bits 60-63 are always 0
+    (60-bit hash), matching the Spark side exactly."""
+    tok = _TOK.format(c="text")
+    sums = ", ".join(f"sum((h >> {b}) & 1) AS s{b}" for b in range(60))
+    packed = " + ".join(
+        f"(CASE WHEN 2*s{b} > n THEN {1 << b} ELSE 0 END)" for b in range(60)
+    )
+    return (
+        "WITH toks AS (SELECT doc_id, " + tok + " AS t FROM documents), "
+        "h AS (SELECT CAST(doc_id AS VARCHAR) AS id, "
+        "      CAST(('0x' || substring(md5(u), 1, 15))::UBIGINT AS BIGINT) AS h "
+        "      FROM (SELECT doc_id, unnest(t) AS u FROM toks)), "
+        f"sums AS (SELECT id, count(*) AS n, {sums} FROM h GROUP BY id), "
+        f"packed AS (SELECT id, CAST({packed} AS BIGINT) AS simhash FROM sums) "
+        "SELECT d.id, COALESCE(p.simhash, 0) AS simhash "
+        "FROM (SELECT CAST(doc_id AS VARCHAR) AS id FROM documents) d "
+        "LEFT JOIN packed p USING (id)"
     )
 
 
@@ -749,6 +847,8 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5"
         ),
         "dedup_embedding": _dedup_embedding_sql(),
+        "dedup_minhash_portable": _minhash_portable_sql(),
+        "dedup_simhash_portable": _simhash_portable_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         # kg_* twins: golden-backed. kg_triples reads the CLOSED-FORM

@@ -85,10 +85,16 @@ def minhash_duplicates(
     perms: int = 64,
     bands: int = 16,
     ngram: int = 3,
+    portable: bool = False,
 ) -> DataFrame:
     """shingle → minhash → band → bucket-join → Jaccard filter.
-    Returns (a, b, jaccard) near-duplicate pairs above threshold."""
+    Returns (a, b, jaccard) near-duplicate pairs above threshold.
+
+    ``portable=True`` switches the base hash to md5 and keeps band keys
+    engine-neutral so the WHOLE operator has a DuckDB twin (see
+    kg.ops.minhash.md5_base); default stays xxhash64 — the fast path."""
     from kg.hints import spread_to_slots
+    from kg.ops.minhash import md5_base, xxhash64_base
 
     sh = spread_to_slots(df).select(
         F.col(id_col).cast("string").alias(id_col),
@@ -97,7 +103,9 @@ def minhash_duplicates(
     # score join); checkpoint, not persist: blocks are GC-freed, a persist
     # here would leak in long-lived sessions (no caller can unpersist)
     cands = minhash_candidate_pairs(
-        sh, id_col=id_col, shingles_col="sh", perms=perms, bands=bands
+        sh, id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
+        base_hash=md5_base if portable else xxhash64_base,
+        portable_keys=portable,
     )
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
@@ -181,6 +189,7 @@ def simhash_col(
     id_col: str,
     text_col: str,
     chunk_tokens: int = _FOLD_CHUNK_TOKENS,
+    portable: bool = False,
 ) -> DataFrame:
     """→ (id, simhash long).  JVM token hashing (``xxhash64`` inside
     ``F.transform``), numpy bit-fold in Python over bounded-memory Arrow
@@ -190,14 +199,23 @@ def simhash_col(
     interleaved, sf0.1 documents, 16 slots): arrow 0.70 s, jvm 1.52 s —
     the 64-wide explode + 65-column aggregate costs more than one
     array<long> Arrow crossing, so the Arrow fold stays the default;
-    the JVM twin is kept and equivalence-tested bit-for-bit."""
+    the JVM twin is kept and equivalence-tested bit-for-bit.
+
+    ``portable=True`` hashes tokens with the top-60-bit md5 instead of
+    xxhash64 — DuckDB computes the identical value, so the portable
+    signature (bits 60-63 always 0) has a FULL SQL oracle."""
     from kg.hints import spread_to_slots
+
+    if portable:
+        def tok_hash(t):
+            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+    else:
+        def tok_hash(t):
+            return F.xxhash64(t)
 
     toks = spread_to_slots(df).select(
         F.col(id_col).cast("string").alias("id"),
-        F.transform(
-            tokens_col(F.col(text_col)), lambda t: F.xxhash64(t)
-        ).alias("hashes"),
+        F.transform(tokens_col(F.col(text_col)), tok_hash).alias("hashes"),
     )
     return toks.mapInPandas(
         _simhash_fold_fn(chunk_tokens), schema="id string, simhash long"

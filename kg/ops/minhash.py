@@ -39,6 +39,25 @@ def minhash_signature_cols(h: Column, perms: int) -> list[Column]:
     return out
 
 
+def xxhash64_base(col: Column) -> Column:
+    """Default base hash: JVM xxhash64, bounded to [0, PRIME).  Fastest,
+    but Spark-specific — operators built on it are rows-only checkable."""
+    return F.pmod(F.xxhash64(col), F.lit(_PRIME))
+
+
+def md5_base(col: Column) -> Column:
+    """Engine-portable base hash: the top 60 bits of md5, bounded to
+    [0, PRIME).  DuckDB computes the identical value via
+    ``('0x' || substring(md5(s), 1, 15))::UBIGINT % PRIME`` — which is
+    what makes a FULL SQL oracle possible for the minhash family.
+    Costs an md5 per shingle instead of an xxhash64; use for
+    verification twins, keep xxhash64 in the 100 TB path."""
+    return F.pmod(
+        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
+        F.lit(_PRIME),
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -47,17 +66,26 @@ def minhash_candidate_pairs(
     bands: int = 16,
     max_bucket: int = 64,
     group_cols: list[str] | None = None,
+    base_hash=xxhash64_base,
+    portable_keys: bool = False,
 ) -> DataFrame:
     """→ (a, b) candidate pairs with a < b.
 
     ``group_cols``: optional blocking columns (e.g. mention kind) — pairs
     are only generated within equal group values.
+
+    ``base_hash``/``portable_keys``: the default shape (xxhash64 base,
+    xxhash64-compressed band keys) is the fast 100 TB path; with
+    ``base_hash=md5_base, portable_keys=True`` every intermediate value
+    is computable by DuckDB, giving the operator a FULL SQL oracle
+    (band keys stay the raw comma-joined signature slice instead of
+    being re-hashed — wider shuffle keys, engine-neutral values).
     """
     group_cols = group_cols or []
     r = perms // bands
 
     sh = df.select(id_col, *group_cols, F.explode(shingles_col).alias("sh"))
-    base = sh.withColumn("h", F.pmod(F.xxhash64("sh"), F.lit(_PRIME)))
+    base = sh.withColumn("h", base_hash(F.col("sh")))
     permuted = base.select(
         id_col, *group_cols, *minhash_signature_cols(F.col("h"), perms)
     )
@@ -66,16 +94,16 @@ def minhash_candidate_pairs(
     sig = permuted.groupBy(id_col, *group_cols).agg(
         *[F.min(f"m{i}").alias(f"m{i}") for i in range(perms)]
     )
-    # LSH banding: band key = hash of the band's signature slice
-    band_structs = [
-        F.struct(
-            F.lit(b).alias("band"),
-            F.xxhash64(
-                F.concat_ws(
-                    ",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)]
-                )
-            ).alias("band_key"),
+    # LSH banding: band key = the band's signature slice (hash-compressed
+    # by default, raw concat when portability is required)
+    def _key(b: int) -> Column:
+        raw = F.concat_ws(
+            ",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)]
         )
+        return raw if portable_keys else F.xxhash64(raw)
+
+    band_structs = [
+        F.struct(F.lit(b).alias("band"), _key(b).alias("band_key"))
         for b in range(bands)
     ]
     bands_df = (
