@@ -69,18 +69,23 @@ def _pk_bucket_stats(
     spark: SparkSession, path: str, pending: set[int]
 ) -> DataFrame:
     """Per-bucket lineage stats for the just-written pending buckets of a
-    pk-partitioned table: rows_out + id fingerprint, read back from the
-    partition-pruned sink scan.  Buckets that produced no rows are still
+    pk-partitioned table.  Buckets that produced no rows are still
     recorded done (rows_out 0) — deriving done-ness from output presence
-    would re-materialize them forever."""
+    would re-materialize them forever.
+
+    Deliberately METADATA-CHEAP: a count over only the partition column
+    is answered from parquet row-group metadata (every data column
+    pruned), so recording lineage does not re-scan the just-written
+    corpus-sized tables.  No content fingerprint here — materialize
+    output is a deterministic recomputation of extract's output, whose
+    lineage DOES carry the content fingerprint (the r3 first cut hashed
+    the id column back in and paid a full second scan of nodes+edges per
+    run — measurable at the 800k-file bench)."""
     agg = (
         spark.read.parquet(path)
         .filter(F.col("pk_bucket").isin(list(pending)))
         .groupBy(F.col("pk_bucket").cast("int").alias("bucket"))
-        .agg(
-            F.count("*").alias("rows_out"),
-            _fingerprint("id").alias("content_sha_xor"),
-        )
+        .agg(F.count("*").alias("rows_out"))
     )
     ids = spark.createDataFrame(
         [(i,) for i in sorted(pending)], "bucket int"
@@ -89,7 +94,7 @@ def _pk_bucket_stats(
         "bucket",
         F.lit(-1).cast("long").alias("rows_in"),
         F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
-        "content_sha_xor",
+        F.lit(None).cast("string").alias("content_sha_xor"),
     )
 
 

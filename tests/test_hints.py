@@ -89,6 +89,23 @@ def test_maybe_broadcast_keeps_hint_only_when_provably_small(spark, sf_dir):
         assert "BroadcastHashJoin" not in _plan(tiny_budget)
 
 
+def test_spread_to_slots_only_when_coarse(spark, sf_dir):
+    """A compact single-split parquet must be spread to the slot count
+    (compute-bound per-row stages otherwise serialize on one core); an
+    input already at/above slot count passes through untouched."""
+    from kg.hints import spread_to_slots
+
+    region = spark.read.parquet(f"{sf_dir}/region.parquet")
+    slots = spark.sparkContext.defaultParallelism
+    assert region.rdd.getNumPartitions() < slots
+    out = spread_to_slots(region)
+    assert out.rdd.getNumPartitions() == slots
+    assert spread_to_slots(out) is out  # no gratuitous second shuffle
+    assert sorted(map(tuple, out.collect())) == sorted(
+        map(tuple, region.collect())
+    )
+
+
 def test_broadcast_if_small_row_gate(spark, sf_dir):
     region = spark.read.parquet(f"{sf_dir}/region.parquet")
     small = broadcast_if_small(region, row_count=100, bytes_per_row=1024)
