@@ -73,28 +73,40 @@ def _pk_bucket_stats(
     recorded done (rows_out 0) — deriving done-ness from output presence
     would re-materialize them forever.
 
-    Deliberately METADATA-CHEAP: a count over only the partition column
-    is answered from parquet row-group metadata (every data column
-    pruned), so recording lineage does not re-scan the just-written
-    corpus-sized tables.  No content fingerprint here — materialize
-    output is a deterministic recomputation of extract's output, whose
-    lineage DOES carry the content fingerprint (the r3 first cut hashed
-    the id column back in and paid a full second scan of nodes+edges per
-    run — measurable at the 800k-file bench)."""
-    agg = (
-        spark.read.parquet(path)
-        .filter(F.col("pk_bucket").isin(list(pending)))
-        .groupBy(F.col("pk_bucket").cast("int").alias("bucket"))
-        .agg(F.count("*").alias("rows_out"))
-    )
-    ids = spark.createDataFrame(
-        [(i,) for i in sorted(pending)], "bucket int"
-    )
-    return ids.join(agg, "bucket", "left").select(
-        "bucket",
-        F.lit(-1).cast("long").alias("rows_in"),
-        F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
-        F.lit(None).cast("string").alias("content_sha_xor"),
+    Deliberately METADATA-CHEAP, and driver-side: row counts come from
+    the parquet FOOTERS of the pending bucket dirs — ``_write``
+    repartitions to exactly ``buckets`` output partitions, so this is
+    O(buckets) footer reads regardless of data size (an Iceberg sink
+    would read manifest counts the same way).  No Spark job at all: the
+    first cut ran an agg + 64-row join + append per element kind, ~6
+    extra AQE-staged jobs per run — a fixed per-instance cost that
+    showed up directly in the 4-instance fleet's scaling efficiency.
+    No content fingerprint here — materialize output is a deterministic
+    recomputation of extract's output, whose lineage DOES carry the
+    content fingerprint.  Non-local paths (scheme://) fall back to one
+    Spark metadata scan."""
+    if "://" not in path:
+        import glob as _glob
+
+        import pyarrow.parquet as _pq
+
+        counts = {}
+        for bkt in pending:
+            files = _glob.glob(os.path.join(path, f"pk_bucket={bkt}", "*.parquet"))
+            counts[bkt] = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
+    else:
+        rows = (
+            spark.read.parquet(path)
+            .filter(F.col("pk_bucket").isin(list(pending)))
+            .groupBy(F.col("pk_bucket").cast("int").alias("bucket"))
+            .agg(F.count("*").alias("rows_out"))
+            .collect()
+        )
+        got = {r.bucket: r.rows_out for r in rows}
+        counts = {bkt: got.get(bkt, 0) for bkt in pending}
+    return spark.createDataFrame(
+        [(b, -1, counts[b], None) for b in sorted(pending)],
+        "bucket int, rows_in long, rows_out long, content_sha_xor string",
     )
 
 
