@@ -8,7 +8,7 @@ Structured Streaming's checkpointed incremental execution: new
 once per file — the micro-batch analogue of the reference's
 resume-from-high-water-mark loop (Migrator.cs:64-83).
 
-Two operators:
+Three operators:
 
 * ``stream_extract`` — incremental triple extraction over a growing
   parquet directory; ``Trigger.AvailableNow`` drains the backlog and
@@ -16,9 +16,18 @@ Two operators:
 * ``windowed_event_counts`` — watermarked sliding-window aggregation
   (late data beyond the watermark is dropped), the standard stateful
   pattern for metric rollups over an event stream.
+* ``stateful_session_stats`` — CUSTOM stateful operator
+  (``applyInPandasWithState``): gap-based per-user sessionization,
+  which no built-in windowed aggregation can express (session
+  boundaries depend on the inter-event gap, not fixed window edges).
+  Streaming twin of the batch ``user_event_windows`` query.
 """
 
 from __future__ import annotations
+
+from typing import Iterator
+
+import pandas as pd
 
 from pyspark.sql import DataFrame, SparkSession, functions as F
 
@@ -88,5 +97,79 @@ def windowed_event_counts(
             "n_events",
             "sum_value",
             "sum_value_fp",
+        )
+    )
+
+
+_SESSION_OUT = "user_id long, n_events long, n_sessions long"
+_SESSION_STATE = "last_ts long, n_events long, n_sessions long"
+
+
+def _session_merge(gap_seconds: int):
+    """Per-key state-merge function for ``applyInPandasWithState``.
+
+    State per user: (epoch-seconds of the last event seen, running event
+    count, running session count).  Each micro-batch is folded in with ONE
+    vectorized numpy pass (sort + diff + comparison) — no per-row Python,
+    so a batch with millions of rows for a hot key still costs O(n log n)
+    C-speed work.  A row opens a new session iff it is the user's first
+    event ever or its gap from the previous event exceeds ``gap_seconds``
+    — exactly the batch `lag`-over-window rule.
+    """
+    import numpy as np
+
+    def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
+        last_ts, n_ev, n_sess = state.get if state.exists else (None, 0, 0)
+        for pdf in pdfs:
+            if pdf.empty:
+                continue
+            pdf = pdf.sort_values(["ts", "event_id"])
+            ts = (
+                pdf["ts"].astype("datetime64[ns]").astype("int64")
+                // 1_000_000_000
+            ).to_numpy()
+            # prepend the carried last_ts so the first row of THIS batch is
+            # gap-checked against the previous batch's tail; a never-seen
+            # user gets a sentinel that forces its first row to open a
+            # session (the batch query's `gap IS NULL` branch)
+            prev = last_ts if last_ts is not None else ts[0] - gap_seconds - 1
+            gaps = np.diff(ts, prepend=prev)
+            n_sess += int((gaps > gap_seconds).sum())
+            n_ev += int(len(ts))
+            last_ts = int(ts[-1])
+        state.update((last_ts, int(n_ev), int(n_sess)))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n_ev], "n_sessions": [n_sess]}
+        )
+
+    return fn
+
+
+def stateful_session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Custom stateful streaming sessionization via ``applyInPandasWithState``.
+
+    Emits the running (n_events, n_sessions) per user on every micro-batch
+    that touches the user (output mode ``update``; both counters are
+    monotone, so the per-user max — or latest row — is the current answer).
+    If micro-batches arrive in per-user time order, the final emitted row
+    per user is EXACTLY the batch ``user_event_windows`` answer (tested).
+
+    Scale posture: the only shuffle is the hash partition on ``user_id``
+    that keyed state requires; per-key state is 3 longs regardless of
+    history length; the batch fold is vectorized numpy (no per-row
+    Python).  Late cross-batch data would need a watermark + reorder
+    buffer — out of scope, as for the reference's batch-only contract.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    return (
+        events.select("user_id", "ts", "event_id")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            _session_merge(gap_seconds),
+            outputStructType=_SESSION_OUT,
+            stateStructType=_SESSION_STATE,
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )

@@ -1,13 +1,25 @@
-"""Structured Streaming tests: incremental exactly-once extract, and
-watermarked windowed aggregation (batch-mode plan parity)."""
+"""Structured Streaming tests: incremental exactly-once extract,
+watermarked windowed aggregation (batch-mode plan parity), and the
+custom stateful sessionization operator (cross-batch state carry +
+checkpoint-restart recovery, equivalence vs the batch lag-window rule)."""
 
 from __future__ import annotations
 
+import glob
+import os
+import shutil
+
 import pandas as pd
+
+from pyspark.sql import Window as W, functions as F
 
 from kg.datagen import local_corpus
 from kg.schemas import SOURCE_FILES
-from kg.streaming import stream_extract, windowed_event_counts
+from kg.streaming import (
+    stateful_session_stats,
+    stream_extract,
+    windowed_event_counts,
+)
 
 
 def _write_batch(spark, pdf: pd.DataFrame, path: str) -> None:
@@ -75,3 +87,120 @@ def test_windowed_counts_streaming_plan_is_stateful(spark, tmp_path, sf_dir):
     q.awaitTermination(120)
     got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").first().n
     assert got == events.count()
+
+
+# ---------------------------------------------------------------------------
+# custom stateful operator: applyInPandasWithState sessionization
+# ---------------------------------------------------------------------------
+def _expected_session_stats(events) -> dict:
+    """The batch lag-window sessionization rule (q_user_event_windows)."""
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
+    rows = (
+        events.select(
+            "user_id",
+            F.when(gap.isNull() | (gap > 1800), 1).otherwise(0).alias("ns"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum("ns").cast("long").alias("n_sessions"),
+        )
+        .collect()
+    )
+    return {r.user_id: (r.n_events, r.n_sessions) for r in rows}
+
+
+def _stage_slice(df, stream_dir: str, name: str, mtime: float) -> None:
+    """Write one time-slice as a single parquet file in the stream dir,
+    with a controlled mtime (FileStreamSource drains oldest-first)."""
+    tmp = stream_dir + f"__tmp_{name}"
+    df.coalesce(1).write.mode("overwrite").parquet(tmp)
+    os.makedirs(stream_dir, exist_ok=True)
+    dst = os.path.join(stream_dir, f"{name}.parquet")
+    shutil.copy(glob.glob(tmp + "/part-*.parquet")[0], dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(tmp)
+
+
+def _latest_per_user(spark, path: str) -> dict:
+    """The sink holds every per-batch emission; both counters are
+    monotone per user, so max == the latest (current) answer."""
+    rows = (
+        spark.read.parquet(path)
+        .groupBy("user_id")
+        .agg(F.max("n_events").alias("e"), F.max("n_sessions").alias("s"))
+        .collect()
+    )
+    return {r.user_id: (r.e, r.s) for r in rows}
+
+
+def test_stateful_session_stats_matches_batch_rule(spark, tmp_path, sf_dir):
+    """State carries across micro-batches AND across a checkpoint restart:
+    3 time-ordered slices drain as 3 micro-batches (maxFilesPerTrigger=1)
+    and the per-user result equals the batch lag-window answer; a 4th
+    slice landing later resumes from the checkpointed state and users it
+    touches converge to the full-data batch answer."""
+    events = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ordered = events.withColumn(
+        "rn", F.row_number().over(W.orderBy("ts", "event_id"))
+    )
+    n = events.count()
+    cut = [0, n // 4, n // 2, 3 * n // 4, n]
+    src = str(tmp_path / "events_stream")
+    ckpt = str(tmp_path / "ckpt")
+    base = 1_000_000_000
+    for i in range(4):
+        _stage_slice(
+            ordered.filter(
+                (F.col("rn") > cut[i]) & (F.col("rn") <= cut[i + 1])
+            ).drop("rn"),
+            src,
+            f"{i:03d}",
+            base + i * 100,
+        )
+
+    def drain(sink: str, include_glob: str | None) -> None:
+        reader = spark.readStream.schema(events.schema).option(
+            "maxFilesPerTrigger", 1
+        )
+        if include_glob:
+            reader = reader.option("pathGlobFilter", include_glob)
+        stream = reader.parquet(src)
+        out = stateful_session_stats(stream, gap_seconds=1800)
+        assert out.isStreaming
+        # foreachBatch → parquet: a sink that SUPPORTS checkpoint
+        # recovery (the memory sink does not), so run 2 proves state
+        # survives a query restart
+        q = (
+            out.writeStream.foreachBatch(
+                lambda bdf, bid: bdf.write.mode("append").parquet(sink)
+            )
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    sink1 = str(tmp_path / "sink1")
+    sink2 = str(tmp_path / "sink2")
+    # run 1: slices 0-2 only (glob excludes 003) → 3 micro-batches
+    drain(sink1, "00[0-2].parquet")
+    got1 = _latest_per_user(spark, sink1)
+    exp1 = _expected_session_stats(ordered.filter(F.col("rn") <= cut[3]))
+    assert got1 == exp1
+
+    # run 2: slice 003 now visible; state resumes from the checkpoint —
+    # only users in the new slice are re-emitted, at full-data values
+    drain(sink2, None)
+    got2 = _latest_per_user(spark, sink2)
+    assert len(got2) > 0
+    exp_full = _expected_session_stats(events)
+    for uid, stats in got2.items():
+        assert stats == exp_full[uid]
+    # users untouched by slice 003 were already final after run 1
+    touched = set(got2)
+    for uid, stats in exp_full.items():
+        if uid not in touched:
+            assert got1[uid] == stats
