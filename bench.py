@@ -54,6 +54,7 @@ def main() -> None:
         "text_stats",
         "ann_brute_force",
         "ann_lsh",
+        "ann_ivf",
     ]
 
     timings: dict[str, float] = {}

@@ -360,3 +360,21 @@ def test_banded_lsh_recall_vs_brute_force(spark, sf_dir):
     assert found <= truth  # exact re-rank → perfect precision
     recall = len(found & truth) / len(truth)
     assert recall >= 0.9, f"recall {recall:.3f} < 0.9"
+
+
+def test_banded_signatures_arrow_matches_expr(spark, sf_dir):
+    """The Arrow engine's left-to-right dim accumulation reproduces the
+    SQL fold's IEEE operation sequence exactly — every (id, band, key)
+    row identical, including twin vectors perturbed off the raw data
+    (sign bits near 0 are where an order change would flip first)."""
+    from kg.ops.similarity import banded_signatures
+
+    aug = _planted_near_dups(spark, sf_dir).localCheckpoint()
+    rows = {}
+    for engine in ("arrow", "expr"):
+        got = banded_signatures(
+            aug, "vec_id", "v", dim=64, planes=64, bands=8, engine=engine
+        ).collect()
+        rows[engine] = sorted((r.vec_id, r.band, r.key) for r in got)
+    assert rows["arrow"] == rows["expr"]
+    assert len(rows["arrow"]) == aug.count() * 8
