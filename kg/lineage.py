@@ -57,15 +57,20 @@ class LineageStore:
     def changed_buckets(self, stage: str, cur_fp: DataFrame) -> set[int]:
         """Buckets whose recorded input fingerprint differs from the
         current one (changed-input merge; ``cur_fp``: bucket, cur_fp).
+        A ``done`` record WITHOUT a fingerprint (written by a run with
+        detect_changes off, which skips the content-column scan) cannot
+        prove its input unchanged, so it is conservatively treated as
+        changed and re-extracted once — after which it carries one.
         Both sides are bucket-count-sized — a driver-side set is fine."""
         rec = self.read().filter(
-            (F.col("stage") == stage)
-            & (F.col("status") == "done")
-            & F.col("input_fp").isNotNull()
+            (F.col("stage") == stage) & (F.col("status") == "done")
         ).select("bucket", "input_fp")
         rows = (
             rec.join(cur_fp, "bucket")
-            .filter(F.col("input_fp") != F.col("cur_fp"))
+            .filter(
+                F.col("input_fp").isNull()
+                | (F.col("input_fp") != F.col("cur_fp"))
+            )
             .select("bucket")
             .collect()
         )

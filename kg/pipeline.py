@@ -24,9 +24,13 @@ Changed-input detection (``detect_changes=True``): extract lineage records
 an order-insensitive per-bucket fingerprint of the input rows; a rerun
 compares current fingerprints against recorded ones and re-extracts only
 buckets whose input changed.  Off by default because it costs one full
-JVM-side hash scan of the source — at real scale you would fingerprint
-commit metadata instead of content bytes.  Deleted files are out of scope
-(the reference's upsert cannot delete either).
+JVM-side hash scan of the source content — and the fingerprint is also
+only RECORDED when on, so the default path's lineage agg stays a narrow
+(repo, path) scan that parquet column pruning answers without touching
+content bytes (records without a fingerprint are conservatively treated
+as changed by a later detect_changes run).  At real scale you would
+fingerprint commit metadata instead of content bytes.  Deleted files are
+out of scope (the reference's upsert cannot delete either).
 
 Skew: the hot-repo problem (one repo = ~30% of rows) is defeated *before*
 the first wide transform by keying work buckets on (repo, path) — path
@@ -195,11 +199,20 @@ def run_pipeline(
         # rows by bucket), so a bucket whose files all yield zero triples
         # is still marked done — deriving it from the output would
         # re-extract such buckets forever on real corpora.  rows_in counts
-        # actual input rows; input_fp is the changed-input fingerprint.
-        src_per_bucket = pending.groupBy("bucket").agg(
-            F.count("*").alias("rows_in"),
-            _fingerprint("repo", "path", "content").alias("input_fp"),
-        )
+        # actual input rows.  input_fp (the changed-input fingerprint) is
+        # recorded ONLY under detect_changes: it needs the content column,
+        # and the default path must not re-read the full corpus content
+        # just to compute a fingerprint nobody asked for — at 100 TB this
+        # agg must stay a narrow (repo, path) scan that column pruning
+        # answers from two small parquet streams.  A later detect_changes
+        # run treats fingerprint-less records as "cannot prove unchanged"
+        # and conservatively re-extracts them once (see changed_buckets).
+        src_stats = [F.count("*").alias("rows_in")]
+        if detect_changes:
+            src_stats.append(
+                _fingerprint("repo", "path", "content").alias("input_fp")
+            )
+        src_per_bucket = pending.groupBy("bucket").agg(*src_stats)
         out_per_bucket = (
             spark.read.parquet(triples_path)
             .groupBy("bucket")
@@ -213,7 +226,7 @@ def run_pipeline(
             "rows_in",
             F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
             "content_sha_xor",
-            "input_fp",
+            *(["input_fp"] if detect_changes else []),
         )
         lineage.record_buckets("extract", per_bucket, t.ms)
         log_event("stage_done", stage="extract", duration_ms=t.ms)

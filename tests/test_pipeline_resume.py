@@ -104,9 +104,18 @@ def test_changed_input_bucket_is_rewritten(spark, tmp_path_factory):
     deterministic and introduces no duplicates."""
     cfg = _cfg(tmp_path_factory, "merge")
     src = source_files_df(spark, N)
-    run_pipeline(spark, src, cfg, restart=True)
+    # detect_changes on the FIRST run too: fingerprints are recorded only
+    # when asked for (the default path skips the content-column scan), and
+    # only a fingerprinted record can prove a bucket unchanged later
+    run_pipeline(spark, src, cfg, restart=True, detect_changes=True)
     store = LineageStore(spark, cfg.table_path("lineage"))
     n_lineage_rows_1 = store.read().filter("stage = 'extract'").count()
+    assert (
+        store.read()
+        .filter("stage = 'extract' AND input_fp IS NULL")
+        .count()
+        == 0
+    )
 
     src2, target = _with_modified_file(spark, src, N)
     # clean-run golden on the modified corpus
@@ -132,6 +141,33 @@ def test_changed_input_bucket_is_rewritten(spark, tmp_path_factory):
     run_pipeline(spark, src2, cfg, detect_changes=True)
     after = store.read().toPandas()
     assert len(before) == len(after)
+
+
+def test_default_run_skips_fingerprint_then_detect_changes_recovers(
+    spark, tmp_path_factory
+):
+    """The default path records NO input fingerprint (no content-column
+    re-scan of the corpus); a later detect_changes run cannot prove those
+    buckets unchanged, so it conservatively re-extracts them once and
+    upgrades the records with fingerprints — converging to the same
+    state, after which detection is incremental again."""
+    cfg = _cfg(tmp_path_factory, "fp_gate")
+    src = source_files_df(spark, N)
+    out1 = run_pipeline(spark, src, cfg, restart=True)
+    n1 = out1["triples"].count()
+    store = LineageStore(spark, cfg.table_path("lineage"))
+    ext = store.read().filter("stage = 'extract'")
+    assert ext.filter("input_fp IS NOT NULL").count() == 0
+
+    out2 = run_pipeline(spark, src, cfg, detect_changes=True)
+    assert out2["triples"].count() == n1
+    ext = store.read().filter("stage = 'extract'")
+    assert ext.filter("input_fp IS NULL").count() == 0
+
+    # now fingerprinted: a further detect_changes rerun is a no-op
+    before = store.read().toPandas()
+    run_pipeline(spark, src, cfg, detect_changes=True)
+    assert len(before) == len(store.read().toPandas())
 
 
 def test_zero_output_bucket_is_marked_done(spark, tmp_path_factory):
