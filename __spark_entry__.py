@@ -253,6 +253,34 @@ def q_hourly_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_sessions(spark: SparkSession, sf: str) -> DataFrame:
+    """Gap-based session windows via the BUILT-IN ``session_window``
+    (merge while inter-event gap < 30 min; window end = last event +
+    gap).  The relational complement of the custom stateful operator
+    ``kg.streaming.stateful_session_stats``: this one emits one row per
+    closed session; the stateful op keeps running per-user totals ACROSS
+    sessions, which would need a second stateful pass over these rows."""
+    e = _read(spark, sf, "events")
+    return (
+        e.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.session_window("ts", "30 minutes").alias("sw"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            # integer fixed-point, same convention as hourly_event_windows
+            F.sum(F.floor(F.col("value") * 10000)).cast("long").alias(
+                "sum_value_fp"
+            ),
+        )
+        .select(
+            "user_id",
+            F.col("sw.start").alias("session_start"),
+            F.col("sw.end").alias("session_end"),
+            "n_events",
+            "sum_value_fp",
+        )
+    )
+
+
 def q_user_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Window functions: per-user event sequence stats with lag-based gap
     counting (sessionization primitive)."""
@@ -520,6 +548,7 @@ def queries() -> dict[str, _T]:
         "cube_pricing": q_cube_pricing,
         "pivot_order_priority": q_pivot_order_priority,
         "hourly_event_windows": q_hourly_event_windows,
+        "event_sessions": q_event_sessions,
         "user_event_windows": q_user_event_windows,
         "dedup_exact": q_dedup_exact,
         "dedup_token_jaccard": q_dedup_token_jaccard,
@@ -805,6 +834,23 @@ def oracle_sql() -> dict[str, str]:
             "count(*) AS n_events, "
             "CAST(sum(floor(value * 10000)) AS BIGINT) AS sum_value_fp "
             "FROM events GROUP BY 1, 2"
+        ),
+        "event_sessions": (
+            # gaps-and-islands twin of session_window: a session breaks
+            # when the gap to the previous event reaches the 1800 s gap
+            # (Spark merges while the new event's ts < last_ts + gap);
+            # session_end = last event + gap, exactly Spark's window end
+            "WITH g AS (SELECT user_id, ts, event_id, value, "
+            "CASE WHEN lag(ts) OVER w IS NULL "
+            "OR epoch(ts) - epoch(lag(ts) OVER w) >= 1800 THEN 1 ELSE 0 END AS new_s "
+            "FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)), "
+            "s AS (SELECT *, sum(new_s) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS sid FROM g) "
+            "SELECT user_id, min(ts) AS session_start, "
+            "max(ts) + INTERVAL 1800 SECOND AS session_end, "
+            "count(*) AS n_events, "
+            "CAST(sum(floor(value * 10000)) AS BIGINT) AS sum_value_fp "
+            "FROM s GROUP BY user_id, sid"
         ),
         "user_event_windows": (
             "WITH g AS (SELECT user_id, "

@@ -17,10 +17,13 @@ Three operators:
   (late data beyond the watermark is dropped), the standard stateful
   pattern for metric rollups over an event stream.
 * ``stateful_session_stats`` — CUSTOM stateful operator
-  (``applyInPandasWithState``): gap-based per-user sessionization,
-  which no built-in windowed aggregation can express (session
-  boundaries depend on the inter-event gap, not fixed window edges).
-  Streaming twin of the batch ``user_event_windows`` query.
+  (``applyInPandasWithState``): running per-user totals ACROSS
+  gap-based sessions.  The built-in ``session_window`` (surfaced as
+  the ``event_sessions`` query) emits one row per closed session;
+  cumulative per-user counters over the whole stream would need a
+  second stateful aggregation over those rows — here it is one
+  operator holding 3 longs of state per user.  Streaming twin of the
+  batch ``user_event_windows`` query.
 """
 
 from __future__ import annotations
