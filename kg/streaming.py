@@ -8,7 +8,7 @@ Structured Streaming's checkpointed incremental execution: new
 once per file — the micro-batch analogue of the reference's
 resume-from-high-water-mark loop (Migrator.cs:64-83).
 
-Three operators:
+Four operators:
 
 * ``stream_extract`` — incremental triple extraction over a growing
   parquet directory; ``Trigger.AvailableNow`` drains the backlog and
@@ -16,6 +16,10 @@ Three operators:
 * ``windowed_event_counts`` — watermarked sliding-window aggregation
   (late data beyond the watermark is dropped), the standard stateful
   pattern for metric rollups over an event stream.
+* ``stream_dedup_exact`` — streaming exact dedup with BOUNDED state
+  (``dropDuplicatesWithinWatermark`` keyed on content sha256): the
+  training-data ingest pattern for crawler re-fetches and upstream
+  retries.
 * ``stateful_session_stats`` — CUSTOM stateful operator
   (``applyInPandasWithState``): running per-user totals ACROSS
   gap-based sessions.  The built-in ``session_window`` (surfaced as
@@ -102,6 +106,38 @@ def windowed_event_counts(
             "sum_value_fp",
         )
     )
+
+
+def stream_dedup_exact(
+    docs: DataFrame,
+    key_cols: list[str] | None = None,
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming exact dedup: keep the first arrival per content key,
+    drop re-arrivals within the watermark horizon.
+
+    The batch ``exact_duplicates`` groups the whole corpus; a stream
+    cannot hold all history, so state must be BOUNDED: Spark's
+    ``dropDuplicatesWithinWatermark`` keeps one state row per key and
+    expires it once the event-time watermark passes — re-ingested
+    documents (crawler re-fetches, upstream retries) inside the horizon
+    dedup exactly, older re-arrivals are an upstream contract.  The key
+    is the sha256 of the content (not the raw text) so state rows are
+    64 chars regardless of document size — the same trick the batch
+    operator and the lineage table use.
+
+    Works on batch DataFrames too (falls back to plain dropDuplicates
+    semantics over the full input — no watermark state needed)."""
+    key_cols = key_cols or ["content_key"]
+    if "content_key" in key_cols and "content_key" not in docs.columns:
+        docs = docs.withColumn("content_key", F.sha2(F.col("text"), 256))
+    docs = docs.withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+    if docs.isStreaming:
+        return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+            key_cols
+        )
+    return docs.dropDuplicates(key_cols)
 
 
 _SESSION_OUT = "user_id long, n_events long, n_sessions long"

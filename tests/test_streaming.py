@@ -17,6 +17,7 @@ from kg.datagen import local_corpus
 from kg.schemas import SOURCE_FILES
 from kg.streaming import (
     stateful_session_stats,
+    stream_dedup_exact,
     stream_extract,
     windowed_event_counts,
 )
@@ -87,6 +88,54 @@ def test_windowed_counts_streaming_plan_is_stateful(spark, tmp_path, sf_dir):
     q.awaitTermination(120)
     got = spark.sql("SELECT sum(n_events) AS n FROM win_counts").first().n
     assert got == events.count()
+
+
+def test_stream_dedup_exact_drops_cross_batch_rearrivals(spark, tmp_path):
+    """A re-fetched document arriving in a LATER micro-batch (same
+    content, new doc_id, inside the watermark) is dropped; the first
+    arrival and unique contents survive.  Batch mode falls back to plain
+    dropDuplicates."""
+    from datetime import datetime, timedelta
+
+    schema = "doc_id long, text string, ts timestamp"
+    t0 = datetime(2026, 1, 1, 0, 0, 0)
+    batch1 = spark.createDataFrame(
+        [(1, "alpha content", t0), (2, "beta content", t0 + timedelta(seconds=60))],
+        schema,
+    )
+    batch2 = spark.createDataFrame(
+        [
+            (3, "alpha content", t0 + timedelta(seconds=120)),  # re-fetch of 1
+            (4, "gamma content", t0 + timedelta(seconds=180)),
+        ],
+        schema,
+    )
+    src = str(tmp_path / "docs_stream")
+    _stage_slice(batch1, src, "000", 1_000_000_000)
+    _stage_slice(batch2, src, "001", 1_000_000_100)
+
+    stream = spark.readStream.schema(batch1.schema).option(
+        "maxFilesPerTrigger", 1
+    ).parquet(src)
+    out = stream_dedup_exact(stream, watermark="1 hour")
+    assert out.isStreaming
+    q = (
+        out.writeStream.format("memory")
+        .queryName("dedup_stream")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()}
+    assert kept == {1, 2, 4}
+
+    # batch-mode fallback: same operator, full-input dedup
+    batch_all = batch1.unionByName(batch2)
+    got = stream_dedup_exact(batch_all)
+    assert not got.isStreaming
+    assert got.count() == 3
+    assert got.select("content_key").distinct().count() == 3
 
 
 # ---------------------------------------------------------------------------
