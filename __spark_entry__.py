@@ -459,6 +459,17 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
+    """Winnowing (MOSS) fingerprints: word 5-gram top-60-bit md5 hashes,
+    4-hash window minima, distinct per document.  Fully SQL-expressible
+    (portable md5 hashing, list slicing in both engines)."""
+    from kg.ops import winnow_fingerprints
+
+    return winnow_fingerprints(
+        _read(spark, sf, "documents"), "doc_id", "text", k=5, window=4
+    )
+
+
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
     d = _read(spark, sf, "documents")
     return d.select(
@@ -561,6 +572,7 @@ def queries() -> dict[str, _T]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
+        "winnow_fingerprints": q_winnow_fingerprints,
         "kg_triples": q_kg_triples,
         "kg_entity_map": q_kg_entity_map,
         "kg_nodes": q_kg_nodes,
@@ -870,6 +882,23 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard_next "
             "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1"
+        ),
+        "winnow_fingerprints": (
+            # identical pipeline: word 5-grams → top-60-bit md5 → 4-hash
+            # window minima → distinct ascending, long format
+            "WITH t AS (SELECT doc_id, " + _TOK.format(c="text") + " AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, CASE WHEN len(toks) >= 5 THEN "
+            "list_transform(range(len(toks) - 4), i -> "
+            "array_to_string(toks[i+1:i+5], ' ')) ELSE [] END AS grams FROM t), "
+            "h AS (SELECT doc_id, list_transform(grams, g -> "
+            "CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT AS BIGINT)) AS hs "
+            "FROM g), "
+            "m AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN "
+            "list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])) "
+            "ELSE [] END AS mins FROM h) "
+            "SELECT doc_id, unnest(list_sort(list_distinct(mins))) AS fingerprint "
+            "FROM m"
         ),
         "text_stats": (
             "SELECT doc_id, CAST(len(" + tok + ") AS INT) AS n_tokens, "

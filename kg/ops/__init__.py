@@ -30,4 +30,5 @@ from kg.ops.text import (  # noqa: F401
     quality_score,
     token_count,
     tokens_col,
+    winnow_fingerprints,
 )

@@ -77,3 +77,57 @@ def language_id(text: Column) -> Column:
             expr
         )
     return expr
+
+
+def winnow_fingerprints(
+    df, id_col: str, text_col: str, k: int = 5, window: int = 4
+):
+    """Winnowing document fingerprints (the MOSS scheme, Schleimer/
+    Wilkerson/Aiken SIGMOD'03): hash every word k-gram, slide a window of
+    ``window`` consecutive k-gram hashes, keep each window's minimum; the
+    distinct minima are the document's fingerprints.  Any shared run of
+    ≥ window+k-1 tokens between two documents is guaranteed to share at
+    least one fingerprint, while only ~2/(window+1) of the k-gram hashes
+    are stored — the index-size/recall trade the true rolling-hash
+    scheme exists for.
+
+    Plan shape: per-row JVM higher-order functions only — no shuffle, no
+    Python.  Each array is BOUND AS AN ATTRIBUTE in its own projection
+    before a lambda references it: an expression captured inside a
+    higher-order-fn lambda is re-evaluated per element, which would make
+    the window pass O(n_windows × n_grams) md5 calls instead of O(n).
+    The k-gram hash is the top-60-bit md5 (same portable trick as
+    kg.ops.minhash ``portable=True``), so DuckDB computes identical
+    values and the operator has a FULL SQL oracle.
+
+    Returns long-format (id, fingerprint:long) rows, fingerprints
+    distinct + ascending per id.
+    """
+    toks = tokens_col(F.col(text_col))
+    d = df.select(F.col(id_col), toks.alias("_t"))
+    n_grams = F.size(F.col("_t")) - (k - 1)
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select(F.col(id_col), grams.alias("_g"))
+    hashes = F.transform(
+        F.col("_g"),
+        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
+    )
+    d = d.select(F.col(id_col), hashes.alias("_h"))
+    n_win = F.size(F.col("_h")) - (window - 1)
+    minima = F.when(
+        n_win >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_win - 1),
+            lambda i: F.array_min(F.slice(F.col("_h"), i + 1, window)),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    return d.select(
+        F.col(id_col),
+        F.explode(F.array_sort(F.array_distinct(minima))).alias("fingerprint"),
+    )

@@ -127,8 +127,10 @@ def stream_dedup_exact(
     64 chars regardless of document size — the same trick the batch
     operator and the lineage table use.
 
-    Works on batch DataFrames too (falls back to plain dropDuplicates
-    semantics over the full input — no watermark state needed)."""
+    Works on batch DataFrames too: the fallback keeps the EARLIEST row
+    per key (min event time) — a distributed ``dropDuplicates`` keeps an
+    arbitrary row per key (whichever partition wins the reduction),
+    which would make batch reruns non-idempotent."""
     key_cols = key_cols or ["content_key"]
     if "content_key" in key_cols and "content_key" not in docs.columns:
         docs = docs.withColumn("content_key", F.sha2(F.col("text"), 256))
@@ -137,7 +139,14 @@ def stream_dedup_exact(
         return docs.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
             key_cols
         )
-    return docs.dropDuplicates(key_cols)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    return (
+        docs.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
 
 
 _SESSION_OUT = "user_id long, n_events long, n_sessions long"

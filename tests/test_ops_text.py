@@ -69,3 +69,31 @@ def test_tokens_drop_empties(spark):
         .first()
     )
     assert row.t == ["hello", "world"]
+
+
+def test_winnow_fingerprints_guarantee_and_shape(spark):
+    """Winnowing guarantee: two documents sharing a token run of length
+    ≥ window+k-1 (= 8 at k=5, w=4) share at least one fingerprint; short
+    docs (< k tokens) produce none; fingerprints are distinct ascending."""
+    from kg.ops import winnow_fingerprints
+
+    shared = "alpha beta gamma delta epsilon zeta eta theta"  # 8 tokens
+    df = spark.createDataFrame(
+        [
+            (1, "xx yy " + shared + " one two three"),
+            (2, "aa bb cc " + shared + " other tail words here"),
+            (3, "completely different content with many unrelated tokens"),
+            (4, "tiny doc"),
+        ],
+        "doc_id long, text string",
+    )
+    out = winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    rows = out.collect()
+    by_doc: dict[int, list[int]] = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r.fingerprint)
+    assert set(by_doc[1]) & set(by_doc[2])  # the guarantee
+    assert not set(by_doc[1]) & set(by_doc.get(3, []))
+    assert 4 not in by_doc  # < k tokens → no fingerprints
+    for fps in by_doc.values():
+        assert fps == sorted(set(fps))

@@ -130,11 +130,11 @@ def test_stream_dedup_exact_drops_cross_batch_rearrivals(spark, tmp_path):
     kept = {r.doc_id for r in spark.sql("SELECT doc_id FROM dedup_stream").collect()}
     assert kept == {1, 2, 4}
 
-    # batch-mode fallback: same operator, full-input dedup
+    # batch-mode fallback: deterministic first-arrival-wins dedup
     batch_all = batch1.unionByName(batch2)
     got = stream_dedup_exact(batch_all)
     assert not got.isStreaming
-    assert got.count() == 3
+    assert {r.doc_id for r in got.collect()} == {1, 2, 4}
     assert got.select("content_key").distinct().count() == 3
 
 
