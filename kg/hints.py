@@ -68,7 +68,20 @@ def spread_to_slots(df: DataFrame) -> DataFrame:
     shingling, Arrow UDFs) that a compact parquet input would otherwise
     serialize onto one core (a small file is ONE split).  At real scale
     inputs have more splits than slots and this is a no-op, so no
-    gratuitous corpus shuffle."""
+    gratuitous corpus shuffle.
+
+    The width probe (``df.rdd``) is only taken on shuffle-free plans: on
+    a plan containing an Exchange, materializing the RDD under AQE
+    executes every upstream query stage just to read a partition count —
+    and the repartitioned plan would then run them all AGAIN.  Such
+    plans already own shuffle-partition-count parallelism downstream of
+    their exchange, so they pass through unhinted."""
+    try:
+        plan = df._jdf.queryExecution().sparkPlan().toString()
+    except Exception:
+        return df
+    if "Exchange" in plan:
+        return df
     slots = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < slots:
         return df.repartition(slots)

@@ -41,6 +41,15 @@ class LineageStore:
         self.path = path
 
     def read(self) -> DataFrame:
+        if not os.path.exists(self.path) and os.path.exists(self.path + ".old"):
+            # crash landed between _rewrite_keeping's two renames: the
+            # previous table was moved aside but the new one never
+            # arrived — recover the old state.  Safe because every
+            # invalidation trigger is RE-DERIVED each run (extract_ran,
+            # changed fingerprints), so the rerun that reads the
+            # recovered table immediately re-issues the interrupted
+            # invalidation before acting on it
+            os.rename(self.path + ".old", self.path)
         if os.path.exists(self.path):
             return self.spark.read.schema(LINEAGE).parquet(self.path)
         return self.spark.createDataFrame([], LINEAGE)
@@ -76,34 +85,43 @@ class LineageStore:
         )
         return {r.bucket for r in rows}
 
+    def _rewrite_keeping(self, keep_pred) -> None:
+        """Rewrite the lineage table keeping rows matching ``keep_pred``,
+        CRASH-SAFELY: the new table is written next to the live one and
+        swapped in with atomic renames.  The previous reset-then-write
+        had a window where a crash left NO lineage at all — the next run
+        would re-extract the entire corpus, a catastrophic resume
+        regression in exactly the module whose contract is crash-resume
+        (``read`` recovers the one remaining window: old moved aside,
+        new not yet renamed)."""
+        pdf = self.read().filter(keep_pred).toPandas()
+        tmp, old = self.path + ".tmp", self.path + ".old"
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(old, ignore_errors=True)
+        if len(pdf):
+            self.spark.createDataFrame(pdf, schema=LINEAGE).write.parquet(tmp)
+        if os.path.exists(self.path):
+            os.rename(self.path, old)
+        if os.path.exists(tmp):
+            os.rename(tmp, self.path)
+        shutil.rmtree(old, ignore_errors=True)
+
     def invalidate_buckets(self, stage: str, buckets: set[int]) -> None:
         """Drop lineage rows for changed buckets so the rerun re-records
         them (the table is O(buckets) rows — a rewrite is trivial)."""
-        keep = self.read().filter(
+        self._rewrite_keeping(
             ~((F.col("stage") == stage) & F.col("bucket").isin(list(buckets)))
         )
-        pdf = keep.toPandas()
-        self.reset()
-        if len(pdf):
-            self.spark.createDataFrame(pdf, schema=LINEAGE).write.parquet(
-                self.path
-            )
 
     def invalidate_stages(self, *stages: str) -> None:
         """Drop ALL lineage rows for the given stages — used when a
         stage's inputs changed (e.g. extract produced new output, so
         every previously-done materialize bucket is stale).  No-op when
         nothing is recorded for them."""
-        cur = self.read()
-        hit = cur.filter(F.col("stage").isin(list(stages)))
+        hit = self.read().filter(F.col("stage").isin(list(stages)))
         if hit.limit(1).count() == 0:
             return
-        pdf = cur.filter(~F.col("stage").isin(list(stages))).toPandas()
-        self.reset()
-        if len(pdf):
-            self.spark.createDataFrame(pdf, schema=LINEAGE).write.parquet(
-                self.path
-            )
+        self._rewrite_keeping(~F.col("stage").isin(list(stages)))
 
     def stage_done(self, stage: str) -> bool:
         return bool(self.completed_buckets(stage))

@@ -293,12 +293,11 @@ def simhash_candidates(
             )
         ).alias("bk"),
     ).select("id", "simhash", F.col("bk.band").alias("band"), F.col("bk.key").alias("key"))
+    from kg.ops.similarity import cap_buckets
+
     # consumed 3× (bucket-count cap + both sides of the self-join)
     bands = bands.localCheckpoint()
-    kept = bands.groupBy("band", "key").agg(F.count("*").alias("n")).filter(
-        F.col("n") <= max_bucket
-    ).drop("n")
-    bands = bands.join(kept, ["band", "key"])
+    bands = cap_buckets(bands, ["band", "key"], max_bucket)
     x, y = bands.alias("x"), bands.alias("y")
     return (
         x.join(

@@ -126,15 +126,12 @@ def minhash_candidate_pairs(
         # are freed by the ContextCleaner once the plan is GC'd.
         .localCheckpoint()
     )
+    from kg.ops.similarity import cap_buckets
+
     # web-scale guard: drop degenerate buckets before the self-join (a huge
     # bucket means a stop-surface; its quadratic pair set would dominate)
     key = [*group_cols, "band", "band_key"]
-    counts = bands_df.groupBy(*key).agg(F.count("*").alias("bucket_n"))
-    bands_df = bands_df.join(
-        counts.filter(F.col("bucket_n") <= max_bucket).drop("bucket_n"),
-        key,
-        "inner",
-    )
+    bands_df = cap_buckets(bands_df, key, max_bucket)
     x, y = bands_df.alias("x"), bands_df.alias("y")
     cond = F.col(f"x.{id_col}") < F.col(f"y.{id_col}")
     for k in key:

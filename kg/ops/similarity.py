@@ -58,6 +58,22 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def cap_buckets(df: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
+    """Web-scale guard shared by every band/bucket join in the library:
+    drop rows whose bucket holds more than ``max_bucket`` members before
+    any self- or probe-join.  A degenerate bucket (empty docs, all-zero
+    vectors, boilerplate) carries no selectivity — joining through it is
+    quadratic in corpus size; members are better served by exact dedup.
+    One definition keeps the four call sites AND their SQL-oracle
+    replicas in lockstep."""
+    counts = df.groupBy(*key_cols).agg(F.count("*").alias("_bucket_n"))
+    return df.join(
+        counts.filter(F.col("_bucket_n") <= max_bucket).drop("_bucket_n"),
+        key_cols,
+        "inner",
+    )
+
+
 def plane(dim: int, seed: int) -> list[float]:
     """Deterministic pseudo-random hyperplane (hash-derived, no RNG state).
 
@@ -111,6 +127,8 @@ def banded_signatures(
     # this, not the band join.
     from kg.hints import spread_to_slots
 
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     df = spread_to_slots(df)
     r = planes // bands
     if engine == "arrow":
@@ -156,11 +174,28 @@ def _banded_signatures_arrow(
         for pdf in batches:
             if not len(pdf):
                 continue
-            vecs = np.array(pdf[vec_col].tolist(), dtype=np.float64)
-            acc = np.zeros((len(vecs), planes), dtype=np.float64)
-            for j in range(dim):
-                acc += vecs[:, j : j + 1] * w_rows[j]
-            bits = np.where(acc >= 0, "1", "0")
+            vals = pdf[vec_col]
+            # rows with a NULL vector or a length ≠ dim must match the
+            # expr engine, where zip_with pads with nulls → the dot is
+            # NULL → every sign test is false → all-'0' keys.  NaN
+            # components also match: Spark orders NaN above every
+            # double, so a NaN dot yields '1' bits.
+            good = np.fromiter(
+                (v is not None and len(v) == dim for v in vals),
+                dtype=bool,
+                count=len(vals),
+            )
+            bits = np.full((len(vals), planes), "0", dtype="<U1")
+            if good.any():
+                vecs = np.array(
+                    [list(v) for v in vals[good]], dtype=np.float64
+                )
+                acc = np.zeros((len(vecs), planes), dtype=np.float64)
+                for j in range(dim):
+                    acc += vecs[:, j : j + 1] * w_rows[j]
+                bits[good] = np.where(
+                    np.isnan(acc) | (acc >= 0), "1", "0"
+                )
             ids = pdf[id_col].to_numpy()
             frames = []
             for b in range(bands):
@@ -193,10 +228,7 @@ def banded_lsh_pairs(
     sigs = banded_signatures(df, id_col, vec_col, dim, planes, bands)
     # consumed by the cap count AND both sides of the self-join
     sigs = sigs.localCheckpoint()
-    kept = sigs.groupBy("band", "key").agg(F.count("*").alias("n")).filter(
-        F.col("n") <= max_bucket
-    ).drop("n")
-    sigs = sigs.join(kept, ["band", "key"])
+    sigs = cap_buckets(sigs, ["band", "key"], max_bucket)
     x, y = sigs.alias("x"), sigs.alias("y")
     return (
         x.join(
@@ -222,7 +254,9 @@ def brute_force_topk(
     stays partitioned → one shuffle (the window top-k)."""
     from pyspark.sql import Window as W
 
-    q = F.broadcast(
+    from kg.hints import maybe_broadcast
+
+    q = maybe_broadcast(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
         )
@@ -256,9 +290,11 @@ def ivf_assign(
     the assignment is deterministic and SQL-twinnable."""
     from pyspark.sql import Window as W
 
+    from kg.hints import maybe_broadcast
+
     scored = df.select(
         F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).crossJoin(F.broadcast(centroids)).select(
+    ).crossJoin(maybe_broadcast(centroids)).select(
         id_col,
         "cid",
         _cosine(F.col("_v"), F.col("cv")).alias("_c"),
@@ -301,21 +337,26 @@ def ivf_topk(
     plan."""
     from pyspark.sql import Window as W
 
+    from kg.hints import maybe_broadcast
+
     qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv_raw"))
     qcells = ivf_assign(qv, "query_id", "qv", centroids, nprobe=nprobe)
     ccells = ivf_assign(cv, "neighbor_id", "cv_raw", centroids, nprobe=1)
     cand = (
-        # |queries| × nprobe rows of (id, cid) — provably tiny by
-        # construction (queries ARE the small side of a top-k search),
-        # so the hint is safe; the corpus cell table stays partitioned
-        F.broadcast(qcells).join(ccells, "cid")
+        # the query-cell side is |queries| × nprobe rows of (id, cid) —
+        # small in the top-k use, but "queries" is caller-supplied (an
+        # all-pairs use passes the corpus), so the hint is GATED on
+        # Catalyst's size estimate rather than asserted (kg.hints rule:
+        # an explicit hint on a big side OOMs instead of degrading);
+        # the corpus cell table always stays partitioned
+        maybe_broadcast(qcells).join(ccells, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
+        cand.join(maybe_broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",
@@ -373,18 +414,17 @@ def lsh_ann_topk(
     cs = banded_signatures(cv, "neighbor_id", "cv", dim, planes, bands)
     # consumed twice (bucket-count cap + the band join)
     cs = cs.localCheckpoint()
-    kept = cs.groupBy("band", "key").agg(F.count("*").alias("n")).filter(
-        F.col("n") <= max_bucket
-    ).drop("n")
-    cs = cs.join(kept, ["band", "key"])
+    cs = cap_buckets(cs, ["band", "key"], max_bucket)
     cand = (
         qs.join(cs, ["band", "key"])
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
+    from kg.hints import maybe_broadcast
+
     scored = (
-        cand.join(F.broadcast(qv), "query_id")
+        cand.join(maybe_broadcast(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",

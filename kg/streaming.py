@@ -141,7 +141,12 @@ def stream_dedup_exact(
         )
     from pyspark.sql import Window as W
 
-    w = W.partitionBy(*key_cols).orderBy(F.col(ts_col).asc())
+    # tie-break equal timestamps with a hash of the whole row: without a
+    # total order, two same-key rows stamped with one fetch time would
+    # keep a partition-order-dependent winner — non-idempotent reruns
+    w = W.partitionBy(*key_cols).orderBy(
+        F.col(ts_col).asc(), F.xxhash64(*docs.columns).asc()
+    )
     return (
         docs.withColumn("_rn", F.row_number().over(w))
         .filter(F.col("_rn") == 1)

@@ -378,3 +378,29 @@ def test_banded_signatures_arrow_matches_expr(spark, sf_dir):
         rows[engine] = sorted((r.vec_id, r.band, r.key) for r in got)
     assert rows["arrow"] == rows["expr"]
     assert len(rows["arrow"]) == aug.count() * 8
+
+
+def test_banded_signatures_arrow_handles_dirty_vectors(spark):
+    """NULL vectors and wrong-length vectors must not kill the python
+    worker: the arrow engine mirrors the expr engine's degradation
+    (zip_with null-padding → NULL dot → all-'0' band keys)."""
+    from kg.ops.similarity import banded_signatures
+
+    df = spark.createDataFrame(
+        [
+            (1, [float(i) for i in range(8)]),
+            (2, None),
+            (3, [1.0, 2.0]),  # shorter than dim
+            (4, [float(i) for i in range(12)]),  # longer than dim
+        ],
+        "vec_id long, v array<double>",
+    )
+    rows = {}
+    for engine in ("arrow", "expr"):
+        got = banded_signatures(
+            df, "vec_id", "v", dim=8, planes=16, bands=4, engine=engine
+        ).collect()
+        rows[engine] = sorted((r.vec_id, r.band, r.key) for r in got)
+    assert rows["arrow"] == rows["expr"]
+    dirty = {k for k in rows["arrow"] if k[0] in (2, 3, 4)}
+    assert all(key == "0000" for _, _, key in dirty)
