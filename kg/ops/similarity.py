@@ -337,26 +337,32 @@ def ivf_topk(
     plan."""
     from pyspark.sql import Window as W
 
-    from kg.hints import maybe_broadcast
+    from kg.hints import DEFAULT_MAX_BYTES, plan_size_bytes
 
     qv = queries.select(F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv"))
     cv = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv_raw"))
     qcells = ivf_assign(qv, "query_id", "qv", centroids, nprobe=nprobe)
     ccells = ivf_assign(cv, "neighbor_id", "cv_raw", centroids, nprobe=1)
+    # the query-cell side is |queries| × nprobe rows of (id, cid) — small
+    # in the top-k use, but "queries" is caller-supplied (an all-pairs
+    # use passes the corpus), so the hint is GATED on evidence (kg.hints
+    # rule: an asserted hint on a big side OOMs instead of degrading).
+    # qcells itself sits behind a window, which reports no size estimate;
+    # its size is bounded by nprobe × |qv|, so the gate reads the
+    # PRE-window query frame's Catalyst stats instead.  Unprovable →
+    # no hint, AQE decides; the corpus cell table always stays
+    # partitioned.
+    q_bytes = plan_size_bytes(qv)
+    q_small = q_bytes is not None and q_bytes * max(nprobe, 1) <= DEFAULT_MAX_BYTES
+    hint = F.broadcast if q_small else (lambda d: d)
     cand = (
-        # the query-cell side is |queries| × nprobe rows of (id, cid) —
-        # small in the top-k use, but "queries" is caller-supplied (an
-        # all-pairs use passes the corpus), so the hint is GATED on
-        # Catalyst's size estimate rather than asserted (kg.hints rule:
-        # an explicit hint on a big side OOMs instead of degrading);
-        # the corpus cell table always stays partitioned
-        maybe_broadcast(qcells).join(ccells, "cid")
+        hint(qcells).join(ccells, "cid")
         .filter(F.col("query_id") != F.col("neighbor_id"))
         .select("query_id", "neighbor_id")
         .distinct()
     )
     scored = (
-        cand.join(maybe_broadcast(qv), "query_id")
+        cand.join(hint(qv), "query_id")
         .join(cv, "neighbor_id")
         .select(
             "query_id",
