@@ -627,7 +627,7 @@ def _dedup_embedding_sql() -> str:
         "         JOIN sig y ON x.band = y.band AND x.key = y.key AND x.vec_id < y.vec_id), "
         "scored AS (SELECT a, b, " + _COS_SQL + " AS c FROM cand "
         "           JOIN aug va ON va.vec_id = cand.a JOIN aug vb ON vb.vec_id = cand.b) "
-        "SELECT a, b, round(c, 6) AS cosine FROM scored WHERE c >= 0.9"
+        "SELECT a, b, round(c, 6) AS cosine FROM scored WHERE c >= 0.9 AND NOT isnan(c)"
     )
 
 
@@ -712,7 +712,7 @@ def _ann_ivf_sql() -> str:
         f"cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_IVF_CELLS}), "
         "assign AS (SELECT b.vec_id, c.cid, row_number() OVER "
         f"          (PARTITION BY b.vec_id ORDER BY {cos_cent} DESC, c.cid ASC) AS rk "
-        "           FROM base b CROSS JOIN cent c), "
+        f"           FROM base b CROSS JOIN cent c WHERE NOT isnan({cos_cent})), "
         "cells AS (SELECT vec_id, cid FROM assign WHERE rk = 1), "
         f"qcells AS (SELECT vec_id, cid FROM assign WHERE rk <= {_IVF_NPROBE} AND vec_id < 5), "
         "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
@@ -722,7 +722,7 @@ def _ann_ivf_sql() -> str:
         "           JOIN base vb ON vb.vec_id = neighbor_id), "
         "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER "
         "           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
-        "           FROM scored) "
+        "           FROM scored WHERE NOT isnan(cosine)) "
         "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk "
         "FROM ranked WHERE rk <= 5"
     )
@@ -745,7 +745,7 @@ def _ann_lsh_sql() -> str:
         "           JOIN base vb ON vb.vec_id = neighbor_id), "
         "ranked AS (SELECT query_id, neighbor_id, cosine, row_number() OVER "
         "           (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
-        "           FROM scored) "
+        "           FROM scored WHERE NOT isnan(cosine)) "
         "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk "
         "FROM ranked WHERE rk <= 5"
     )
@@ -918,7 +918,8 @@ def oracle_sql() -> dict[str, str]:
             " sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cosine "
             "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> query_id), "
             "ranked AS (SELECT query_id, neighbor_id, cosine, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk FROM scored) "
+            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
+            "FROM scored WHERE NOT isnan(cosine)) "
             "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5"
         ),
         "dedup_embedding": _dedup_embedding_sql(),

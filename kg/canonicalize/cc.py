@@ -71,9 +71,12 @@ def connected_components(
     )
     prev = None
     for _ in range(max_iter):
-        old = e
+        # superseded rounds' checkpoint blocks are freed by the
+        # ContextCleaner once the previous DataFrame is GC'd (this
+        # rebind drops the last reference) — Dataset.unpersist only
+        # clears CacheManager entries and is a no-op for localCheckpoint
+        # storage; peak storage is bounded at ~2 rounds of edge sets
         e = _small_star(_large_star(e)).localCheckpoint()
-        old.unpersist()  # free the superseded round's checkpoint blocks
         # cheap fixpoint detector: count + order-insensitive checksum;
         # bit_xor is overflow-free at any edge count (an ANSI-mode sum of
         # bounded hashes still faults past ~9.2e9 rows — ADVICE r2)

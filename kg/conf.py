@@ -58,5 +58,19 @@ class PipelineConfig:
     def lsh_rows_per_band(self) -> int:
         return self.minhash_perms // self.lsh_bands
 
+    def __post_init__(self) -> None:
+        if "://" in self.warehouse:
+            # resume gating / restart truncation / footer stats use local
+            # filesystem semantics (os.path.exists, shutil.rmtree, glob);
+            # against an object-store URL those are SILENT no-ops —
+            # --restart would quietly resume over stale data.  A remote
+            # warehouse belongs behind the Iceberg catalog path
+            # (kg.io.tables), not this parquet-dir layout.
+            raise NotImplementedError(
+                "remote warehouse paths are not supported by the parquet-dir "
+                f"sink (got {self.warehouse!r}); use a local path, or an "
+                "Iceberg catalog via kg.io.tables on a jar-equipped cluster"
+            )
+
     def table_path(self, name: str) -> str:
         return os.path.join(self.warehouse, name)

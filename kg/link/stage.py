@@ -25,6 +25,10 @@ from pyspark.sql import DataFrame, functions as F
 from kg.conf import PipelineConfig
 from kg.hints import broadcast_if_small
 from kg.ids import mention_id, truncated_surface
+
+# the library's one dot-product definition (IEEE fold order is part of
+# the similarity module's oracle contract — no second copy to drift)
+from kg.ops.similarity import _dot
 # LSH buckets larger than this are dropped: at 10^12-file scale a huge
 # bucket means a degenerate surface (e.g. "utils"), and the quadratic
 # pair blow-up inside it would dominate the job. Real systems cap this.
@@ -136,14 +140,6 @@ def _embed_batches(batches) -> "pd.DataFrame":
                 "emb": list(out),
             }
         )
-
-
-def _dot(a, b):
-    return F.aggregate(
-        F.zip_with(a, b, lambda x, y: x * y),
-        F.lit(0.0),
-        lambda acc, v: acc + v,
-    )
 
 
 def score_pairs(

@@ -161,7 +161,13 @@ def _simhash_fold_fn(chunk_tokens: int):
             n = len(pdf)
             packed = np.zeros(n, dtype=np.uint64)
             if n:
-                rows = [np.asarray(h, dtype=np.int64) for h in pdf["hashes"]]
+                # NULL text → NULL hashes array: fold as empty so the
+                # signature is 0, exactly the JVM twin's explode_outer
+                # path (count 0 → all votes lose → 0)
+                rows = [
+                    np.asarray(h if h is not None else [], dtype=np.int64)
+                    for h in pdf["hashes"]
+                ]
                 lens = np.array([len(r) for r in rows], dtype=np.int64)
                 nz = np.flatnonzero(lens)
                 # chunk on cumulative token count so peak memory is
@@ -207,8 +213,7 @@ def simhash_col(
     from kg.hints import spread_to_slots
 
     if portable:
-        def tok_hash(t):
-            return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
+        from kg.ops.minhash import md5_60 as tok_hash
     else:
         def tok_hash(t):
             return F.xxhash64(t)
@@ -359,7 +364,9 @@ def embedding_near_duplicates(
         cand.join(a, "a")
         .join(b, "b")
         .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
-        # threshold on the unrounded value (the DuckDB twin does the same)
-        .filter(F.col("cosine") >= threshold)
+        # threshold on the unrounded value (the DuckDB twin does the same);
+        # NaN (zero-norm vectors) compares ABOVE every double in Spark,
+        # so it must be excluded explicitly
+        .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )

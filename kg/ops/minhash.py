@@ -45,6 +45,16 @@ def xxhash64_base(col: Column) -> Column:
     return F.pmod(F.xxhash64(col), F.lit(_PRIME))
 
 
+def md5_60(col: Column) -> Column:
+    """Top 60 bits of md5 as a non-negative long — THE engine-portable
+    hash primitive every `_portable` oracle twin in the library builds
+    on (DuckDB: ``('0x' || substring(md5(s), 1, 15))::UBIGINT``).  One
+    definition: the portability contract requires the simhash, minhash
+    and winnowing call sites to stay byte-identical with their SQL
+    replicas, so none of them inlines its own copy."""
+    return F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long")
+
+
 def md5_base(col: Column) -> Column:
     """Engine-portable base hash: the top 60 bits of md5, bounded to
     [0, PRIME).  DuckDB computes the identical value via
@@ -52,10 +62,7 @@ def md5_base(col: Column) -> Column:
     what makes a FULL SQL oracle possible for the minhash family.
     Costs an md5 per shingle instead of an xxhash64; use for
     verification twins, keep xxhash64 in the 100 TB path."""
-    return F.pmod(
-        F.conv(F.substring(F.md5(col), 1, 15), 16, 10).cast("long"),
-        F.lit(_PRIME),
-    )
+    return F.pmod(md5_60(col), F.lit(_PRIME))
 
 
 def minhash_candidate_pairs(

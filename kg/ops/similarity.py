@@ -164,9 +164,11 @@ def _banded_signatures_arrow(
     id_type = df.schema[id_col].dataType.simpleString()
     out_schema = f"{id_col} {id_type}, band int, key string"
     r = planes // bands
-    w_rows = [
-        np.array([plane(dim, p)[j] for p in range(planes)]) for j in range(dim)
-    ]
+    # one plane() call per plane, then transpose — the naive per-(dim,
+    # plane) comprehension recomputes the full sha256-derived plane per
+    # element, O(dim² × planes) digests at plan-build time
+    w_mat = np.array([plane(dim, p) for p in range(planes)], dtype=np.float64)
+    w_rows = list(w_mat.T)  # w_rows[j][p] = plane p's j-th component
 
     def fn(batches):
         import pandas as pd
@@ -269,7 +271,11 @@ def brute_force_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        # a zero-norm vector has no direction: its cosine is NaN, which
+        # Spark orders ABOVE every double — unguarded it would be the
+        # rank-1 "neighbor" of every query.  Mirrored in each SQL twin.
+        scored.filter(~F.isnan("cosine"))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
@@ -301,7 +307,10 @@ def ivf_assign(
     )
     w = W.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("cid"))
     return (
-        scored.withColumn("_rk", F.row_number().over(w))
+        # zero-norm vectors (NaN cosine to every centroid) get NO cell —
+        # they are unindexable, not members of an arbitrary NaN-tie cell
+        scored.filter(~F.isnan("_c"))
+        .withColumn("_rk", F.row_number().over(w))
         .filter(F.col("_rk") <= nprobe)
         .select(id_col, "cid")
     )
@@ -378,7 +387,8 @@ def ivf_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.filter(~F.isnan("cosine"))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
@@ -442,7 +452,8 @@ def lsh_ann_topk(
     )
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
-        scored.withColumn("rk", F.row_number().over(w))
+        scored.filter(~F.isnan("cosine"))
+        .withColumn("rk", F.row_number().over(w))
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )

@@ -113,11 +113,10 @@ def winnow_fingerprints(
             lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k)),
         ),
     ).otherwise(F.array().cast("array<string>"))
+    from kg.ops.minhash import md5_60
+
     d = d.select(F.col(id_col), grams.alias("_g"))
-    hashes = F.transform(
-        F.col("_g"),
-        lambda g: F.conv(F.substring(F.md5(g), 1, 15), 16, 10).cast("long"),
-    )
+    hashes = F.transform(F.col("_g"), md5_60)
     d = d.select(F.col(id_col), hashes.alias("_h"))
     n_win = F.size(F.col("_h")) - (window - 1)
     minima = F.when(

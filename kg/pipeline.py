@@ -114,6 +114,19 @@ def _pk_bucket_stats(
     )
 
 
+def _clear_partition_dirs(path: str, col: str, buckets: set[int]) -> None:
+    """Delete the partition dirs of buckets about to be rewritten.
+
+    Dynamic partition overwrite only replaces partitions PRESENT in the
+    new output: a re-run bucket whose recomputation now yields zero rows
+    would otherwise keep its stale files forever — and lineage would
+    re-record their counts as current.  Deleting first is idempotent: a
+    crash between delete and write leaves the bucket absent AND
+    unrecorded, so the next run rewrites it."""
+    for b in buckets:
+        shutil.rmtree(os.path.join(path, f"{col}={b}"), ignore_errors=True)
+
+
 def _write(
     df: DataFrame,
     path: str,
@@ -193,7 +206,13 @@ def run_pipeline(
             # dynamic partition overwrite: only the buckets present in
             # this run's output are replaced — a crash between data write
             # and lineage append just rewrites those buckets
-            # byte-identically.
+            # byte-identically.  Pending buckets whose re-extraction
+            # yields ZERO rows are absent from the output, so their
+            # stale dirs are cleared explicitly first.
+            if os.path.exists(triples_path):
+                _clear_partition_dirs(
+                    triples_path, "bucket", set(range(b)) - done
+                )
             _write(new_triples, triples_path, ["bucket"], buckets=b)
         # lineage is recorded from the SOURCE side (group pending input
         # rows by bucket), so a bucket whose files all yield zero triples
@@ -228,6 +247,18 @@ def run_pipeline(
             "content_sha_xor",
             *(["input_fp"] if detect_changes else []),
         )
+        # extract produced new output ⇒ every downstream stage's inputs
+        # changed.  Their lineage is dropped DURABLY and BEFORE extract's
+        # own rows are recorded: with the in-process flag alone, a crash
+        # after this append but before downstream reruns would leave a
+        # later run seeing extract fully done (extract_ran=False) and
+        # stale downstream lineage still 'done' — permanently
+        # inconsistent outputs.  Order matters: crash between the two
+        # leaves downstream marked stale (safe rerun), never extract
+        # done over stale downstream.
+        lineage.invalidate_stages(
+            "link", "canonicalize", "materialize_nodes", "materialize_edges"
+        )
         lineage.record_buckets("extract", per_bucket, t.ms)
         log_event("stage_done", stage="extract", duration_ms=t.ms)
     else:
@@ -248,6 +279,10 @@ def run_pipeline(
             mentions, matches = run_link(triples, cfg)
             _write(mentions.drop("shingles"), mentions_path)
             _write(matches, matches_path)
+        # drop any previous row first: record_stage appends, and a rerun
+        # (e.g. a path recreated after manual deletion) would otherwise
+        # accumulate duplicate 'done' rows for the stage
+        lineage.invalidate_stages("link")
         lineage.record_stage("link", -1, -1, t.ms)
         log_event("stage_done", stage="link", duration_ms=t.ms)
     else:
@@ -264,6 +299,7 @@ def run_pipeline(
         with StageTimer() as t:
             emap = run_canonicalize(mentions, matches)
             _write(emap, emap_path)
+        lineage.invalidate_stages("canonicalize")
         lineage.record_stage("canonicalize", -1, -1, t.ms)
         log_event("stage_done", stage="canonicalize", duration_ms=t.ms)
     else:
@@ -280,9 +316,9 @@ def run_pipeline(
     # which is the corpus-sized cost at 10^12 files.
     nodes_path = cfg.table_path("nodes")
     edges_path = cfg.table_path("edges")
-    if extract_ran:
-        # inputs changed → every previously recorded bucket is stale
-        lineage.invalidate_stages("materialize_nodes", "materialize_edges")
+    # NOTE: no extract_ran-gated invalidation here — the extract block
+    # already dropped downstream lineage DURABLY before recording itself
+    # done, so a crash-then-rerun cannot see stale 'done' rows.
     all_buckets = set(range(b))
     pend_n = (
         all_buckets - lineage.completed_buckets("materialize_nodes")
@@ -321,6 +357,11 @@ def run_pipeline(
                     if len(pend) == b
                     else df.filter(F.col("pk_bucket").isin(list(pend)))
                 )
+                # a pending bucket whose recomputation is now empty is
+                # absent from the output — clear stale dirs first (same
+                # rationale as the extract write)
+                if os.path.exists(path):
+                    _clear_partition_dirs(path, "pk_bucket", pend)
                 _write(out, path, ["pk_bucket"], buckets=b)
         # lineage after the data writes: a crash in between just rewrites
         # the pending buckets byte-identically on the next run

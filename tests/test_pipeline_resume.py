@@ -143,6 +143,85 @@ def test_changed_input_bucket_is_rewritten(spark, tmp_path_factory):
     assert len(before) == len(after)
 
 
+def test_changed_bucket_with_zero_output_clears_stale_rows(
+    spark, tmp_path_factory
+):
+    """Dynamic partition overwrite only replaces partitions PRESENT in
+    the new output: a changed bucket whose re-extraction now yields ZERO
+    triples must still lose its stale rows (the write path clears pending
+    bucket dirs first), and lineage must record rows_out for the new
+    state, not the stale files'."""
+    from kg.datagen import make_file
+    from kg.lineage import bucket_col
+
+    cfg = _cfg(tmp_path_factory, "zero_clear")
+    target = next(f for f in map(make_file, range(N)) if f["lang"] == "python")
+    is_target = (F.col("repo") == target["repo"]) & (
+        F.col("path") == target["path"]
+    )
+    # make the target the ONLY file in its work bucket — otherwise the
+    # bucket's rewrite carries other files' rows and dynamic overwrite
+    # replaces the partition even without the explicit clearing
+    full = source_files_df(spark, N).withColumn(
+        "b", bucket_col("repo", "path", n_buckets=cfg.lineage_buckets)
+    )
+    tb = full.filter(is_target).select("b").first().b
+    src = full.filter((F.col("b") != tb) | is_target).drop("b")
+    run_pipeline(spark, src, cfg, restart=True, detect_changes=True)
+
+    # blank the file: its bucket's re-extraction now yields ZERO rows
+    src2 = src.withColumn(
+        "content", F.when(is_target, F.lit("x = 1\n")).otherwise(F.col("content"))
+    )
+    golden = _snapshot(
+        run_pipeline(
+            spark, src2, _cfg(tmp_path_factory, "zero_clear_g"), restart=True
+        )
+    )
+    out = run_pipeline(spark, src2, cfg, detect_changes=True)
+    assert (
+        out["triples"].filter(F.col("path") == target["path"]).count() == 0
+    )
+    assert _snapshot(out) == golden
+
+
+def test_crash_after_extract_recorded_still_rebuilds_downstream(
+    spark, tmp_path_factory, monkeypatch
+):
+    """Durable downstream invalidation: a run that re-extracts new input,
+    records extract lineage, then CRASHES before link completes must not
+    strand stale downstream outputs — the rerun (where extract itself has
+    nothing pending) must still rebuild link/canonicalize/materialize and
+    converge to the clean-run state.  Before the fix, the invalidation
+    rode the in-process extract_ran flag and the rerun skipped every
+    downstream stage against the stale 'done' lineage."""
+    import kg.pipeline as P
+
+    cfg = _cfg(tmp_path_factory, "crash_ds")
+    src = source_files_df(spark, N)
+    golden = _snapshot(run_pipeline(spark, src, cfg, restart=True))
+
+    # run B: a detect_changes rerun (run A recorded no fingerprints, so
+    # every bucket is conservatively re-extracted) records extract
+    # lineage, then link crashes
+    real_run_link = P.run_link
+    monkeypatch.setattr(
+        P, "run_link", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+    )
+    with pytest.raises(RuntimeError, match="boom"):
+        run_pipeline(spark, src, cfg, detect_changes=True)
+    monkeypatch.setattr(P, "run_link", real_run_link)
+
+    # run C: extract has nothing pending (extract_ran=False), but the
+    # crashed run's durable invalidation forces downstream to rebuild
+    store = LineageStore(spark, cfg.table_path("lineage"))
+    assert "link" not in {
+        r.stage for r in store.read().select("stage").distinct().collect()
+    }
+    out = run_pipeline(spark, src, cfg)
+    assert _snapshot(out) == golden
+
+
 def test_default_run_skips_fingerprint_then_detect_changes_recovers(
     spark, tmp_path_factory
 ):
