@@ -459,6 +459,18 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # text analysis
 # ---------------------------------------------------------------------------
+def q_dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
+    """MOSS-style near-dup: shared winnowing fingerprint → candidate,
+    3-gram Jaccard ≥ 0.5 re-rank.  Deterministic shared-run guarantee
+    (≥ 8 verbatim tokens → candidate), fully SQL-expressible."""
+    from kg.ops import winnow_duplicates
+
+    return winnow_duplicates(
+        _read(spark, sf, "documents"), "doc_id", "text",
+        k=5, window=4, ngram=3, threshold=0.5,
+    )
+
+
 def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     """Winnowing (MOSS) fingerprints: word 5-gram top-60-bit md5 hashes,
     4-hash window minima, distinct per document.  Fully SQL-expressible
@@ -573,6 +585,7 @@ def queries() -> dict[str, _T]:
         "ann_ivf": q_ann_ivf,
         "text_stats": q_text_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
+        "dedup_winnow": q_dedup_winnow,
         "kg_triples": q_kg_triples,
         "kg_entity_map": q_kg_entity_map,
         "kg_nodes": q_kg_nodes,
@@ -882,6 +895,39 @@ def oracle_sql() -> dict[str, str]:
             "round(CAST(len(list_intersect(a.toks, b.toks)) AS DOUBLE) / "
             "len(list_distinct(list_concat(a.toks, b.toks))), 6) AS jaccard_next "
             "FROM t a JOIN t b ON b.doc_id = a.doc_id + 1"
+        ),
+        "dedup_winnow": (
+            # winnow fingerprints (identical CTEs to winnow_fingerprints)
+            # → capped fingerprint buckets → candidate self-join →
+            # 3-gram Jaccard ≥ 0.5, mirroring winnow_duplicates exactly
+            "WITH t AS (SELECT doc_id, " + _TOK.format(c="text") + " AS toks "
+            "FROM documents), "
+            "g AS (SELECT doc_id, toks, CASE WHEN len(toks) >= 5 THEN "
+            "list_transform(range(len(toks) - 4), i -> "
+            "array_to_string(toks[i+1:i+5], ' ')) ELSE [] END AS grams FROM t), "
+            "h AS (SELECT doc_id, toks, list_transform(grams, g -> "
+            "CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT AS BIGINT)) AS hs "
+            "FROM g), "
+            "m AS (SELECT doc_id, CASE WHEN len(hs) >= 4 THEN "
+            "list_transform(range(len(hs) - 3), i -> list_min(hs[i+1:i+4])) "
+            "ELSE [] END AS mins FROM h), "
+            "fp AS (SELECT doc_id, unnest(list_distinct(mins)) AS fingerprint FROM m), "
+            "kept AS (SELECT fingerprint FROM fp GROUP BY fingerprint "
+            "         HAVING count(*) <= 1024), "
+            "fp2 AS (SELECT fp.* FROM fp JOIN kept USING (fingerprint)), "
+            "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM fp2 x "
+            "         JOIN fp2 y ON x.fingerprint = y.fingerprint "
+            "         AND x.doc_id < y.doc_id), "
+            "shs AS (SELECT doc_id, CASE WHEN len(toks) <= 3 THEN "
+            "        [array_to_string(toks, ' ')] "
+            "        ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
+            "             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS shset "
+            "        FROM t), "
+            "scored AS (SELECT a, b, CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) / "
+            "           len(list_distinct(list_concat(sa.shset, sb.shset))) AS j "
+            "           FROM cand JOIN shs sa ON sa.doc_id = cand.a "
+            "           JOIN shs sb ON sb.doc_id = cand.b) "
+            "SELECT a, b, round(j, 6) AS jaccard FROM scored WHERE j >= 0.5"
         ),
         "winnow_fingerprints": (
             # identical pipeline: word 5-grams → top-60-bit md5 → 4-hash

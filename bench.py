@@ -58,6 +58,7 @@ def main() -> None:
         "dedup_minhash",
         "dedup_simhash",
         "dedup_embedding",
+        "dedup_winnow",
         "text_stats",
         "ann_brute_force",
         "ann_lsh",

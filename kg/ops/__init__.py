@@ -14,6 +14,7 @@ from kg.ops.dedup import (  # noqa: F401
     simhash_col,
     simhash_col_jvm,
     simhash_candidates,
+    winnow_duplicates,
 )
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401

@@ -370,3 +370,67 @@ def embedding_near_duplicates(
         .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
     )
+
+
+# ---------------------------------------------------------------------------
+# winnowing (MOSS) near-dup
+# ---------------------------------------------------------------------------
+def winnow_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    k: int = 5,
+    window: int = 4,
+    ngram: int = 3,
+    threshold: float = 0.5,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """MOSS-style near-dup pairs: winnowing fingerprints as the blocking
+    key (docs sharing ANY fingerprint are candidates), word n-gram
+    Jaccard re-rank above ``threshold``.
+
+    Complements the MinHash path with a different guarantee: MinHash
+    recall is probabilistic in overall set similarity, while winnowing
+    DETERMINISTICALLY catches any verbatim token run of length
+    ≥ window+k-1 — the plagiarism/boilerplate detection contract — even
+    between documents that are otherwise dissimilar.  ``cap_buckets``
+    guards ubiquitous-fingerprint boilerplate, same 100 TB posture as
+    every other blocking join in the library; fingerprints use the
+    portable md5 hash, so the WHOLE operator has a DuckDB twin."""
+    from kg.hints import spread_to_slots
+    from kg.ops.similarity import cap_buckets
+    from kg.ops.text import winnow_fingerprints
+
+    d = spread_to_slots(df)
+    fps = winnow_fingerprints(
+        d, id_col, text_col, k=k, window=window
+    ).localCheckpoint()  # consumed by the cap count + both join sides
+    fps = cap_buckets(fps, ["fingerprint"], max_bucket)
+    x, y = fps.alias("x"), fps.alias("y")
+    cands = (
+        x.join(
+            y,
+            (F.col("x.fingerprint") == F.col("y.fingerprint"))
+            & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
+        )
+        .select(
+            F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
+        )
+        .distinct()
+    )
+    sh = d.select(
+        F.col(id_col), token_ngrams(F.col(text_col), ngram).alias("sh")
+    ).localCheckpoint()
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .withColumn(
+            "jaccard",
+            F.size(F.array_intersect("sh_a", "sh_b"))
+            / F.size(F.array_union("sh_a", "sh_b")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )

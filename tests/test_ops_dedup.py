@@ -404,3 +404,24 @@ def test_banded_signatures_arrow_handles_dirty_vectors(spark):
     assert rows["arrow"] == rows["expr"]
     dirty = {k for k in rows["arrow"] if k[0] in (2, 3, 4)}
     assert all(key == "0000" for _, _, key in dirty)
+
+
+def test_winnow_duplicates_catches_shared_run(spark):
+    """The MOSS guarantee carried to the pair level: two docs sharing a
+    verbatim run of ≥ window+k-1 tokens become a candidate pair and
+    survive the Jaccard re-rank when actually similar; dissimilar docs
+    sharing nothing produce no pair."""
+    from kg.ops import winnow_duplicates
+
+    base = "one two three four five six seven eight nine ten eleven twelve"
+    df = spark.createDataFrame(
+        [
+            (1, base + " alpha beta"),
+            (2, base + " gamma delta"),  # near-dup of 1 (long shared run)
+            (3, "totally unrelated words about other topics entirely here"),
+        ],
+        "doc_id long, text string",
+    )
+    pairs = {(r.a, r.b) for r in winnow_duplicates(df, "doc_id", "text").collect()}
+    assert (1, 2) in pairs
+    assert all(3 not in p for p in pairs)
