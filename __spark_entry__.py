@@ -26,7 +26,6 @@ from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from kg.conf import PipelineConfig
 from kg.ops.dedup import token_ngrams  # noqa: F401 (re-export for tests)
-from kg.ops.similarity import _cosine
 from kg.ops.text import (
     LANG_MARKERS,
     doc_fingerprint,
@@ -133,8 +132,12 @@ def q_array_json(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def q_shard_bounds(spark: SparkSession, sf: str) -> DataFrame:
-    """O5: static even range sharding (Migrator.cs:50-62) expressed as a
-    query: split documents into 4 even id-range shards, ceil/floor math."""
+    """O5: static sharding (Migrator.cs:50-62) re-keyed for Spark: the
+    reference hands each instance a CONTIGUOUS id range (ceil(total/n)
+    wide), which keys skew onto insertion order; the Spark mapping
+    shards by id modulo — the same deterministic, even, non-overlapping
+    partition of the id space, but insertion-order-independent (the
+    same reasoning that keys pipeline work buckets on a hash)."""
     d = _read(spark, sf, "documents")
     total = 4
     return (
@@ -168,7 +171,7 @@ def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     return (
         li.groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.sum("l_quantity").cast("long").alias("sum_qty"),
+            F.sum(F.floor("l_quantity")).cast("long").alias("sum_qty"),
             F.sum(F.floor(F.col("l_extendedprice") * 100)).alias("price_cents"),
             F.sum(
                 F.floor(F.col("l_extendedprice") * (1 - F.col("l_discount")) * 100)
@@ -217,7 +220,7 @@ def q_cube_pricing(spark: SparkSession, sf: str) -> DataFrame:
     li = _read(spark, sf, "lineitem")
     return li.cube("l_returnflag", "l_linestatus").agg(
         F.count("*").alias("n"),
-        F.sum("l_quantity").cast("long").alias("sum_qty"),
+        F.sum(F.floor("l_quantity")).cast("long").alias("sum_qty"),
     )
 
 
@@ -283,7 +286,12 @@ def q_event_sessions(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_user_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Window functions: per-user event sequence stats with lag-based gap
-    counting (sessionization primitive)."""
+    counting (sessionization primitive).  Boundary note: this rule
+    breaks a session when the gap EXCEEDS 1800 s (gap > 1800), while
+    ``event_sessions``/``session_window`` break at gap >= 1800 (an event
+    landing exactly at the window end is outside it) — events exactly
+    1800 s apart are the one case where the two operators' session
+    counts differ, each matching its own oracle."""
     e = _read(spark, sf, "events")
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
     gap = F.unix_timestamp("ts") - F.unix_timestamp(F.lag("ts").over(w))
@@ -496,7 +504,13 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # KG pipeline stages (synthetic 200-file corpus; golden-backed SQL twins)
 # ---------------------------------------------------------------------------
-def _kg_outputs(spark: SparkSession) -> dict[str, DataFrame]:
+def _kg_outputs(
+    spark: SparkSession, upto: str = "materialize"
+) -> dict[str, DataFrame]:
+    """Build the pipeline ONLY up to the stage the caller needs:
+    link+canonicalize run eager actions (mention checkpoint + count, CC
+    fixpoint rounds), so q_kg_triples must not pay for them and
+    q_kg_entity_map must not pay for materialize."""
     from kg.datagen import source_files_df
     from kg.extract import run_extract
     from kg.link import run_link
@@ -508,24 +522,25 @@ def _kg_outputs(spark: SparkSession) -> dict[str, DataFrame]:
     # oracle gate fail spuriously under a stray env var (ADVICE r2)
     cfg = PipelineConfig(partition_key="repo")
     triples = run_extract(source_files_df(spark, 200))
+    out: dict[str, DataFrame] = {"triples": triples}
+    if upto == "extract":
+        return out
     mentions, matches = run_link(triples, cfg)
     emap = run_canonicalize(mentions, matches)
+    out["entity_map"] = emap
+    if upto == "canonicalize":
+        return out
     nodes, edges = run_materialize(triples, emap, cfg)
-    return {
-        "triples": triples,
-        "mentions": mentions.drop("shingles"),
-        "entity_map": emap,
-        "nodes": nodes,
-        "edges": edges,
-    }
+    out["nodes"], out["edges"] = nodes, edges
+    return out
 
 
 def q_kg_triples(spark: SparkSession, sf: str) -> DataFrame:
-    return _kg_outputs(spark)["triples"]
+    return _kg_outputs(spark, upto="extract")["triples"]
 
 
 def q_kg_entity_map(spark: SparkSession, sf: str) -> DataFrame:
-    return _kg_outputs(spark)["entity_map"]
+    return _kg_outputs(spark, upto="canonicalize")["entity_map"]
 
 
 def q_kg_nodes(spark: SparkSession, sf: str) -> DataFrame:
@@ -820,7 +835,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "pricing_summary": (
             "SELECT l_returnflag, l_linestatus, "
-            "CAST(sum(l_quantity) AS BIGINT) AS sum_qty, "
+            "CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_qty, "
             "CAST(sum(floor(l_extendedprice * 100)) AS BIGINT) AS price_cents, "
             "CAST(sum(floor(l_extendedprice * (1 - l_discount) * 100)) AS BIGINT) AS revenue_cents, "
             "count(*) AS count_order "
@@ -840,7 +855,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "cube_pricing": (
             "SELECT l_returnflag, l_linestatus, count(*) AS n, "
-            "CAST(sum(l_quantity) AS BIGINT) AS sum_qty "
+            "CAST(sum(floor(l_quantity)) AS BIGINT) AS sum_qty "
             "FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"
         ),
         "pivot_order_priority": (
