@@ -41,18 +41,32 @@ class LineageStore:
         self.path = path
 
     def read(self) -> DataFrame:
-        if not os.path.exists(self.path) and os.path.exists(self.path + ".old"):
-            # crash landed between _rewrite_keeping's two renames: the
-            # previous table was moved aside but the new one never
-            # arrived — recover the old state.  Safe because every
-            # invalidation trigger is RE-DERIVED each run (extract_ran,
-            # changed fingerprints), so the rerun that reads the
-            # recovered table immediately re-issues the interrupted
-            # invalidation before acting on it
-            os.rename(self.path + ".old", self.path)
+        self._recover()
         if os.path.exists(self.path):
             return self.spark.read.schema(LINEAGE).parquet(self.path)
         return self.spark.createDataFrame([], LINEAGE)
+
+    def _recover(self) -> None:
+        """Complete or roll back an interrupted ``_rewrite_keeping``.
+
+        The rewrite's durability point is ``.tmp/_SUCCESS``: once the new
+        table is fully written, recovery rolls FORWARD (swap the new
+        table in), never backward — so an invalidation survives a crash
+        in any later window regardless of the rerun's flags.  The r3
+        rollback-only recovery silently resurrected changed-fingerprint
+        drops when the interrupted ``detect_changes`` run was followed by
+        a default rerun, which never re-derives that trigger (ADVICE r3).
+        A ``.tmp`` without ``_SUCCESS`` is a partial write: discard it
+        and roll back to ``.old`` if the live table is gone."""
+        tmp, old = self.path + ".tmp", self.path + ".old"
+        if os.path.exists(os.path.join(tmp, "_SUCCESS")):
+            shutil.rmtree(self.path, ignore_errors=True)
+            os.rename(tmp, self.path)
+        else:
+            shutil.rmtree(tmp, ignore_errors=True)
+            if not os.path.exists(self.path) and os.path.exists(old):
+                os.rename(old, self.path)
+        shutil.rmtree(old, ignore_errors=True)
 
     def completed_buckets(self, stage: str) -> set[int]:
         rows = (
@@ -91,19 +105,25 @@ class LineageStore:
         swapped in with atomic renames.  The previous reset-then-write
         had a window where a crash left NO lineage at all — the next run
         would re-extract the entire corpus, a catastrophic resume
-        regression in exactly the module whose contract is crash-resume
-        (``read`` recovers the one remaining window: old moved aside,
-        new not yet renamed)."""
+        regression in exactly the module whose contract is crash-resume.
+        ``_recover`` (run by every ``read``) completes an interrupted
+        swap forward once the new table is durable, else rolls back."""
         pdf = self.read().filter(keep_pred).toPandas()
         tmp, old = self.path + ".tmp", self.path + ".old"
         shutil.rmtree(tmp, ignore_errors=True)
         shutil.rmtree(old, ignore_errors=True)
-        if len(pdf):
-            self.spark.createDataFrame(pdf, schema=LINEAGE).write.parquet(tmp)
+        new = (
+            self.spark.createDataFrame(pdf, schema=LINEAGE)
+            if len(pdf)
+            else self.spark.createDataFrame([], LINEAGE)
+        )
+        # the write is ALWAYS taken (an empty keep-set writes an empty
+        # table): tmp/_SUCCESS is the durability point — from here
+        # ``_recover`` rolls the swap FORWARD after any crash
+        new.write.parquet(tmp)
         if os.path.exists(self.path):
             os.rename(self.path, old)
-        if os.path.exists(tmp):
-            os.rename(tmp, self.path)
+        os.rename(tmp, self.path)
         shutil.rmtree(old, ignore_errors=True)
 
     def invalidate_buckets(self, stage: str, buckets: set[int]) -> None:

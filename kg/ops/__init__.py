@@ -3,7 +3,8 @@
 First-class components alongside the KG pipeline: deduplication (exact,
 MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
 (brute-force + LSH-bucketed ANN), text analysis (language-ID, quality,
-token counting, fingerprinting), and multimodal column plumbing.
+token counting, fingerprinting), multimodal column plumbing, and graph
+queries over the materialized vertex/edge output (degrees, 2-hop, k-hop).
 """
 
 from kg.ops.dedup import (  # noqa: F401
@@ -15,6 +16,12 @@ from kg.ops.dedup import (  # noqa: F401
     simhash_col_jvm,
     simhash_candidates,
     winnow_duplicates,
+)
+from kg.ops.graph import (  # noqa: F401
+    degree_distribution,
+    degrees,
+    k_hop,
+    two_hop,
 )
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401

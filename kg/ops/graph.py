@@ -1,0 +1,154 @@
+"""Graph-query operators over the materialized vertex/edge tables.
+
+The reference's sink is a Gremlin graph container — the point of
+materializing vertex/edge documents is to TRAVERSE them (reference
+``README.md:11``: "data will be available in a graph database").  The
+engine materializes oracle-perfect ``kg_nodes``/``kg_edges`` tables; these
+operators are the Spark-relational mapping of the first traversals any
+consumer of that output runs:
+
+* ``degrees`` — per-vertex in/out/total degree
+  (Gremlin ``g.V().map(bothE().count())``);
+* ``degree_distribution`` — the degree histogram, the standard first
+  diagnostic over a newly-built graph;
+* ``two_hop`` — all ordered (src, dst) pairs connected by a directed
+  2-path, with path multiplicity (``g.V().out().out()`` with dedup);
+* ``k_hop`` — BFS frontier expansion from a source set: every vertex
+  reachable in ≤ k hops with its hop distance (``g.V(x).repeat(out())``).
+
+Scale shape (100 TB): everything is equi-joins + hash aggregations on the
+flat edge table — no cartesian anywhere.  Edge endpoints in the pipeline's
+own output are sha256-derived ids, so the shuffles hash uniformly.  The
+one quadratic risk is a super-node in the MIDDLE of a 2-path (candidate
+count is fan-in × fan-out per mid vertex): ``two_hop`` takes a
+``max_fanout`` cap that drops such hubs before the join — the same
+degenerate-bucket guard every LSH band join in this repo uses
+(``kg.ops.similarity.cap_buckets`` rationale).  ``k_hop`` bounds each
+round's frontier the same way (``max_frontier``) and localCheckpoints per
+round so the plan doesn't deepen with k (same discipline as the
+connected-components fixpoint, ``kg/canonicalize/cc.py``).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def degrees(
+    edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
+) -> DataFrame:
+    """Per-vertex (id, out_degree, in_degree, degree).
+
+    One union + ONE hash aggregation (map-side partial combine): a
+    groupBy per direction + full outer join would shuffle twice and
+    join-shuffle a third time for the same answer."""
+    ends = edges.select(
+        F.col(out_col).alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i")
+    ).unionAll(
+        edges.select(F.col(in_col).alias("id"), F.lit(0).alias("o"), F.lit(1).alias("i"))
+    )
+    return ends.groupBy("id").agg(
+        F.sum("o").cast("long").alias("out_degree"),
+        F.sum("i").cast("long").alias("in_degree"),
+        F.count("*").cast("long").alias("degree"),
+    )
+
+
+def degree_distribution(
+    edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
+) -> DataFrame:
+    """Degree histogram: (degree, n_nodes).  Two hash aggregations; the
+    second groups the (small) per-vertex degree table."""
+    return (
+        degrees(edges, out_col, in_col)
+        .groupBy("degree")
+        .agg(F.count("*").cast("long").alias("n_nodes"))
+    )
+
+
+def two_hop(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """All ordered (src, dst) pairs connected by a directed path of
+    length 2, with multiplicity: (src, dst, n_paths).
+
+    Shape: ONE self-equi-join on the mid vertex + one hash aggregation —
+    the dedup-by-endpoint-pair is the groupBy itself.  ``max_fanout``
+    (when set) drops mid vertices whose fan-in OR fan-out exceeds the
+    cap before the join: a hub vertex contributes fan-in × fan-out
+    candidate rows — quadratic in its degree — while carrying little
+    path-specific signal; at web scale the cap is the difference between
+    Σ(in_i × out_i) over normal vertices and one hub owning the job."""
+    a = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("mid"))
+    b = edges.select(F.col(out_col).alias("mid"), F.col(in_col).alias("dst"))
+    if max_fanout is not None:
+        fan_in = a.groupBy("mid").agg(F.count("*").alias("_n"))
+        fan_out = b.groupBy("mid").agg(F.count("*").alias("_n"))
+        ok_in = fan_in.filter(F.col("_n") <= max_fanout).drop("_n")
+        ok_out = fan_out.filter(F.col("_n") <= max_fanout).drop("_n")
+        a = a.join(ok_in, "mid").join(ok_out, "mid")
+        b = b.join(ok_in, "mid").join(ok_out, "mid")
+    return (
+        a.join(b, "mid")
+        .groupBy("src", "dst")
+        .agg(F.count("*").cast("long").alias("n_paths"))
+    )
+
+
+def k_hop(
+    edges: DataFrame,
+    sources: DataFrame,
+    k: int,
+    id_col: str = "id",
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    max_frontier: int | None = None,
+) -> DataFrame:
+    """BFS levels: (id, hops) for every vertex reachable from ``sources``
+    in at most ``k`` directed hops (hops = BFS distance, sources at 0).
+
+    Driver-side loop of ≤ k rounds, each: frontier ⋈ edges (equi-join on
+    the tail id) → anti-join already-visited → next frontier.  Each
+    round's frontier is ``localCheckpoint``ed so the plan stays shallow
+    and the emptiness probe is O(1) — the same loop discipline as the
+    large/small-star connected-components fixpoint.  ``max_frontier``
+    (when set) raises instead of letting a super-node explode the
+    expansion silently — at 100 TB you want the guard to fail loudly,
+    not an executor OOM three joins later.
+
+    No SQL-oracle entry for the general op (iterative, data-dependent
+    round count); the fixed-depth ``two_hop`` IS the SQL-twinned family
+    member, and the pytest covers k_hop against a hand-computed BFS.
+    """
+    e = edges.select(
+        F.col(out_col).alias("_src"), F.col(in_col).alias("_dst")
+    ).distinct()
+    visited = (
+        sources.select(F.col(id_col).alias("id"))
+        .distinct()
+        .withColumn("hops", F.lit(0))
+        .localCheckpoint()
+    )
+    frontier = visited
+    for h in range(1, k + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e._src)
+            .select(F.col("_dst").alias("id"))
+            .distinct()
+            .join(visited, "id", "left_anti")
+            .withColumn("hops", F.lit(h))
+            .localCheckpoint()
+        )
+        n = nxt.count()
+        if n == 0:
+            break
+        if max_frontier is not None and n > max_frontier:
+            raise ValueError(
+                f"k_hop frontier exploded at hop {h}: {n} > max_frontier={max_frontier}"
+            )
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return visited

@@ -87,27 +87,20 @@ def _pk_bucket_stats(
     showed up directly in the 4-instance fleet's scaling efficiency.
     No content fingerprint here — materialize output is a deterministic
     recomputation of extract's output, whose lineage DOES carry the
-    content fingerprint.  Non-local paths (scheme://) fall back to one
-    Spark metadata scan."""
-    if "://" not in path:
-        import glob as _glob
+    content fingerprint.  Paths are always local here:
+    ``PipelineConfig.__post_init__`` rejects ``scheme://`` warehouses
+    (the r3 Spark-scan fallback for remote paths was unreachable dead
+    code, ADVICE r3); a remote sink would read manifest/footer counts
+    through its own metadata API instead."""
+    assert "://" not in path, "remote warehouses are rejected by PipelineConfig"
+    import glob as _glob
 
-        import pyarrow.parquet as _pq
+    import pyarrow.parquet as _pq
 
-        counts = {}
-        for bkt in pending:
-            files = _glob.glob(os.path.join(path, f"pk_bucket={bkt}", "*.parquet"))
-            counts[bkt] = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
-    else:
-        rows = (
-            spark.read.parquet(path)
-            .filter(F.col("pk_bucket").isin(list(pending)))
-            .groupBy(F.col("pk_bucket").cast("int").alias("bucket"))
-            .agg(F.count("*").alias("rows_out"))
-            .collect()
-        )
-        got = {r.bucket: r.rows_out for r in rows}
-        counts = {bkt: got.get(bkt, 0) for bkt in pending}
+    counts = {}
+    for bkt in pending:
+        files = _glob.glob(os.path.join(path, f"pk_bucket={bkt}", "*.parquet"))
+        counts[bkt] = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
     return spark.createDataFrame(
         [(b, -1, counts[b], None) for b in sorted(pending)],
         "bucket int, rows_in long, rows_out long, content_sha_xor string",

@@ -162,20 +162,28 @@ def _session_merge(gap_seconds: int):
     """Per-key state-merge function for ``applyInPandasWithState``.
 
     State per user: (epoch-seconds of the last event seen, running event
-    count, running session count).  Each micro-batch is folded in with ONE
-    vectorized numpy pass (sort + diff + comparison) — no per-row Python,
-    so a batch with millions of rows for a hot key still costs O(n log n)
-    C-speed work.  A row opens a new session iff it is the user's first
-    event ever or its gap from the previous event exceeds ``gap_seconds``
-    — exactly the batch `lag`-over-window rule.
+    count, running session count).  The key's whole micro-batch is folded
+    with ONE vectorized numpy pass (sort + diff + comparison) — no per-row
+    Python, so a batch with millions of rows for a hot key still costs
+    O(n log n) C-speed work.  A row opens a new session iff it is the
+    user's first event ever or its gap from the previous event exceeds
+    ``gap_seconds`` — exactly the batch `lag`-over-window rule.
+
+    The iterator yields the key's micro-batch data as MULTIPLE Arrow
+    chunks (split at arrow.maxRecordsPerBatch) in arbitrary post-shuffle
+    order, so the chunks are concatenated and sorted ONCE before the
+    fold: sorting each chunk independently would fold cross-chunk
+    backwards gaps as "same session" and regress ``last_ts`` for exactly
+    the hot keys this operator exists for (ADVICE r3).  Memory stays
+    bounded by the key's micro-batch size, which the concat holds anyway.
     """
     import numpy as np
 
     def fn(key, pdfs: Iterator[pd.DataFrame], state) -> Iterator[pd.DataFrame]:
         last_ts, n_ev, n_sess = state.get if state.exists else (None, 0, 0)
-        for pdf in pdfs:
-            if pdf.empty:
-                continue
+        chunks = [pdf for pdf in pdfs if not pdf.empty]
+        if chunks:
+            pdf = pd.concat(chunks, ignore_index=True) if len(chunks) > 1 else chunks[0]
             pdf = pdf.sort_values(["ts", "event_id"])
             ts = (
                 pdf["ts"].astype("datetime64[ns]").astype("int64")

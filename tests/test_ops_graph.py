@@ -1,0 +1,97 @@
+"""Graph-query operators (kg/ops/graph.py): degrees, degree histogram,
+2-hop with multiplicity + super-node cap, k-hop BFS levels.
+
+The oracle gate covers graph_degree / graph_two_hop against DuckDB over
+the testdata star schema; these tests pin the semantics on a hand graph
+(including the parts a SQL twin can't express: the k_hop loop, the
+frontier guard) and the plan shape (equi-joins only, no cartesian).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg.ops import degree_distribution, degrees, k_hop, two_hop
+
+# chain a → b → c → d with shortcut a → c; hub m with fan-in 3 / fan-out 3
+_EDGES = [
+    ("a", "b"),
+    ("a", "c"),
+    ("b", "c"),
+    ("c", "d"),
+    # hub vertex m: 3 in, 3 out → 9 two-hop candidate rows through it
+    ("p1", "m"), ("p2", "m"), ("p3", "m"),
+    ("m", "q1"), ("m", "q2"), ("m", "q3"),
+]
+
+
+@pytest.fixture()
+def edges(spark):
+    return spark.createDataFrame(_EDGES, "out_id string, in_id string")
+
+
+def test_degrees(edges):
+    got = {r.id: (r.out_degree, r.in_degree, r.degree) for r in degrees(edges).collect()}
+    assert got["a"] == (2, 0, 2)
+    assert got["c"] == (1, 2, 3)
+    assert got["m"] == (3, 3, 6)
+    assert got["q1"] == (0, 1, 1)
+    # every endpoint appears; degree = out + in for all
+    assert all(o + i == d for o, i, d in got.values())
+
+
+def test_degree_distribution(edges):
+    got = {r.degree: r.n_nodes for r in degree_distribution(edges).collect()}
+    # degree 1: d, q1..q3, p1..p3 → 7; degree 2: a, b; degree 3: c; 6: m
+    assert got == {1: 7, 2: 2, 3: 1, 6: 1}
+
+
+def test_two_hop_multiplicity_and_dedup(edges):
+    got = {(r.src, r.dst): r.n_paths for r in two_hop(edges).collect()}
+    assert got[("a", "c")] == 1  # via b (a→c direct is 1-hop, not counted)
+    assert got[("a", "d")] == 1  # via c
+    assert got[("b", "d")] == 1
+    assert got[("p1", "q1")] == 1
+    # hub m contributes 3×3 pairs
+    assert sum(1 for (s, _d) in got if s in {"p1", "p2", "p3"}) == 9
+
+
+def test_two_hop_max_fanout_drops_hub(edges):
+    """max_fanout=2 drops mid vertices with fan-in or fan-out > 2: every
+    path through hub m disappears, chain paths survive."""
+    got = {(r.src, r.dst) for r in two_hop(edges, max_fanout=2).collect()}
+    assert ("a", "c") in got and ("a", "d") in got
+    assert not any(s in {"p1", "p2", "p3"} for s, _ in got)
+
+
+def test_two_hop_plan_is_equi_joins_only(edges):
+    plan = two_hop(edges, max_fanout=1024)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_k_hop_bfs_levels(spark, edges):
+    src = spark.createDataFrame([("a",)], "id string")
+    got = {r.id: r.hops for r in k_hop(edges, src, k=3).collect()}
+    # BFS distance, NOT path length: c is reachable at hop 1 (a→c)
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2}
+    # k caps the depth
+    got1 = {r.id: r.hops for r in k_hop(edges, src, k=1).collect()}
+    assert got1 == {"a": 0, "b": 1, "c": 1}
+    # early exit: frontier empties before k — result identical to k=3
+    got9 = {r.id: r.hops for r in k_hop(edges, src, k=9).collect()}
+    assert got9 == got
+
+
+def test_k_hop_frontier_guard(spark, edges):
+    src = spark.createDataFrame([("p1",), ("p2",), ("p3",)], "id string")
+    with pytest.raises(ValueError, match="frontier exploded"):
+        k_hop(edges, src, k=2, max_frontier=2)
+
+
+def test_k_hop_multi_source_min_distance(spark, edges):
+    """A vertex reachable from two sources gets the MIN hop distance."""
+    src = spark.createDataFrame([("b",), ("c",)], "id string")
+    got = {r.id: r.hops for r in k_hop(edges, src, k=2).collect()}
+    assert got == {"b": 0, "c": 0, "d": 1}

@@ -34,6 +34,62 @@ def _snapshot(out):
     return nodes, edges
 
 
+def _seeded_store(spark, tmp_path_factory) -> LineageStore:
+    store = LineageStore(
+        spark, str(tmp_path_factory.mktemp("lineage_unit")) + "/lineage"
+    )
+    per_bucket = spark.createDataFrame(
+        [(b, 1, 1, None) for b in range(4)],
+        "bucket int, rows_in long, rows_out long, content_sha_xor string",
+    )
+    store.record_buckets("extract", per_bucket, 0)
+    return store
+
+
+def test_lineage_invalidation_survives_crash_after_durability_point(
+    spark, tmp_path_factory
+):
+    """ADVICE r3: a crash inside the rewrite's rename window used to
+    resurrect changed-fingerprint drops when the rerun didn't re-derive
+    the trigger (default detect_changes=False).  The durability point is
+    now tmp/_SUCCESS: simulate both post-durability crash windows and
+    assert recovery rolls the drop FORWARD."""
+    import os
+
+    from kg.schemas import LINEAGE
+
+    # window 1: tmp fully written, crash BEFORE the live table moved aside
+    store = _seeded_store(spark, tmp_path_factory)
+    keep = store.read().filter(F.col("bucket") < 2).toPandas()
+    spark.createDataFrame(keep, schema=LINEAGE).write.parquet(store.path + ".tmp")
+    assert store.completed_buckets("extract") == {0, 1}
+    assert not os.path.exists(store.path + ".tmp")
+
+    # window 2: live table moved to .old, crash before tmp→path rename
+    store = _seeded_store(spark, tmp_path_factory)
+    keep = store.read().filter(F.col("bucket") < 2).toPandas()
+    spark.createDataFrame(keep, schema=LINEAGE).write.parquet(store.path + ".tmp")
+    os.rename(store.path, store.path + ".old")
+    assert store.completed_buckets("extract") == {0, 1}
+    assert not os.path.exists(store.path + ".old")
+
+
+def test_lineage_partial_tmp_rolls_back(spark, tmp_path_factory):
+    """A crash MID-write of the new table (no _SUCCESS yet) discards the
+    partial tmp and recovers the previous state — re-deriving triggers is
+    then the rerun's job, and nothing recorded is lost."""
+    import os
+
+    store = _seeded_store(spark, tmp_path_factory)
+    os.makedirs(store.path + ".tmp")
+    with open(store.path + ".tmp/part-00000.parquet", "wb") as f:
+        f.write(b"partial")
+    os.rename(store.path, store.path + ".old")
+    assert store.completed_buckets("extract") == {0, 1, 2, 3}
+    assert not os.path.exists(store.path + ".tmp")
+    assert not os.path.exists(store.path + ".old")
+
+
 def test_rerun_is_idempotent(spark, tmp_path_factory):
     cfg = _cfg(tmp_path_factory, "idem")
     src = source_files_df(spark, N)

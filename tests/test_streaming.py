@@ -141,6 +141,49 @@ def test_stream_dedup_exact_drops_cross_batch_rearrivals(spark, tmp_path):
 # ---------------------------------------------------------------------------
 # custom stateful operator: applyInPandasWithState sessionization
 # ---------------------------------------------------------------------------
+class _FakeState:
+    """Minimal GroupState stand-in for direct merge-function tests."""
+
+    def __init__(self):
+        self.exists = False
+        self._v = None
+
+    @property
+    def get(self):
+        return self._v
+
+    def update(self, v):
+        self._v = v
+        self.exists = True
+
+
+def test_session_merge_sorts_across_arrow_chunks():
+    """applyInPandasWithState delivers a hot key's micro-batch as MULTIPLE
+    Arrow chunks in arbitrary post-shuffle order; the fold must sort the
+    UNION, not each chunk (ADVICE r3: per-chunk sorting folded cross-chunk
+    backwards gaps as 'same session').  Timestamps interleave across the
+    two chunks: [0, 4000] and [2000, 6000] — every sorted gap is 2000 s >
+    1800 s, so the batch rule says 4 sessions; the per-chunk fold said 3."""
+    from datetime import datetime, timedelta
+
+    from kg.streaming import _session_merge
+
+    t0 = datetime(2026, 1, 1)
+    mk = lambda secs, ids: pd.DataFrame(
+        {"user_id": 7, "ts": [t0 + timedelta(seconds=s) for s in secs],
+         "event_id": ids}
+    )
+    state = _FakeState()
+    fn = _session_merge(1800)
+    (out,) = fn((7,), iter([mk([0, 4000], [1, 2]), mk([2000, 6000], [3, 4])]), state)
+    assert out.iloc[0].to_dict() == {"user_id": 7, "n_events": 4, "n_sessions": 4}
+    # carried state feeds the next micro-batch exactly as a single chunk
+    # would: last_ts is the epoch of t0+6000 s, not a chunk-local tail
+    assert state.get == (pd.Timestamp(t0).value // 1_000_000_000 + 6000, 4, 4)
+    (out2,) = fn((7,), iter([mk([6100], [5])]), state)
+    assert out2.iloc[0].to_dict() == {"user_id": 7, "n_events": 5, "n_sessions": 4}
+
+
 def _expected_session_stats(events) -> dict:
     """The batch lag-window sessionization rule (q_user_event_windows)."""
     w = W.partitionBy("user_id").orderBy("ts", "event_id")
