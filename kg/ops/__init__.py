@@ -23,6 +23,7 @@ from kg.ops.graph import (  # noqa: F401
     k_hop,
     two_hop,
 )
+from kg.ops.kmeans import kmeans_fit  # noqa: F401
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401
     banded_lsh_pairs,
