@@ -43,7 +43,13 @@ from __future__ import annotations
 import os
 import shutil
 
-from pyspark.sql import Column, DataFrame, SparkSession, functions as F
+from pyspark.sql import (
+    Column,
+    DataFrame,
+    SparkSession,
+    Window as W,
+    functions as F,
+)
 
 from kg.canonicalize import run_canonicalize
 from kg.conf import PipelineConfig
@@ -53,7 +59,12 @@ from kg.link import run_link
 from kg.log import log_event
 from kg.materialize import run_materialize
 
-STAGES = ("extract", "link", "canonicalize", "materialize")
+STAGES = ("clean", "extract", "link", "canonicalize", "materialize")
+# stages whose lineage a new upstream output invalidates (crash-ordered:
+# dropped durably BEFORE the producing stage records itself done)
+_DOWNSTREAM_OF_EXTRACT = (
+    "link", "canonicalize", "materialize_nodes", "materialize_edges"
+)
 
 def _fingerprint(*cols: str) -> Column:
     """Order-insensitive content fingerprint: ``count:bit_xor(xxhash64)``.
@@ -141,25 +152,153 @@ def _write(
     w.parquet(path)
 
 
+def _dedup_exact_keep_first(df: DataFrame) -> DataFrame:
+    """One row per distinct content; the (repo, path)-minimal copy wins.
+    A distributed ``dropDuplicates`` keeps whichever copy wins the
+    reduction — partition-order-dependent, so reruns/resumes would not
+    be idempotent.  Keyed on sha2(content) so the shuffle hash is over
+    64-char keys; the surviving rows moving once is the cost any
+    corpus dedup pays."""
+    w = W.partitionBy(F.sha2(F.col("content"), 256)).orderBy("repo", "path")
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def _run_clean(
+    spark: SparkSession,
+    source_files: DataFrame,
+    cfg: PipelineConfig,
+    lineage: LineageStore,
+    dedup: str,
+    threshold: float,
+) -> DataFrame:
+    """Optional ``clean`` stage between source and extract: drop exact
+    duplicates (crawler re-fetches, vendored copies) and, in ``minhash``
+    mode, near-duplicates (MinHash-LSH pairs with Jaccard ≥ threshold;
+    each pair's min (repo, path) survives — greedy, so a chain keeps only
+    its minimal member).
+
+    Resume granularity mirrors each operation's dependency structure:
+
+    * ``exact`` — bucket-level like extract: work buckets key on
+      ``xxhash64(content)``, so ALL copies of identical content land in
+      one bucket and per-bucket dedup IS global dedup; a crash mid-clean
+      re-cleans only missing buckets.
+    * ``minhash`` — stage-level like link: near-dup pairs cross content
+      buckets by construction (LSH bands key on shingle minima, not raw
+      content), so the stage is atomic — computed over the whole corpus,
+      overwritten atomically.
+
+    Either mode, a run that produced new clean output durably invalidates
+    extract + downstream lineage BEFORE recording itself done — the same
+    crash-consistency order the extract stage uses."""
+    if dedup not in ("exact", "minhash"):
+        raise ValueError(f"dedup must be 'exact' or 'minhash', got {dedup!r}")
+    b = cfg.lineage_buckets
+    clean_path = cfg.table_path("clean")
+    stage = f"clean_{dedup}"
+    src = source_files.withColumn(
+        "cbucket", bucket_col("content", n_buckets=b)
+    )
+
+    if dedup == "exact":
+        done = lineage.completed_buckets(stage)
+        pending = (
+            src.filter(~F.col("cbucket").isin(list(done))) if done else src
+        )
+        ran = not done or pending.limit(1).count() > 0
+        if ran:
+            log_event("stage_start", stage=stage, done_buckets=len(done))
+            with StageTimer() as t:
+                kept = _dedup_exact_keep_first(pending)
+                if os.path.exists(clean_path):
+                    _clear_partition_dirs(
+                        clean_path, "cbucket", set(range(b)) - done
+                    )
+                _write(kept, clean_path, ["cbucket"], buckets=b)
+            src_per_bucket = pending.groupBy(
+                F.col("cbucket").alias("bucket")
+            ).agg(F.count("*").alias("rows_in"))
+            out_per_bucket = (
+                spark.read.parquet(clean_path)
+                .groupBy(F.col("cbucket").alias("bucket"))
+                .agg(
+                    F.count("*").alias("rows_out"),
+                    _fingerprint("repo", "path").alias("content_sha_xor"),
+                )
+            )
+            per_bucket = src_per_bucket.join(
+                out_per_bucket, "bucket", "left"
+            ).select(
+                "bucket",
+                "rows_in",
+                F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
+                "content_sha_xor",
+            )
+            lineage.invalidate_stages("extract", *_DOWNSTREAM_OF_EXTRACT)
+            lineage.record_buckets(stage, per_bucket, t.ms)
+            log_event("stage_done", stage=stage, duration_ms=t.ms)
+        else:
+            log_event("stage_skipped", stage=stage, done_buckets=len(done))
+    else:  # minhash: atomic stage
+        if lineage.stage_done(stage) and os.path.exists(clean_path):
+            log_event("stage_skipped", stage=stage)
+        else:
+            from kg.ops.dedup import minhash_duplicates
+
+            log_event("stage_start", stage=stage)
+            with StageTimer() as t:
+                kept = _dedup_exact_keep_first(src).withColumn(
+                    "_fid", F.concat_ws("\x01", "repo", "path")
+                )
+                pairs = minhash_duplicates(
+                    kept, "_fid", "content", threshold=threshold
+                )
+                drop_ids = pairs.select(F.col("b").alias("_fid")).distinct()
+                kept = kept.join(drop_ids, "_fid", "left_anti").drop("_fid")
+                _write(kept, clean_path, ["cbucket"], buckets=b)
+            lineage.invalidate_stages(
+                "extract", *_DOWNSTREAM_OF_EXTRACT
+            )
+            lineage.invalidate_stages(stage)
+            lineage.record_stage(stage, -1, -1, t.ms)
+            log_event("stage_done", stage=stage, duration_ms=t.ms)
+    return spark.read.parquet(clean_path).drop("cbucket")
+
+
 def run_pipeline(
     spark: SparkSession,
     source_files: DataFrame,
     cfg: PipelineConfig,
     restart: bool = False,
     detect_changes: bool = False,
+    dedup: str | None = None,
+    dedup_threshold: float = 0.7,
 ) -> dict[str, DataFrame]:
     """Run (or resume) the full pipeline; returns the output DataFrames."""
     lineage = LineageStore(spark, cfg.table_path("lineage"))
     log_event(
         "pipeline_start", warehouse=cfg.warehouse, restart=restart,
         detect_changes=detect_changes, partition_key=cfg.partition_key,
-        lineage_buckets=cfg.lineage_buckets,
+        lineage_buckets=cfg.lineage_buckets, dedup=dedup,
     )
     if restart:  # O15 + O17: truncate sink and checkpoints
-        for t in ("triples", "mentions", "matches", "entity_map", "nodes", "edges"):
+        for t in (
+            "clean", "triples", "mentions", "matches", "entity_map",
+            "nodes", "edges",
+        ):
             shutil.rmtree(cfg.table_path(t), ignore_errors=True)
         lineage.reset()
         log_event("restart_truncated", warehouse=cfg.warehouse)
+
+    # ---- clean (optional dedup stage, VERDICT r3 next #5) -----------------
+    if dedup is not None:
+        source_files = _run_clean(
+            spark, source_files, cfg, lineage, dedup, dedup_threshold
+        )
 
     b = cfg.lineage_buckets
     triples_path = cfg.table_path("triples")
@@ -249,9 +388,7 @@ def run_pipeline(
         # inconsistent outputs.  Order matters: crash between the two
         # leaves downstream marked stale (safe rerun), never extract
         # done over stale downstream.
-        lineage.invalidate_stages(
-            "link", "canonicalize", "materialize_nodes", "materialize_edges"
-        )
+        lineage.invalidate_stages(*_DOWNSTREAM_OF_EXTRACT)
         lineage.record_buckets("extract", per_bucket, t.ms)
         log_event("stage_done", stage="extract", duration_ms=t.ms)
     else:

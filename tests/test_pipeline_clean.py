@@ -1,0 +1,155 @@
+"""Optional clean (dedup) stage: planted exact/near duplicates are
+dropped before extract, a clean corpus passes through unchanged, and the
+exact mode resumes at bucket granularity like extract."""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from kg.conf import PipelineConfig
+from kg.datagen import source_files_df
+from kg.lineage import LineageStore
+from kg.pipeline import run_pipeline
+
+N = 60
+
+
+def _cfg(tmp_path_factory, name) -> PipelineConfig:
+    return PipelineConfig(
+        warehouse=str(tmp_path_factory.mktemp(name)), lineage_buckets=8
+    )
+
+
+def _snapshot(out):
+    nodes = sorted(
+        (r.id, r.label, r.partition_key, tuple(sorted((r.properties or {}).items())))
+        for r in out["nodes"].collect()
+    )
+    edges = sorted(
+        (r.id, r.label, r.out_id, r.in_id, r.out_label, r.in_label, r.out_pk, r.in_pk)
+        for r in out["edges"].collect()
+    )
+    return nodes, edges
+
+
+@pytest.fixture(scope="module")
+def baseline(spark, tmp_path_factory):
+    """Clean-corpus golden: the un-deduped pipeline output at N files."""
+    cfg = _cfg(tmp_path_factory, "clean_base")
+    return _snapshot(
+        run_pipeline(spark, source_files_df(spark, N), cfg, restart=True)
+    )
+
+
+def _with_exact_copies(spark, n_copies=10):
+    """Corpus + byte-identical copies of the first files under a repo
+    name ('zz-mirror') that sorts AFTER every original, so the
+    deterministic keeper is always the original."""
+    src = source_files_df(spark, N)
+    copies = (
+        src.orderBy("repo", "path").limit(n_copies)
+        .withColumn("repo", F.concat(F.lit("zz-mirror/"), F.col("repo")))
+    )
+    return src.unionByName(copies)
+
+
+def test_clean_exact_drops_planted_duplicates(spark, tmp_path_factory, baseline):
+    cfg = _cfg(tmp_path_factory, "clean_exact")
+    out = run_pipeline(
+        spark, _with_exact_copies(spark), cfg, restart=True, dedup="exact"
+    )
+    # duplicates gone BEFORE extract: output equals the clean-corpus run
+    assert _snapshot(out) == baseline
+    # lineage recorded per bucket for the clean stage
+    store = LineageStore(spark, cfg.table_path("lineage"))
+    assert len(store.completed_buckets("clean_exact")) == cfg.lineage_buckets
+    # clean table holds exactly the unique corpus
+    assert spark.read.parquet(cfg.table_path("clean")).count() == N
+
+
+def test_clean_no_dups_passthrough(spark, tmp_path_factory, baseline):
+    """kg_triples/nodes/edges unchanged when no duplicates are planted."""
+    cfg = _cfg(tmp_path_factory, "clean_nodup")
+    out = run_pipeline(
+        spark, source_files_df(spark, N), cfg, restart=True, dedup="exact"
+    )
+    assert _snapshot(out) == baseline
+
+
+def test_clean_exact_resume_only_missing_buckets(spark, tmp_path_factory, baseline):
+    """Crash mid-clean: drop half the clean lineage + all downstream
+    output; the rerun re-cleans only missing buckets and converges to
+    the same outputs."""
+    cfg = _cfg(tmp_path_factory, "clean_resume")
+    src = _with_exact_copies(spark)
+    run_pipeline(spark, src, cfg, restart=True, dedup="exact")
+    store = LineageStore(spark, cfg.table_path("lineage"))
+    keep = store.read().filter(
+        (F.col("stage") == "clean_exact") & (F.col("bucket") < 4)
+    )
+    pdf = keep.toPandas()
+    store.reset()
+    spark.createDataFrame(pdf, schema=keep.schema).write.parquet(store.path)
+    for t in ("triples", "mentions", "matches", "entity_map", "nodes", "edges"):
+        shutil.rmtree(cfg.table_path(t), ignore_errors=True)
+    done_before = store.completed_buckets("clean_exact")
+    assert 0 < len(done_before) < cfg.lineage_buckets
+
+    out = run_pipeline(spark, src, cfg, dedup="exact")
+    assert _snapshot(out) == baseline
+    assert len(store.completed_buckets("clean_exact")) == cfg.lineage_buckets
+
+
+def _handmade_corpus(spark, with_near_dup: bool):
+    """Controlled corpus for the near-dup test: the SYNTHETIC generator's
+    files are templated and mutually similar (cross-file Jaccard up to
+    ~0.94 — measured), so a threshold that catches a planted near-copy
+    also drops genuine files there.  These six python files share no
+    shingles; the near-copy differs from file0 by one trailing line."""
+    mods = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
+    rows = []
+    for i, m in enumerate(mods):
+        body = "\n".join(
+            [f"import lib_{m}_{j}" for j in range(6)]
+            + [f"class {m.title()}Handler_{j}(BaseOf{m.title()}{j}):"
+               f"\n    pass" for j in range(4)]
+        )
+        rows.append((f"org/repo{i}", f"src/{m}.py", "c0", "python", body))
+    if with_near_dup:
+        near = rows[0][4] + "\n# forked with a trailing note\n"
+        rows.append(("zz-fork/org/repo0", "src/alpha.py", "c0", "python", near))
+    from kg.schemas import SOURCE_FILES
+
+    return spark.createDataFrame(rows, SOURCE_FILES)
+
+
+def test_clean_minhash_drops_near_duplicates(spark, tmp_path_factory):
+    """A near-copy (same content + one appended line) is not an exact
+    duplicate but IS a minhash near-dup: --dedup minhash drops it and
+    the output equals the run on the corpus without the near-copy."""
+    base_cfg = _cfg(tmp_path_factory, "clean_mh_base")
+    golden = _snapshot(
+        run_pipeline(
+            spark, _handmade_corpus(spark, False), base_cfg, restart=True
+        )
+    )
+    cfg = _cfg(tmp_path_factory, "clean_minhash")
+    out = run_pipeline(
+        spark, _handmade_corpus(spark, True), cfg, restart=True,
+        dedup="minhash", dedup_threshold=0.5,
+    )
+    assert _snapshot(out) == golden
+    clean = spark.read.parquet(cfg.table_path("clean"))
+    assert clean.count() == 6
+    assert clean.filter(F.col("repo").startswith("zz-fork/")).count() == 0
+    store = LineageStore(spark, cfg.table_path("lineage"))
+    assert store.stage_done("clean_minhash")
+    # rerun with nothing new skips the stage and converges to itself
+    out2 = run_pipeline(
+        spark, _handmade_corpus(spark, True), cfg,
+        dedup="minhash", dedup_threshold=0.5,
+    )
+    assert _snapshot(out2) == golden

@@ -58,6 +58,52 @@ def test_incremental_extract_exactly_once(spark, tmp_path):
     assert spark.read.parquet(out).count() == n2
 
 
+def test_stream_cli_exactly_once(spark, tmp_path, capsys):
+    """O22 parity: `--stream` reaches stream_extract from the deployment
+    CLI.  Files landing between invocations are drained exactly once;
+    a third invocation with nothing new is a no-op."""
+    import json as _json
+
+    from jobs.run_pipeline import main
+
+    src = str(tmp_path / "src")
+    wh = str(tmp_path / "wh")
+    corpus = local_corpus(40)
+    argv = ["--stream", "--source", src, "--warehouse", wh]
+
+    _write_batch(spark, corpus.iloc[:20], src)
+    main(argv, spark=spark)
+    n1 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "triples_total"
+    ]
+    assert n1 > 0
+
+    _write_batch(spark, corpus.iloc[20:], src)
+    main(argv, spark=spark)
+    n2 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "triples_total"
+    ]
+    got = spark.read.parquet(f"{wh}/triples_stream")
+    assert n2 > n1 and got.count() == n2
+    # exactly-once: re-invocation processed only the NEW files
+    assert n2 == got.dropDuplicates(
+        ["subj", "pred", "obj", "content_sha"]
+    ).count()
+
+    main(argv, spark=spark)  # nothing new → no-op
+    n3 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "triples_total"
+    ]
+    assert n3 == n2
+
+    # --restart truncates output + checkpoint (O15 for the stream mode)
+    main(argv + ["--restart"], spark=spark)
+    n4 = _json.loads(capsys.readouterr().out.strip().splitlines()[-1])[
+        "triples_total"
+    ]
+    assert n4 == n2  # full re-drain of all 40 files
+
+
 def test_windowed_event_counts_batch_parity(spark, sf_dir):
     events = spark.read.parquet(f"{sf_dir}/events.parquet")
     out = windowed_event_counts(events, window="1 hour", watermark="2 hours")
