@@ -527,6 +527,21 @@ def q_graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     return two_hop(_star_graph_edges(spark, sf), max_fanout=1024)
 
 
+_PR_ITERS, _PR_DAMP = 3, 850_000
+
+
+def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
+    """PageRank over the materialized-style edge table, in exact integer
+    micro-units — fixed rounds + pure-integer updates make the iterative
+    operator bit-reproducible AND SQL-twinnable (unrolled CTEs), the
+    same portability design as the k-means trainer."""
+    from kg.ops import pagerank
+
+    return pagerank(
+        _star_graph_edges(spark, sf), iters=_PR_ITERS, damping_ppm=_PR_DAMP
+    )
+
+
 _GRAPH_EDGES_SQL = (
     "SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS out_id, "
     "'o_' || CAST(o_orderkey AS VARCHAR) AS in_id FROM orders "
@@ -534,6 +549,31 @@ _GRAPH_EDGES_SQL = (
     "SELECT 'o_' || CAST(l_orderkey AS VARCHAR), "
     "'p_' || CAST(l_partkey AS VARCHAR) FROM lineitem"
 )
+
+
+def _pagerank_sql(iters: int = _PR_ITERS, damp: int = _PR_DAMP) -> str:
+    """Twin of q_graph_pagerank: the same integer update rule per round
+    (DuckDB ``//`` is the BIGINT floor division Spark's ``div`` is; all
+    values non-negative, so floor == trunc on both engines)."""
+    base = 1_000_000 - damp
+    parts = [
+        "e AS (" + _GRAPH_EDGES_SQL + ")",
+        "ed AS (SELECT out_id AS src, in_id AS dst FROM e)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed))",
+        "outd AS (SELECT src, count(*) AS outd FROM ed GROUP BY src)",
+        "re AS (SELECT ed.src, ed.dst, outd.outd FROM ed JOIN outd USING (src))",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_fp FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"c{i} AS (SELECT re.dst AS id, sum(r.rank_fp // re.outd) AS s "
+            f"FROM re JOIN r{i - 1} r ON r.id = re.src GROUP BY re.dst)",
+            f"r{i} AS (SELECT v.id, CAST({base} + COALESCE("
+            f"(c.s // 1000000) * {damp} + ((c.s % 1000000) * {damp}) // 1000000"
+            f", 0) AS BIGINT) AS rank_fp FROM verts v LEFT JOIN c{i} c USING (id))",
+        ]
+    return "WITH " + ", ".join(parts) + f" SELECT id, rank_fp FROM r{iters}"
 
 
 # ---------------------------------------------------------------------------
@@ -673,6 +713,7 @@ def queries() -> dict[str, _T]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "graph_degree": q_graph_degree,
         "graph_two_hop": q_graph_two_hop,
+        "graph_pagerank": q_graph_pagerank,
         "text_stats": q_text_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_winnow": q_dedup_winnow,
@@ -1109,6 +1150,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT src, dst, CAST(count(*) AS BIGINT) AS n_paths "
             "FROM a2 JOIN b2 USING (mid) GROUP BY src, dst"
         ),
+        "graph_pagerank": _pagerank_sql(),
         "text_stats": (
             "SELECT doc_id, CAST(len(" + tok + ") AS INT) AS n_tokens, "
             "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fingerprint, "

@@ -21,6 +21,7 @@ from kg.ops.graph import (  # noqa: F401
     degree_distribution,
     degrees,
     k_hop,
+    pagerank,
     two_hop,
 )
 from kg.ops.kmeans import kmeans_fit  # noqa: F401

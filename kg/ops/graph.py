@@ -98,6 +98,74 @@ def two_hop(
     )
 
 
+def pagerank(
+    edges: DataFrame,
+    iters: int = 3,
+    damping_ppm: int = 850_000,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """PageRank with EXACT integer arithmetic: (id, rank_fp) where
+    rank_fp is the rank in micro-units (1.0 == 1_000_000).
+
+    Every update is pure INTEGER arithmetic — contribution =
+    ``rank_fp div out_degree``, damped update = (1-d)·10^6 +
+    floor(d·Σcontrib/10^6) — so partial-aggregation order cannot change
+    a single bit: the same determinism contract as the k-means trainer's
+    fixed-point means, and what makes a fixed-``iters`` run SQL-twinnable
+    as unrolled CTEs (float PageRank sums are order-sensitive and
+    cross-engine unstable).  The damping product uses the split identity
+    ``(s·d)//m = (s//m)·d + ((s%m)·d)//m`` so no intermediate exceeds
+    ~d·n under ANSI mode even when one vertex accumulates most of the
+    total rank mass (a naive ``s·d`` overflows int64 past s ≈ 10^13).
+    Dangling vertices (no out-edges) leak their mass — the standard
+    simplification; redistributing it needs one extra global agg per
+    round, omitted as code KGs have no rank sinks that matter.
+
+    Per round: one equi-join of ranks onto edges + one hash aggregation
+    on the destination — both shuffle on uniform ids; ``localCheckpoint``
+    per round keeps the plan shallow (CC-loop discipline)."""
+    e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outd = e.groupBy("src").agg(F.count("*").alias("outd"))
+    # out-degree is reused every round: checkpoint once
+    ranked_edges = e.join(outd, "src").localCheckpoint()
+    base = 1_000_000 - damping_ppm
+    damp = (
+        f"(s div 1000000) * {damping_ppm} "
+        f"+ ((s % 1000000) * {damping_ppm}) div 1000000"
+    )
+    ranks = verts.withColumn("rank_fp", F.lit(1_000_000).cast("long"))
+    for _ in range(iters):
+        contrib = (
+            ranked_edges.join(
+                ranks.select(F.col("id").alias("src"), "rank_fp"), "src"
+            )
+            .select(
+                F.col("dst").alias("id"),
+                F.expr("rank_fp div outd").alias("c"),
+            )
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        ranks = (
+            verts.join(contrib, "id", "left")
+            .select(
+                "id",
+                F.expr(f"cast({base} + coalesce({damp}, 0) as long)").alias(
+                    "rank_fp"
+                ),
+            )
+            .localCheckpoint()
+        )
+    return ranks
+
+
 def k_hop(
     edges: DataFrame,
     sources: DataFrame,

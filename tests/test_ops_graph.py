@@ -12,7 +12,7 @@ from __future__ import annotations
 import pytest
 from pyspark.sql import functions as F
 
-from kg.ops import degree_distribution, degrees, k_hop, two_hop
+from kg.ops import degree_distribution, degrees, k_hop, pagerank, two_hop
 
 # chain a → b → c → d with shortcut a → c; hub m with fan-in 3 / fan-out 3
 _EDGES = [
@@ -88,6 +88,23 @@ def test_k_hop_frontier_guard(spark, edges):
     src = spark.createDataFrame([("p1",), ("p2",), ("p3",)], "id string")
     with pytest.raises(ValueError, match="frontier exploded"):
         k_hop(edges, src, k=2, max_frontier=2)
+
+
+def test_pagerank_integer_rule_hand_check(spark):
+    """a→b, a→c, b→c; hand-applied integer rule (micro-units):
+    round 1: b = 150000 + ⌊.85·(10^6 div 2)⌋ = 575000,
+             c = 150000 + ⌊.85·(500000 + 10^6)⌋ = 1425000, a = 150000;
+    round 2: b = 150000 + ⌊.85·(150000 div 2)⌋ = 213750,
+             c = 150000 + ⌊.85·(75000 + 575000)⌋ = 702500."""
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "out_id string, in_id string"
+    )
+    r1 = {r.id: r.rank_fp for r in pagerank(e, iters=1).collect()}
+    assert r1 == {"a": 150000, "b": 575000, "c": 1425000}
+    r2 = {r.id: r.rank_fp for r in pagerank(e, iters=2).collect()}
+    assert r2 == {"a": 150000, "b": 213750, "c": 702500}
+    # deterministic: identical bit-for-bit across runs
+    assert r2 == {r.id: r.rank_fp for r in pagerank(e, iters=2).collect()}
 
 
 def test_k_hop_multi_source_min_distance(spark, edges):
