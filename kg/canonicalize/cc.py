@@ -54,21 +54,66 @@ def _small_star(e: DataFrame) -> DataFrame:
     return out
 
 
+def _driver_cc(rows) -> list[tuple[str, str]]:
+    """Union-find with min-root merging: the same min-member canonical
+    ids the star loop converges to, bit-for-bit (both are determined by
+    the component structure + lexicographic min, not by iteration
+    order)."""
+    parent: dict[str, str] = {}
+
+    def find(x: str) -> str:
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:  # path compression
+            parent[x], x = r, parent[x]
+        return r
+
+    for u, v in rows:
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            lo, hi = min(ru, rv), max(ru, rv)
+            parent[hi] = lo
+    return [(x, find(x)) for x in parent]
+
+
 def connected_components(
-    pairs: DataFrame, max_iter: int = 25
+    pairs: DataFrame, max_iter: int = 25, driver_threshold: int = 500_000
 ) -> DataFrame:
     """``pairs(a,b)`` undirected edges → ``(mention_id, canonical_id)``.
 
     canonical_id = min member id of the component (deterministic).  The
     returned map covers every node that appears in ``pairs``; callers union
     in the identity mapping for singletons.
-    """
+
+    Two physical strategies behind one contract, chosen on evidence
+    (the ``kg.hints`` philosophy):
+
+    * edge count ≤ ``driver_threshold`` → ONE collect + driver-side
+      union-find.  The match graph is vocabulary-sized (distinct linked
+      surfaces), usually orders of magnitude under the corpus; the star
+      loop on such a graph costs ~5 scheduled Spark jobs per round —
+      pure fixed overhead that fell straight through to fleet scaling
+      efficiency (r4 floor profile: 20 jobs, 1.8 s of a trivial-corpus
+      run).  500k edges collect to ~tens of MB driver-side.
+    * above the threshold → the alternating large-star/small-star loop,
+      O(log n) rounds on any graph — the 10^12-edge path.
+
+    Both produce identical (mention_id, canonical_id) rows (equivalence
+    is property-tested)."""
     e = (
         pairs.select(F.col("a").alias("u"), F.col("b").alias("v"))
         .where(F.col("u") != F.col("v"))
         .distinct()
         .localCheckpoint()
     )
+    if driver_threshold and e.count() <= driver_threshold:
+        out = _driver_cc([(r.u, r.v) for r in e.collect()])
+        return e.sparkSession.createDataFrame(
+            out, "mention_id string, canonical_id string"
+        )
     prev = None
     for _ in range(max_iter):
         # superseded rounds' checkpoint blocks are freed by the

@@ -80,9 +80,7 @@ def _fingerprint(*cols: str) -> Column:
     )
 
 
-def _pk_bucket_stats(
-    spark: SparkSession, path: str, pending: set[int]
-) -> DataFrame:
+def _pk_bucket_stats(path: str, pending: set[int]) -> list[dict]:
     """Per-bucket lineage stats for the just-written pending buckets of a
     pk-partitioned table.  Buckets that produced no rows are still
     recorded done (rows_out 0) — deriving done-ness from output presence
@@ -112,10 +110,11 @@ def _pk_bucket_stats(
     for bkt in pending:
         files = _glob.glob(os.path.join(path, f"pk_bucket={bkt}", "*.parquet"))
         counts[bkt] = sum(_pq.ParquetFile(f).metadata.num_rows for f in files)
-    return spark.createDataFrame(
-        [(b, -1, counts[b], None) for b in sorted(pending)],
-        "bucket int, rows_in long, rows_out long, content_sha_xor string",
-    )
+    return [
+        {"bucket": b, "rows_in": -1, "rows_out": counts[b],
+         "content_sha_xor": None}
+        for b in sorted(pending)
+    ]
 
 
 def _clear_partition_dirs(path: str, col: str, buckets: set[int]) -> None:
@@ -516,7 +515,7 @@ def run_pipeline(
         ):
             if pend:
                 lineage.record_buckets(
-                    stage, _pk_bucket_stats(spark, path, pend), t.ms
+                    stage, _pk_bucket_stats(path, pend), t.ms
                 )
         log_event("stage_done", stage="materialize", duration_ms=t.ms)
     else:

@@ -38,3 +38,20 @@ def test_self_loops_and_duplicates_ignored(spark):
 def test_canonical_is_min_id(spark):
     m = _components(spark, [("z", "q"), ("q", "m"), ("x", "z")])
     assert set(m.values()) == {"m"}
+
+
+def test_driver_fast_path_equals_star_loop(spark):
+    """The evidence-gated driver union-find and the distributed star
+    loop are two physical strategies behind ONE contract: identical
+    (mention_id, canonical_id) rows on an adversarial mix (chains,
+    triangle, star, singleton-free edge soup)."""
+    edges = (
+        [(f"n{i}", f"n{i+1}") for i in range(0, 40, 1)]          # long chain
+        + [("t1", "t2"), ("t2", "t3"), ("t3", "t1")]              # triangle
+        + [("hub", f"leaf{i}") for i in range(25)]                # star
+        + [("zz9", "aa0"), ("mm5", "zz9")]                        # min at end
+    )
+    df = spark.createDataFrame(edges, "a string, b string")
+    fast = connected_components(df)  # default threshold → driver path
+    loop = connected_components(df, driver_threshold=0)  # force star loop
+    assert sorted(map(tuple, fast.collect())) == sorted(map(tuple, loop.collect()))
