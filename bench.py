@@ -63,6 +63,9 @@ def main() -> None:
         "ann_brute_force",
         "ann_lsh",
         "ann_ivf",
+        "graph_pagerank",
+        "graph_triangles",
+        "repetition_stats",
     ]
 
     # untimed warm-up at the smallest scale factor: python-worker spawn,

@@ -21,7 +21,9 @@ from kg.ops.graph import (  # noqa: F401
     degree_distribution,
     degrees,
     k_hop,
+    neighbor_jaccard,
     pagerank,
+    triangles,
     two_hop,
 )
 from kg.ops.kmeans import kmeans_fit  # noqa: F401
@@ -38,6 +40,7 @@ from kg.ops.text import (  # noqa: F401
     doc_fingerprint,
     language_id,
     quality_score,
+    repetition_stats,
     token_count,
     tokens_col,
     winnow_fingerprints,

@@ -14,7 +14,12 @@ consumer of that output runs:
 * ``two_hop`` — all ordered (src, dst) pairs connected by a directed
   2-path, with path multiplicity (``g.V().out().out()`` with dedup);
 * ``k_hop`` — BFS frontier expansion from a source set: every vertex
-  reachable in ≤ k hops with its hop distance (``g.V(x).repeat(out())``).
+  reachable in ≤ k hops with its hop distance (``g.V(x).repeat(out())``);
+* ``pagerank`` — fixed-round integer-exact PageRank (SQL-twinnable);
+* ``triangles`` — per-vertex triangle participation via degree
+  orientation (bounded wedge join even on power-law hubs);
+* ``neighbor_jaccard`` — shared-neighbor similarity for link prediction
+  / entity-merge candidate pairs.
 
 Scale shape (100 TB): everything is equi-joins + hash aggregations on the
 flat edge table — no cartesian anywhere.  Edge endpoints in the pipeline's
@@ -164,6 +169,135 @@ def pagerank(
             .localCheckpoint()
         )
     return ranks
+
+
+def _undirected(edges: DataFrame, out_col: str, in_col: str) -> DataFrame:
+    """Distinct undirected simple edges as (u, v) with u < v (self-loops
+    dropped): the canonical form every undirected graph op here starts
+    from.  One distinct = one shuffle on a uniform composite key."""
+    return (
+        edges.select(
+            F.least(out_col, in_col).alias("u"),
+            F.greatest(out_col, in_col).alias("v"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+
+
+def triangles(
+    edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
+) -> DataFrame:
+    """Per-vertex triangle participation over the undirected simple graph
+    underlying the edge table: (id, n_triangles) for every vertex in at
+    least one triangle (Gremlin's clustering/cohesion diagnostic —
+    ``g.V().filter(out().out().where(out().as('x')))`` family).
+
+    Degree orientation (compact-forward, Chiba–Nishizeki / Schank-Wagner):
+    each undirected edge is directed from its LOWER (degree, id) endpoint
+    to the higher one, so every vertex's oriented out-degree is O(√m)
+    regardless of its raw degree.  A raw neighbor self-join wedges a hub
+    quadratically in its degree — the orientation is what makes triangle
+    counting survive a power-law graph at 100 TB, the same reason every
+    LSH band join here caps its buckets.  Each triangle is then found
+    exactly once (its order-minimal vertex owns both oriented out-edges),
+    as wedge (a→b, a→c) with b before c, closed by oriented edge (b→c).
+
+    Plan shape: degree agg + three equi-joins + one hash agg — no
+    cartesian, no Python, and deterministic, so the operator carries a
+    full SQL oracle twin (``graph_triangles``)."""
+    und = _undirected(edges, out_col, in_col)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    ranked = (
+        und.join(deg.withColumnsRenamed({"id": "u", "deg": "du"}), "u")
+        .join(deg.withColumnsRenamed({"id": "v", "deg": "dv"}), "v")
+    )
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
+    )
+    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"),
+                         F.col("ddst").alias("db"))
+    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"),
+                         F.col("ddst").alias("dc"))
+    wedges = w1.join(w2, "a").filter(
+        (F.col("db") < F.col("dc"))
+        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
+    )
+    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
+    tri = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
+    members = (
+        tri.select(F.col("a").alias("id"))
+        .unionAll(tri.select(F.col("b").alias("id")))
+        .unionAll(tri.select(F.col("c").alias("id")))
+    )
+    return members.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def neighbor_jaccard(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    min_common: int = 1,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Neighborhood similarity (link prediction / entity-merge candidates):
+    for unordered vertex pairs (a, b) sharing ≥ ``min_common`` undirected
+    neighbors, (a, b, n_common, jaccard) with jaccard =
+    |N(a) ∩ N(b)| / |N(a) ∪ N(b)| rounded to 6dp.
+
+    Shape: wedge self-join of the adjacency list on the SHARED neighbor
+    (one equi-join + one hash agg = the intersection), then two
+    vertex-sized degree joins for the union denominator.  ``max_fanout``
+    drops shared-neighbor hubs before the wedge join — a hub with degree
+    d contributes d·(d-1)/2 pairs, the exact quadratic shape the two_hop
+    cap exists for; pairs whose ONLY evidence is a super-node neighbor
+    are noise for link prediction anyway."""
+    und = _undirected(edges, out_col, in_col)
+    adj = und.select(F.col("u").alias("id"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("id"), F.col("u").alias("nbr"))
+    )
+    deg = adj.groupBy("id").agg(F.count("*").alias("deg"))
+    wedge_src = adj.select(F.col("nbr").alias("mid"), F.col("id"))
+    if max_fanout is not None:
+        ok = deg.filter(F.col("deg") <= max_fanout).select(
+            F.col("id").alias("mid")
+        )
+        wedge_src = wedge_src.join(ok, "mid")
+    p1 = wedge_src.select("mid", F.col("id").alias("a"))
+    p2 = wedge_src.select("mid", F.col("id").alias("b"))
+    common = (
+        p1.join(p2, "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+        .filter(F.col("n_common") >= min_common)
+    )
+    return (
+        common.join(deg.withColumnsRenamed({"id": "a", "deg": "da"}), "a")
+        .join(deg.withColumnsRenamed({"id": "b", "deg": "db"}), "b")
+        .select(
+            "a",
+            "b",
+            "n_common",
+            F.round(
+                F.col("n_common")
+                / (F.col("da") + F.col("db") - F.col("n_common")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
 
 
 def k_hop(

@@ -79,6 +79,74 @@ def language_id(text: Column) -> Column:
     return expr
 
 
+def repetition_stats(df, id_col: str, text_col: str):
+    """Within-document repetition signals (Gopher-style quality filters,
+    Rae et al. 2021 §A1.1): per document,
+
+    * ``dup_line_ratio``  — fraction of non-empty trimmed lines that are
+      occurrences of a duplicated line;
+    * ``dup_2gram_ratio`` — fraction of word 2-grams occupied by 2-grams
+      that occur more than once;
+    * ``top_2gram_ratio`` — fraction occupied by the single most frequent
+      2-gram.
+
+    Boilerplate/spam pages score high on all three; clean prose low.
+
+    Scale shape: explode → hash-aggregate on the uniform composite key
+    (doc, gram) → re-aggregate per doc.  The tempting pure-array
+    alternative (count each distinct gram via a nested higher-order
+    filter) is O(n²) JVM work PER DOCUMENT — a single 1 MB document
+    would do ~10^10 comparisons on one core; the explode keeps per-doc
+    cost O(n log n) and spreads it across the cluster.  Two shuffles,
+    zero Python, exact SQL twin (ratios rounded to 6dp).  Documents with
+    no 2-grams / no lines get ratio 0.0 (left join + coalesce)."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_x"))
+    toks = tokens_col(F.col("_x"))
+    d = base.select("id", toks.alias("_t"))
+    n_grams = F.size(F.col("_t")) - 1
+    grams = F.when(
+        n_grams >= 1,
+        F.transform(
+            F.sequence(F.lit(0), n_grams - 1),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, 2)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    gram_rows = d.select("id", F.explode(grams).alias("g"))
+    per_gram = gram_rows.groupBy("id", "g").agg(F.count("*").alias("c"))
+    gram_stats = per_gram.groupBy("id").agg(
+        F.sum("c").alias("_n"),
+        F.max("c").alias("_top"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_dup"),
+    )
+    lines = F.filter(
+        F.transform(F.split(F.col("_x"), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    line_rows = base.select("id", F.explode(lines).alias("l"))
+    per_line = line_rows.groupBy("id", "l").agg(F.count("*").alias("c"))
+    line_stats = per_line.groupBy("id").agg(
+        F.sum("c").alias("_ln"),
+        F.sum(F.when(F.col("c") > 1, F.col("c")).otherwise(0)).alias("_ldup"),
+    )
+    return (
+        base.select("id")
+        .join(gram_stats, "id", "left")
+        .join(line_stats, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(
+                F.round(F.col("_ldup") / F.col("_ln"), 6), F.lit(0.0)
+            ).alias("dup_line_ratio"),
+            F.coalesce(
+                F.round(F.col("_dup") / F.col("_n"), 6), F.lit(0.0)
+            ).alias("dup_2gram_ratio"),
+            F.coalesce(
+                F.round(F.col("_top") / F.col("_n"), 6), F.lit(0.0)
+            ).alias("top_2gram_ratio"),
+        )
+    )
+
+
 def winnow_fingerprints(
     df, id_col: str, text_col: str, k: int = 5, window: int = 4
 ):

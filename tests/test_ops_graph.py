@@ -112,3 +112,76 @@ def test_k_hop_multi_source_min_distance(spark, edges):
     src = spark.createDataFrame([("b",), ("c",)], "id string")
     got = {r.id: r.hops for r in k_hop(edges, src, k=2).collect()}
     assert got == {"b": 0, "c": 0, "d": 1}
+
+
+def test_triangles_hand_graph(edges):
+    """Only triangle in the hand graph is {a, b, c} (the hub star is
+    bipartite); each member participates in exactly 1."""
+    from kg.ops import triangles
+
+    got = {r.id: r.n_triangles for r in triangles(edges).collect()}
+    assert got == {"a": 1, "b": 1, "c": 1}
+
+
+def test_triangles_clique_and_direction_invariance(spark):
+    """4-clique: every vertex sits in C(3,2)=3 triangles — exercises the
+    degree-orientation tie-break (all degrees equal).  Reversed
+    duplicates and self-loops must not change the count (undirected
+    simple-graph semantics)."""
+    from kg.ops import triangles
+
+    clique = [
+        (a, b)
+        for a in "wxyz"
+        for b in "wxyz"
+        if a < b
+    ]
+    noisy = clique + [("x", "w"), ("w", "w"), ("y", "x")]
+    e = spark.createDataFrame(noisy, "out_id string, in_id string")
+    got = {r.id: r.n_triangles for r in triangles(e).collect()}
+    assert got == {"w": 3, "x": 3, "y": 3, "z": 3}
+
+
+def test_triangles_plan_no_cartesian(edges):
+    from kg.ops import triangles
+
+    plan = triangles(edges)._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_neighbor_jaccard_hand_graph(edges):
+    """Undirected neighborhoods: N(a)={b,c}, N(b)={a,c}, N(c)={a,b,d},
+    N(d)={c}; p*/q* all share the single neighbor m (jaccard 1.0)."""
+    from kg.ops import neighbor_jaccard
+
+    got = {
+        (r.a, r.b): (r.n_common, r.jaccard)
+        for r in neighbor_jaccard(edges).collect()
+    }
+    assert got[("a", "b")] == (1, round(1 / 3, 6))
+    assert got[("a", "c")] == (1, 0.25)
+    assert got[("b", "c")] == (1, 0.25)
+    assert got[("a", "d")] == (1, 0.5)
+    assert got[("b", "d")] == (1, 0.5)
+    sats = [p for p in got if p[0].startswith(("p", "q"))]
+    assert len(sats) == 15  # C(6,2) pairs through hub m
+    assert all(got[p] == (1, 1.0) for p in sats)
+    assert len(got) == 20
+
+
+def test_neighbor_jaccard_fanout_cap_drops_hub_pairs(edges):
+    """max_fanout=5 drops hub m (degree 6) as a shared neighbor: the 15
+    satellite pairs vanish, chain pairs survive with identical scores."""
+    from kg.ops import neighbor_jaccard
+
+    got = {
+        (r.a, r.b): (r.n_common, r.jaccard)
+        for r in neighbor_jaccard(edges, max_fanout=5).collect()
+    }
+    assert set(got) == {("a", "b"), ("a", "c"), ("b", "c"), ("a", "d"), ("b", "d")}
+    assert got[("a", "b")] == (1, round(1 / 3, 6))
+    # min_common filters below threshold (no pair here shares 2 neighbors)
+    from kg.ops import neighbor_jaccard as nj
+
+    assert nj(edges, min_common=2).count() == 0

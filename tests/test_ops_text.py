@@ -97,3 +97,33 @@ def test_winnow_fingerprints_guarantee_and_shape(spark):
     assert 4 not in by_doc  # < k tokens → no fingerprints
     for fps in by_doc.values():
         assert fps == sorted(set(fps))
+
+
+def test_repetition_stats_hand_docs(spark):
+    """Hand-checked Gopher-style repetition signals.
+
+    d1 'x y x y x y': 2-grams [x y]×3 + [y x]×2 → all 5 duplicated
+    (ratio 1.0), top 3/5; one line → no line dups.
+    d2 'hello\\nworld\\nhello': line 'hello' ×2 of 3 → 2/3; both 2-grams
+    unique → dup 0, top 1/2.
+    d3 empty and d4 single-token: no grams/lines → all ratios 0.0."""
+    from kg.ops import repetition_stats
+
+    df = spark.createDataFrame(
+        [
+            ("d1", "x y x y x y"),
+            ("d2", "hello\nworld\nhello"),
+            ("d3", ""),
+            ("d4", "one"),
+        ],
+        "doc_id string, text string",
+    )
+    got = {
+        r.doc_id: (r.dup_line_ratio, r.dup_2gram_ratio, r.top_2gram_ratio)
+        for r in repetition_stats(df, "doc_id", "text").collect()
+    }
+    assert got["d1"] == (0.0, 1.0, 0.6)
+    assert got["d2"] == (round(2 / 3, 6), 0.0, 0.5)
+    assert got["d3"] == (0.0, 0.0, 0.0)
+    assert got["d4"] == (0.0, 0.0, 0.0)
+    assert len(got) == 4
