@@ -709,6 +709,86 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def _para_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Derived corpus with REAL cross-document duplicate paragraphs: each
+    document's tokens are chunked into 8-token newline-joined paragraphs,
+    and a deterministic 'repost' twin (doc_id + 1_000_000, the first two
+    chunks) is unioned in — the same corpus-augmentation pattern as
+    ``_augmented_embeddings`` (the raw synthetic docs are single-line
+    bag-of-words with no shared spans, so dedup over them is vacuous)."""
+    toks = tokens_col(F.col("text"))
+    d = _read(spark, sf, "documents").select("doc_id", toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    chunks = F.when(
+        n >= 1,
+        F.transform(
+            F.sequence(F.lit(0), F.floor((n - 1) / 8).cast("int")),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i * 8 + 1, 8)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", chunks.alias("_c"))
+    return d.select(
+        "doc_id", F.array_join("_c", "\n").alias("text")
+    ).unionByName(
+        d.select(
+            (F.col("doc_id") + 1_000_000).alias("doc_id"),
+            F.array_join(F.slice("_c", 1, 2), "\n").alias("text"),
+        )
+    )
+
+
+def q_dedup_paragraphs(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus-level exact paragraph dedup (Lee et al. 2022 granularity):
+    later occurrences of a paragraph (corpus order = (doc_id, idx)) are
+    removed and documents reassembled.  groupBy-min on md5(paragraph) —
+    NOT a row_number window — so a boilerplate paragraph repeated 10^9
+    times collapses map-side instead of sorting on one reducer."""
+    from kg.ops import paragraph_dedup
+
+    return paragraph_dedup(_para_corpus(spark, sf), "doc_id", "text")
+
+
+def _para_corpus_sql() -> str:
+    tk = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "t -> t <> '')"
+    )
+    return (
+        f"tt AS (SELECT doc_id, {tk} AS t FROM documents), "
+        "ch AS (SELECT doc_id, CASE WHEN len(t) >= 1 THEN "
+        "list_transform(generate_series(0, CAST((len(t) - 1) // 8 AS INT)), "
+        "i -> array_to_string(t[i * 8 + 1 : i * 8 + 8], ' ')) "
+        "ELSE CAST([] AS VARCHAR[]) END AS cs FROM tt), "
+        "corpus AS (SELECT doc_id, array_to_string(cs, chr(10)) AS text FROM ch "
+        "UNION ALL SELECT doc_id + 1000000, "
+        "array_to_string(cs[1:2], chr(10)) FROM ch)"
+    )
+
+
+def _dedup_paragraphs_sql() -> str:
+    """Twin of q_dedup_paragraphs: zipped-unnest paragraph explode, first
+    occurrence via row_number ordered by (id, idx) — same winner as the
+    Spark side's groupBy-min — md5 keys, ordered string_agg reassembly."""
+    return (
+        "WITH " + _para_corpus_sql() + ", "
+        "pt AS (SELECT doc_id AS id, list_filter(list_transform("
+        "regexp_split_to_array(text, chr(10)), s -> trim(s)), s -> s <> '') "
+        "AS ps FROM corpus), "
+        "occ AS (SELECT id, unnest(generate_series(0, len(ps) - 1)) AS idx, "
+        "unnest(ps) AS para FROM pt WHERE len(ps) >= 1), "
+        "r AS (SELECT id, idx, para, row_number() OVER "
+        "(PARTITION BY md5(para) ORDER BY id, idx) AS rn FROM occ), "
+        "k AS (SELECT id, idx, para FROM r WHERE rn = 1), "
+        "c AS (SELECT id, CAST(count(*) AS BIGINT) AS n_kept, "
+        "string_agg(para, chr(10) ORDER BY idx) AS text_clean "
+        "FROM k GROUP BY id) "
+        "SELECT pt.id AS doc_id, CAST(len(pt.ps) AS INT) AS n_paras, "
+        "coalesce(c.n_kept, 0) AS n_kept, "
+        "coalesce(c.text_clean, '') AS text_clean "
+        "FROM pt LEFT JOIN c ON c.id = pt.id"
+    )
+
+
 def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     """Within-document repetition quality signals (Gopher-style):
     duplicate-line, duplicate-2gram and top-2gram fractions per document.
@@ -856,6 +936,7 @@ def queries() -> dict[str, _T]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_paragraphs": q_dedup_paragraphs,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
@@ -1331,6 +1412,7 @@ def oracle_sql() -> dict[str, str]:
             "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5"
         ),
         "dedup_embedding": _dedup_embedding_sql(),
+        "dedup_paragraphs": _dedup_paragraphs_sql(),
         "dedup_minhash_portable": _minhash_portable_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -12,6 +12,7 @@ from kg.ops.dedup import (  # noqa: F401
     exact_duplicates,
     minhash_duplicates,
     ngram_jaccard_pairs,
+    paragraph_dedup,
     simhash_col,
     simhash_col_jvm,
     simhash_candidates,

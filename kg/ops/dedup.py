@@ -34,6 +34,70 @@ def exact_duplicates(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     )
 
 
+def paragraph_dedup(
+    df: DataFrame, id_col: str, text_col: str
+) -> DataFrame:
+    """Corpus-level exact PARAGRAPH dedup (the span-granular cousin of
+    whole-document dedup, after Lee et al. 2022 "Deduplicating Training
+    Data Makes Language Models Better", restricted to exact paragraph
+    granularity so it stays deterministic and SQL-twinnable): every
+    occurrence of a (trimmed, non-empty) line-delimited paragraph except
+    the corpus-order first — ordered by (id, paragraph index) — is
+    removed, and each document is reassembled from its kept paragraphs.
+
+    Returns (id, n_paras, n_kept, text_clean); n_kept = 0 and
+    text_clean = '' when every paragraph was a later duplicate.
+
+    Scale shape: posexplode → ONE hash aggregation on md5(paragraph)
+    (map-side partial combine collapses a boilerplate paragraph repeated
+    10^9 times to one row per map partition — this is why the first
+    occurrence comes from groupBy-min and NOT a row_number window, whose
+    sort would ship every occurrence of the hot key to one reducer) →
+    join back on the hash (AQE skew-join splits the hot probe side) →
+    per-doc reassembly via array_sort(collect_list(struct)) so the
+    nondeterministic collect order cannot leak into the output.  All
+    JVM; md5 keys so the oracle computes identical hashes."""
+    base = df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_x"))
+    paras = F.filter(
+        F.transform(F.split(F.col("_x"), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    d = base.select("id", paras.alias("_p"))
+    occ = d.select("id", F.posexplode("_p").alias("idx", "para")).withColumn(
+        "h", F.md5("para")
+    )
+    first = occ.groupBy("h").agg(
+        F.min(F.struct("id", "idx")).alias("_f")
+    )
+    kept = (
+        occ.join(first, "h")
+        .where(
+            (F.col("id") == F.col("_f.id")) & (F.col("idx") == F.col("_f.idx"))
+        )
+        .select("id", "idx", "para")
+    )
+    clean = kept.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_kept"),
+        F.array_join(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("idx", "para"))),
+                lambda s: s.para,
+            ),
+            "\n",
+        ).alias("text_clean"),
+    )
+    return (
+        d.select("id", F.size("_p").alias("n_paras"))
+        .join(clean, "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            "n_paras",
+            F.coalesce(F.col("n_kept"), F.lit(0).cast("long")).alias("n_kept"),
+            F.coalesce(F.col("text_clean"), F.lit("")).alias("text_clean"),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------

@@ -141,10 +141,21 @@ def _write(
         # co-locate each output partition in one task first: without this,
         # every task writes a file into every partition dir (tasks ×
         # buckets small files — the classic partitioned-write explosion).
-        # width pinned to the caller's bucket count (not cores) so
-        # write-task size — and therefore sort/commit behavior — is
-        # identical at every cluster size.
-        df = df.repartition(buckets, *[F.col(c) for c in partition_by])
+        # Width = min(buckets, session shuffle width): hashing the bucket
+        # column into N ≤ buckets tasks still lands ALL of a bucket's rows
+        # in one task (one file per bucket dir, footer stats stay
+        # O(buckets)), but stops scheduling 64 near-empty write tasks per
+        # element kind when the instance only has a few cores — at
+        # shuffle_partitions=2 that was ~190 no-op task launches per run,
+        # a measured slice of the per-instance floor the 4-instance fleet
+        # pays 4× (BENCH/BASELINE.md r4).  More tasks than cores buys
+        # nothing here: write throughput is bounded by cores and the
+        # per-bucket file layout is identical either way.
+        width = min(
+            buckets,
+            int(df.sparkSession.conf.get("spark.sql.shuffle.partitions")),
+        )
+        df = df.repartition(width, *[F.col(c) for c in partition_by])
         w = df.write.mode("overwrite").partitionBy(*partition_by).option(
             "partitionOverwriteMode", "dynamic"
         )

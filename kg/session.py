@@ -52,6 +52,14 @@ def get_spark(
         # trades scheduler overhead vs per-task Python work.
         .config("spark.sql.files.maxPartitionBytes", os.environ.get("KG_SPLIT_BYTES", "4m"))
         .config("spark.sql.session.timeZone", "UTC")
+        # partition discovery of the 64-bucket warehouse tables: the
+        # default threshold (32 dirs) pushes listing into a distributed
+        # Spark job — four ~0.4 s jobs per pipeline run just to list 64
+        # LOCAL directories the driver stats in microseconds.  Raised so
+        # local-FS listing stays driver-side; on a real object store
+        # (where parallel listing earns its cost) deployments lower it
+        # back via extra_conf.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "128")
         # zstd for shuffle/spill blocks and parquet output: more CPU per
         # byte but far fewer bytes — compression CPU parallelizes across
         # cores while memory/disk bandwidth does not, so trading bandwidth

@@ -33,6 +33,8 @@ def main() -> None:
         "edge_docs", "pricing_summary", "top_tokens_per_lang",
         "user_event_windows", "dedup_exact", "dedup_minhash",
         "dedup_embedding", "text_stats", "ann_brute_force", "ann_lsh", "ann_ivf",
+        "graph_pagerank", "graph_triangles", "graph_jaccard",
+        "repetition_stats",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

@@ -425,3 +425,31 @@ def test_winnow_duplicates_catches_shared_run(spark):
     pairs = {(r.a, r.b) for r in winnow_duplicates(df, "doc_id", "text").collect()}
     assert (1, 2) in pairs
     assert all(3 not in p for p in pairs)
+
+
+def test_paragraph_dedup_hand_corpus(spark):
+    """Corpus order (id, idx) decides keepers; within-doc and cross-doc
+    later occurrences are removed; docs reassemble in original paragraph
+    order; fully-duplicated and empty docs yield n_kept=0 / ''."""
+    from kg.ops import paragraph_dedup
+
+    df = spark.createDataFrame(
+        [
+            (1, "alpha\nbeta\nalpha"),      # within-doc dup: 2nd 'alpha' dropped
+            (2, "beta\ngamma"),              # 'beta' already seen in doc 1
+            (3, "alpha\nbeta"),              # both seen → fully removed
+            (4, "  \n\n"),                   # only empty/whitespace paragraphs
+            (5, "delta"),
+        ],
+        "doc_id long, text string",
+    )
+    got = {
+        r.doc_id: (r.n_paras, r.n_kept, r.text_clean)
+        for r in paragraph_dedup(df, "doc_id", "text").collect()
+    }
+    assert got[1] == (3, 2, "alpha\nbeta")
+    assert got[2] == (2, 1, "gamma")
+    assert got[3] == (2, 0, "")
+    assert got[4] == (0, 0, "")
+    assert got[5] == (1, 1, "delta")
+    assert len(got) == 5
