@@ -53,6 +53,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                          "whose input changed since the recorded lineage")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--partition-key", default="repo")
+    ap.add_argument("--extract-engine", choices=["arrow", "jvm"], default=None,
+                    help="extract execution path: 'arrow' (pandas/Arrow "
+                         "UDF, default; required for tree-sitter-style "
+                         "extractors) or 'jvm' (equivalence-tested "
+                         "Catalyst regex twin — zero Python workers); "
+                         "default from KG_EXTRACT_ENGINE env")
     ap.add_argument("-l", "--log-level", default="INFO",
                     help="kg logger level (reference -l, CommandLineOptions.cs:24)")
     ap.add_argument("--show-ddl", action="store_true",
@@ -80,6 +86,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     cfg = PipelineConfig(
         warehouse=args.warehouse, partition_key=args.partition_key
     )
+    if args.extract_engine:
+        cfg.extract_engine = args.extract_engine
     if args.shuffle_partitions:
         cfg.shuffle_partitions = args.shuffle_partitions
     owns_session = spark is None

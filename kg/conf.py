@@ -53,12 +53,23 @@ class PipelineConfig:
     jaccard_threshold: float = 0.5
     embedding_dim: int = 32
     embedding_threshold: float = 0.85
+    # extract execution path: "arrow" (pandas/Arrow UDF — the contract
+    # surface, required for tree-sitter-style extractors) or "jvm" (the
+    # equivalence-tested Catalyst regex twin, kg/extract/jvm.py)
+    extract_engine: str = field(
+        default_factory=lambda: os.environ.get("KG_EXTRACT_ENGINE", "arrow")
+    )
 
     @property
     def lsh_rows_per_band(self) -> int:
         return self.minhash_perms // self.lsh_bands
 
     def __post_init__(self) -> None:
+        if self.extract_engine not in ("arrow", "jvm"):
+            raise ValueError(
+                f"extract_engine must be 'arrow' or 'jvm', got "
+                f"{self.extract_engine!r}"
+            )
         if "://" in self.warehouse:
             # resume gating / restart truncation / footer stats use local
             # filesystem semantics (os.path.exists, shutil.rmtree, glob);

@@ -68,11 +68,27 @@ def triples_from_source(source_files: DataFrame) -> DataFrame:
     return pruned.mapInPandas(_extract_batches, schema=TRIPLES)
 
 
-def run_extract(source_files: DataFrame) -> DataFrame:
+def run_extract(source_files: DataFrame, engine: str | None = None) -> DataFrame:
     """Stage entry used by the pipeline.
 
     Output is already unique per (subj, pred, obj, content_sha): the
     extractor dedupes within each file, and cross-file duplicates are
     structurally impossible (subjects embed repo:path, content_sha is
-    per-file).  No global dropDuplicates shuffle needed."""
+    per-file).  No global dropDuplicates shuffle needed.
+
+    ``engine`` selects the execution path (default: ``KG_EXTRACT_ENGINE``
+    env, else ``arrow``): ``arrow`` is the pandas/Arrow contract surface
+    (the tree-sitter-capable one); ``jvm`` is the equivalence-tested
+    Catalyst twin (``kg.extract.jvm``) — zero Python workers, no Arrow
+    content transfer — for deployments whose rules are regex-expressible.
+    """
+    import os
+
+    engine = engine or os.environ.get("KG_EXTRACT_ENGINE", "arrow")
+    if engine == "jvm":
+        from kg.extract.jvm import triples_from_source_jvm
+
+        return triples_from_source_jvm(source_files)
+    if engine != "arrow":
+        raise ValueError(f"unknown extract engine {engine!r} (arrow|jvm)")
     return triples_from_source(source_files)

@@ -342,7 +342,9 @@ def run_pipeline(
             # hash(repo,path) (uniform by construction — this IS the
             # salt: path salts the hot repo), and downstream joins key
             # on sha256 ids (uniform).
-            new_triples = run_extract(pending.drop("bucket")).withColumn(
+            new_triples = run_extract(
+                pending.drop("bucket"), engine=cfg.extract_engine
+            ).withColumn(
                 "bucket", bucket_col("repo", "path", n_buckets=b)
             )
             # dynamic partition overwrite: only the buckets present in
