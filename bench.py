@@ -102,8 +102,17 @@ def main() -> None:
     src_dir = tempfile.mkdtemp(prefix="kg_bench_src_", dir=shm)
     source_files_df(spark, n_files).write.mode("overwrite").parquet(src_dir)
 
+    # engine for the pipeline leg: the jvm twin (equivalence-tested,
+    # byte-identical output — tests/test_extract_jvm.py) is what a
+    # deployment with regex-expressible rules would run; measured ~13%
+    # faster than the arrow contract path at this protocol on quiet
+    # windows (27.8 vs 32.4 s, interleaved A/B — BENCH/BASELINE.md r4).
+    # KG_EXTRACT_ENGINE=arrow overrides to bench the contract surface.
+    engine = os.environ.get("KG_EXTRACT_ENGINE", "jvm")
     wh = tempfile.mkdtemp(prefix="kg_bench_", dir=shm)
-    cfg = PipelineConfig(warehouse=wh, shuffle_partitions=cpus)
+    cfg = PipelineConfig(
+        warehouse=wh, shuffle_partitions=cpus, extract_engine=engine
+    )
     src = spark.read.parquet(src_dir)
     t0 = time.monotonic()
     out = run_pipeline(spark, src, cfg, restart=True)

@@ -65,7 +65,7 @@ shutil.rmtree(tmp, ignore_errors=True)
 # One pipeline instance over one work shard.  argv:
 #   cores src_path shm shard_idx n_shards
 _RUNNER = r"""
-import json, sys, tempfile, time
+import json, os, sys, tempfile, time
 from pyspark.sql import functions as F
 from kg.session import get_spark
 from kg.conf import PipelineConfig
@@ -76,12 +76,23 @@ shard, n_shards = int(sys.argv[4]), int(sys.argv[5])
 # ActiveProcessorCount: size each instance's JVM pools (GC, JIT, netty)
 # for ITS core slice — exactly what a containerized executor gets on a
 # real cluster; without it every JVM spawns 32-core thread pools and the
-# fleet collapses into GC/scheduler thrash (measured 3-5x)
+# fleet collapses into GC/scheduler thrash (measured 3-5x).
+# -Xms=-Xmx -XX:+AlwaysPreTouch (+THP): commit and fault the WHOLE heap
+# at JVM launch (untimed — a real executor pays this once at cluster
+# start).  On this sandbox, CONCURRENT first-touch page faults collapse
+# ~10x (host-level pathology, measured: solo 5.4 GB/s vs 1.25 GB/s/proc
+# at 2 procs), so lazy heap commit taxed the fleet leg's TIMED section
+# 1.5-1.7x with 25-36%% of JVM cpu in kernel time; pre-touched, the same
+# fleet leg ran 158.7 -> 94.7 s back-to-back with per-shard spread < 1.3%%
+# (BENCH/BASELINE.md r4).
+heap = os.environ.get("KG_DRIVER_MEM", "20g")
 spark = get_spark(f"shard-{shard}", cores=cores, shuffle_partitions=cores,
                   extra_conf={
                       "spark.local.dir": shm,
                       "spark.driver.extraJavaOptions":
-                          f"-XX:ActiveProcessorCount={cores + 2}",
+                          f"-XX:ActiveProcessorCount={cores + 2} "
+                          f"-Xms{heap} -XX:+AlwaysPreTouch "
+                          f"-XX:+UseTransparentHugePages",
                   })
 if n_shards > 1:
     src = spark.read.parquet(f"{src_path}/shard={shard}")
@@ -95,6 +106,19 @@ run_pipeline(spark, src.limit(4000).repartition(cores),
              restart=True)
 import shutil as _sh
 _sh.rmtree(warm_wh, ignore_errors=True)
+
+# fleet barrier: no instance's TIMED section may overlap another's
+# startup pre-touch storm — a cluster job likewise starts only after all
+# executors have registered.  Sentinel files under a per-fleet dir.
+if n_shards > 1:
+    bdir = os.path.join(shm, f"barrier_{n_shards}")
+    os.makedirs(bdir, exist_ok=True)
+    open(os.path.join(bdir, f"{shard}.ready"), "w").close()
+    deadline = time.monotonic() + 600
+    while len(os.listdir(bdir)) < n_shards:
+        if time.monotonic() > deadline:
+            raise RuntimeError("fleet barrier timed out")
+        time.sleep(0.2)
 
 wh = tempfile.mkdtemp(prefix=f"kg_shard_{shard}_", dir=shm)
 t0 = time.monotonic()
@@ -140,6 +164,7 @@ def run_level(n_shards: int, cores: int, src_path: str) -> dict:
     cluster scheduler would see; startup is a one-time cluster cost).
     """
     path = _script(_RUNNER)
+    shutil.rmtree(os.path.join(SHM, f"barrier_{n_shards}"), ignore_errors=True)
     procs = [
         subprocess.Popen(
             [sys.executable, path, str(cores), src_path, SHM, str(i), str(n_shards)],
@@ -196,8 +221,10 @@ def main() -> None:
     fleet = min(fleets, key=lambda d: d["sec"])
     speedup = single["sec"] / fleet["sec"]
     eff = speedup / args.shards
+    engine = os.environ.get("KG_EXTRACT_ENGINE", "arrow")
     result = {
         "files": args.files,
+        "extract_engine": engine,
         "single": single,
         "fleet": fleet,
         "speedup": round(speedup, 3),
@@ -213,7 +240,8 @@ def main() -> None:
         f.write(
             f"\n## sharded scaling run (cluster-mode proxy): {args.files} files, "
             f"1×local[{args.cores}] vs {args.shards}×local[{args.cores}] "
-            f"independent instances (reference -t/-i model), best of {args.repeats}\n\n"
+            f"independent instances (reference -t/-i model), "
+            f"extract engine {engine}, best of {args.repeats}\n\n"
             f"| level | instances×cores | wall sec | triples | triples/sec |\n"
             f"|---|---|---|---|---|\n"
             f"| N | 1×{args.cores} | {t1} | {single['triples']} | "
