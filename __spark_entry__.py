@@ -25,6 +25,12 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window as W, functions as F
 
 from kg.conf import PipelineConfig
+from kg.ops.curate import (
+    decontaminate,
+    split_assign,
+    stratified_sample,
+    tfidf_topk,
+)
 from kg.ops.dedup import token_ngrams  # noqa: F401 (re-export for tests)
 from kg.ops.text import (
     LANG_MARKERS,
@@ -843,6 +849,38 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# curation operators (kg/ops/curate.py)
+# ---------------------------------------------------------------------------
+def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-3-style test-set decontamination: corpus docs sharing any
+    13-gram with the benchmark slice (doc_id % 20 == 7), with
+    distinct-hit counts.  The planted near-dups in the testdata are the
+    contamination ground truth."""
+    d = _read(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 7)
+    corpus = d.where(F.col("doc_id") % 20 != 7)
+    return decontaminate(corpus, bench, n=13)
+
+
+def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic md5-bucket train/val/test carve — pure map-side."""
+    d = _read(spark, sf, "documents")
+    return split_assign(d, "doc_id").select("doc_id", "bucket", "split")
+
+
+def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact 20% per-language quota sample in md5 order."""
+    d = _read(spark, sf, "documents")
+    return stratified_sample(d, "lang", fraction=0.2).select("doc_id", "lang")
+
+
+def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-3 tokens per document by smoothed TF-IDF (6dp-rounded)."""
+    d = _read(spark, sf, "documents")
+    return tfidf_topk(d, k=3)
+
+
+# ---------------------------------------------------------------------------
 # KG pipeline stages (synthetic 200-file corpus; golden-backed SQL twins)
 # ---------------------------------------------------------------------------
 def _kg_outputs(
@@ -947,6 +985,10 @@ def queries() -> dict[str, _T]:
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
         "text_stats": q_text_stats,
+        "decontaminate": q_decontaminate,
+        "split_assign": q_split_assign,
+        "sample_stratified": q_sample_stratified,
+        "tfidf_topk": q_tfidf_topk,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_winnow": q_dedup_winnow,
@@ -1398,6 +1440,50 @@ def oracle_sql() -> dict[str, str]:
             "(1.0 - least(2.0 * len(list_filter(" + tok + ", t -> t IN (" + _EN + "))) / "
             "greatest(len(" + tok + "), 1), 1.0)), 6) AS quality "
             "FROM documents"
+        ),
+        "decontaminate": (
+            # mirror kg/ops/curate.py exactly: tokens -> sliding 13-gram
+            # strings -> IN-ARRAY distinct on the STRINGS -> top-60-bit
+            # md5 longs -> bench-distinct join -> per-doc hit counts
+            "WITH tokd AS (SELECT doc_id, " + tok + " AS toks FROM documents), "
+            "grams AS (SELECT doc_id, list_transform("
+            "list_distinct(CASE WHEN len(toks) >= 13 "
+            "THEN list_transform(range(1, len(toks) - 11), "
+            "i -> array_to_string(toks[i:i+12], ' ')) ELSE [] END), "
+            "g -> CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT AS BIGINT)"
+            ") AS ghs FROM tokd), "
+            "bench AS (SELECT DISTINCT unnest(ghs) AS gh FROM grams WHERE doc_id % 20 = 7), "
+            "corpus AS (SELECT doc_id, unnest(ghs) AS gh FROM grams WHERE doc_id % 20 <> 7) "
+            "SELECT c.doc_id, count(*) AS n_hits "
+            "FROM corpus c JOIN bench b USING (gh) GROUP BY c.doc_id"
+        ),
+        "split_assign": (
+            "WITH b AS (SELECT doc_id, "
+            "CAST(('0x' || substring(md5('kg-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT % 1000000 AS INT) AS bucket FROM documents) "
+            "SELECT doc_id, bucket, CASE WHEN bucket < 980000 THEN 'train' "
+            "WHEN bucket < 990000 THEN 'val' ELSE 'test' END AS split FROM b"
+        ),
+        "sample_stratified": (
+            "WITH r AS (SELECT doc_id, lang, "
+            "row_number() OVER (PARTITION BY lang ORDER BY "
+            "CAST(('0x' || substring(md5('kg-sample-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT AS BIGINT), doc_id) AS rn, "
+            "count(*) OVER (PARTITION BY lang) AS n FROM documents) "
+            "SELECT doc_id, lang FROM r WHERE rn <= ceil(n * 0.2)"
+        ),
+        "tfidf_topk": (
+            "WITH t AS (SELECT doc_id, unnest(" + tok + ") AS token FROM documents), "
+            "tf AS (SELECT doc_id, token, count(*) AS tf FROM t GROUP BY 1, 2), "
+            "dfreq AS (SELECT token, count(DISTINCT doc_id) AS df FROM tf GROUP BY 1), "
+            "nd AS (SELECT count(DISTINCT doc_id) AS n_docs FROM documents), "
+            "s AS (SELECT doc_id, token, tf, "
+            "round(tf * (ln((n_docs + 1.0) / (df + 1)) + 1.0), 6) AS score "
+            "FROM tf JOIN dfreq USING (token) CROSS JOIN nd), "
+            "r AS (SELECT doc_id, token, tf, score, row_number() OVER "
+            "(PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk FROM s) "
+            'SELECT doc_id, token, tf, score, CAST(rnk AS INT) AS "rank" '
+            "FROM r WHERE rnk <= 3"
         ),
         "ann_brute_force": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "

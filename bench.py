@@ -66,6 +66,8 @@ def main() -> None:
         "graph_pagerank",
         "graph_triangles",
         "repetition_stats",
+        "decontaminate",
+        "tfidf_topk",
     ]
 
     # untimed warm-up at the smallest scale factor: python-worker spawn,

@@ -1,0 +1,139 @@
+"""spark-submit entry point for training-data curation.
+
+    spark-submit --py-files dist/kg.zip jobs/run_curate.py \
+        --input /path/to/documents --output /path/to/curated \
+        [--benchmark /path/to/eval_docs] [--min-quality 0.1] \
+        [--dedup exact|paragraph] [--ngram 13] \
+        [--split train=0.98,val=0.01,test=0.01] [--seed kg-split-v1]
+
+Runs quality filter → corpus dedup → benchmark decontamination →
+deterministic split over a documents table and writes the curated
+corpus partitioned by ``split`` (so a trainer reads ``split=train``
+with partition pruning, no filter scan).
+
+Per-stage drop counts are a deployment-scale cost (each is a full
+corpus pass), so they are opt-in via ``--stats``; the default reports
+only rows in/out, which parquet answers from footers.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+
+# direct `python jobs/run_curate.py` puts jobs/ on sys.path, not the repo
+# root; on a cluster the package ships via --py-files instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def _parse_split(spec: str) -> dict[str, float]:
+    out: dict[str, float] = {}
+    for part in spec.split(","):
+        name, _, w = part.partition("=")
+        if not _:
+            raise SystemExit(f"bad --split component {part!r} (want name=weight)")
+        out[name.strip()] = float(w)
+    return out
+
+
+def main(argv: list[str] | None = None, spark=None) -> None:
+    """``spark=None`` builds and owns a session (spark-submit path);
+    a caller-supplied session (tests) is reused and NOT stopped."""
+    ap = argparse.ArgumentParser(description="kg corpus curation")
+    ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--output", required=True, help="curated output dir")
+    ap.add_argument("--benchmark", default=None,
+                    help="eval-set documents parquet; corpus docs sharing "
+                         "any --ngram word n-gram with it are dropped")
+    ap.add_argument("--min-quality", type=float, default=None,
+                    help="drop docs with quality_score below this")
+    ap.add_argument("--dedup", choices=["exact", "paragraph"], default=None,
+                    help="'exact' keeps the lowest-id copy of each "
+                         "normalized text; 'paragraph' removes later "
+                         "occurrences of exact paragraphs corpus-wide")
+    ap.add_argument("--ngram", type=int, default=13)
+    ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
+    ap.add_argument("--seed", default="kg-split-v1")
+    ap.add_argument("--id-col", default="doc_id")
+    ap.add_argument("--text-col", default="text")
+    ap.add_argument("--stats", action="store_true",
+                    help="count per-stage drops (extra corpus passes)")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    from kg.ops.curate import curate_corpus
+    from kg.session import get_spark
+
+    owns_session = spark is None
+    if owns_session:
+        spark = get_spark(
+            "kg-curate", shuffle_partitions=args.shuffle_partitions or 32
+        )
+
+    docs = spark.read.parquet(args.input)
+    bench = spark.read.parquet(args.benchmark) if args.benchmark else None
+    weights = _parse_split(args.split)
+
+    t0 = time.monotonic()
+    curated = curate_corpus(
+        docs,
+        benchmark=bench,
+        min_quality=args.min_quality,
+        dedup=args.dedup,
+        ngram=args.ngram,
+        weights=weights,
+        seed=args.seed,
+        id_col=args.id_col,
+        text_col=args.text_col,
+    )
+    curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
+    sec = time.monotonic() - t0
+
+    report: dict[str, object] = {
+        "rows_in": docs.count(),
+        "rows_out": spark.read.parquet(args.output).count(),
+        "sec": round(sec, 3),
+    }
+    if args.stats:
+        stages: dict[str, int] = {}
+        cur = docs
+        if args.min_quality is not None:
+            nxt = curate_corpus(
+                cur, min_quality=args.min_quality,
+                id_col=args.id_col, text_col=args.text_col,
+            ).drop("bucket", "split")
+            stages["quality_dropped"] = cur.count() - nxt.count()
+            cur = nxt
+        if args.dedup:
+            nxt = curate_corpus(
+                cur, dedup=args.dedup,
+                id_col=args.id_col, text_col=args.text_col,
+            ).drop("bucket", "split")
+            stages["dedup_dropped"] = cur.count() - nxt.count()
+            cur = nxt
+        if bench is not None:
+            nxt = curate_corpus(
+                cur, benchmark=bench, ngram=args.ngram,
+                id_col=args.id_col, text_col=args.text_col,
+            ).drop("bucket", "split")
+            stages["decontaminate_dropped"] = cur.count() - nxt.count()
+        report["stages"] = stages
+    splits = {
+        r["split"]: r["n"]
+        for r in spark.read.parquet(args.output)
+        .groupBy("split")
+        .count()
+        .withColumnRenamed("count", "n")
+        .collect()
+    }
+    report["splits"] = splits
+    print(json.dumps(report))
+    if owns_session:
+        spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

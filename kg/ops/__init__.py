@@ -7,6 +7,13 @@ token counting, fingerprinting), multimodal column plumbing, and graph
 queries over the materialized vertex/edge output (degrees, 2-hop, k-hop).
 """
 
+from kg.ops.curate import (  # noqa: F401
+    decontaminate,
+    split_assign,
+    stratified_sample,
+    tfidf_topk,
+    word_ngrams,
+)
 from kg.ops.dedup import (  # noqa: F401
     embedding_near_duplicates,
     exact_duplicates,

@@ -1,0 +1,277 @@
+"""Training-data curation operators: benchmark decontamination,
+deterministic splits, stratified sampling, TF-IDF keyword extraction.
+
+Design notes (100 TB shape):
+
+- ``decontaminate`` — the benchmark side is tiny by nature (eval sets
+  are thousands of docs, the corpus is billions), so its n-gram set is
+  broadcast (evidence-gated via :func:`kg.hints.maybe_broadcast`; over
+  budget it degrades to a shuffle join, never OOM).  The corpus side
+  dedups n-grams *inside the array* before exploding, so the exploded
+  row count is bounded by distinct-grams-per-doc, and the per-doc hit
+  count aggregates with a map-side combine.  No corpus self-join
+  anywhere.
+- ``split_assign`` — pure map-side column expression (md5 bucket), zero
+  shuffle; the canonical way to carve train/val/test at any scale.
+- ``stratified_sample`` — EXACT per-stratum quotas need a per-stratum
+  rank (one shuffle, per-stratum sort).  For corpus-scale strata prefer
+  ``split_assign``-style hash thresholds (shuffle-free, binomial-exact
+  in expectation); the exact variant is for bounded strata counts.
+- ``tfidf_topk`` — two hash aggregations (term×doc, then term) and one
+  broadcast-gated join of the document-frequency dim; ranking uses
+  6dp-rounded scores so the order is reproducible across engines.
+
+All outputs are engine-portable (md5-based hashing, 6dp rounds) so each
+op carries an exact DuckDB oracle twin in ``__spark_entry__``.
+
+Reference parity: the reference (syedhassaanahmed/neo-to-cosmos) has no
+curation surface — these extend the engine for LLM-training pipelines
+per SURVEY.md §2.1.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, functions as F
+
+from kg.hints import maybe_broadcast
+from kg.ops.minhash import md5_60
+from kg.ops.text import tokens_col
+
+
+def word_ngrams(text: Column, n: int) -> Column:
+    """Distinct word ``n``-grams of ``text`` as space-joined strings.
+
+    DuckDB twin: ``list_distinct([array_to_string(toks[i:i+n-1], ' ')
+    for i in range(1, len-n+2)])`` via ``list_transform(range(...))``.
+    """
+    toks = tokens_col(text)
+    count = F.size(toks) - (n - 1)
+    # ANSI mode: sequence(1, 0) raises, so docs shorter than n tokens
+    # take the empty branch (CaseWhen evaluates only the live branch)
+    grams = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    return F.array_distinct(grams)
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Flag corpus docs sharing any word ``n``-gram with a benchmark set
+    (GPT-3-style test-set decontamination, 13-gram default).
+
+    Returns ``(id_col, n_hits)`` for contaminated docs only — the caller
+    anti-joins to drop them.  ``n_hits`` = number of DISTINCT corpus-doc
+    n-grams that appear anywhere in the benchmark (a severity signal:
+    1 hit is often coincidence at small n, hundreds is verbatim leak).
+
+    Grams travel as top-60-bit md5 longs, not strings — 8 bytes each
+    through the join regardless of n.
+    """
+    bench_grams = (
+        benchmark.select(
+            F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
+        )
+        .select(md5_60(F.col("gram")).alias("gh"))
+        .distinct()
+    )
+    corpus_grams = docs.select(
+        F.col(id_col),
+        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
+    ).select(id_col, md5_60(F.col("gram")).alias("gh"))
+    hits = corpus_grams.join(maybe_broadcast(bench_grams), "gh")
+    return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))
+
+
+def split_bucket(id_col: Column, seed: str) -> Column:
+    """Deterministic bucket in [0, 1e6): top-60-bit md5 of ``seed:id``.
+
+    Portable: DuckDB ``('0x' || substring(md5(seed || ':' || id), 1,
+    15))::UBIGINT % 1000000``.
+    """
+    key = F.concat_ws(":", F.lit(seed), id_col.cast("string"))
+    return F.pmod(md5_60(key), F.lit(1_000_000)).cast("int")
+
+
+def split_assign(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    weights: dict[str, float] | None = None,
+    seed: str = "kg-split-v1",
+) -> DataFrame:
+    """Add a deterministic ``split`` column (train/val/test carve).
+
+    Pure map-side — no shuffle, no RNG state: the same row lands in the
+    same split on every run, every engine, any partitioning.  Weights
+    are cumulative thresholds over the md5 bucket space, so adding rows
+    never reshuffles existing assignments.
+    """
+    weights = weights or {"train": 0.98, "val": 0.01, "test": 0.01}
+    total = sum(weights.values())
+    if abs(total - 1.0) > 1e-9:
+        raise ValueError(f"weights must sum to 1.0, got {total}")
+    bucket = split_bucket(F.col(id_col), seed)
+    expr: Column | None = None
+    acc = 0.0
+    # iterate in insertion order; last split is the unconditional tail
+    items = list(weights.items())
+    for name, w in items[:-1]:
+        acc += w
+        cond = bucket < F.lit(int(round(acc * 1_000_000)))
+        expr = F.when(cond, name) if expr is None else expr.when(cond, name)
+    tail = items[-1][0]
+    expr = F.lit(tail) if expr is None else expr.otherwise(tail)
+    return df.withColumn("bucket", bucket).withColumn("split", expr)
+
+
+def stratified_sample(
+    df: DataFrame,
+    strata_col: str,
+    id_col: str = "doc_id",
+    fraction: float = 0.1,
+    seed: str = "kg-sample-v1",
+) -> DataFrame:
+    """EXACT per-stratum quota sample: ``ceil(n_s * fraction)`` rows per
+    stratum, chosen by md5 order (deterministic, engine-portable).
+
+    One shuffle (window over strata).  Each stratum is sorted within its
+    partitions — fine for bounded strata cardinality with balanced
+    sizes; for corpus-scale or heavily skewed strata use
+    :func:`split_assign` thresholds instead (shuffle-free, exact in
+    expectation).  That trade-off (exact quota ⇔ per-stratum sort) is
+    fundamental, not an implementation shortcut.
+    """
+    if not 0.0 < fraction <= 1.0:
+        raise ValueError(f"fraction must be in (0, 1], got {fraction}")
+    from pyspark.sql import Window
+
+    order_key = md5_60(
+        F.concat_ws(":", F.lit(seed), F.col(id_col).cast("string"))
+    )
+    w = Window.partitionBy(strata_col).orderBy(order_key, F.col(id_col))
+    n_s = Window.partitionBy(strata_col)
+    return (
+        df.withColumn("_rn", F.row_number().over(w))
+        .withColumn("_quota", F.ceil(F.count("*").over(n_s) * F.lit(fraction)))
+        .where(F.col("_rn") <= F.col("_quota"))
+        .drop("_rn", "_quota")
+    )
+
+
+def tfidf_topk(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    k: int = 5,
+) -> DataFrame:
+    """Top-``k`` tokens per document by smoothed TF-IDF.
+
+    ``score = tf * (ln((N + 1) / (df + 1)) + 1)`` (sklearn's smooth
+    idf), rounded to 6dp; ranking on the rounded score with token-asc
+    tie-break so the top-k set is reproducible across engines.
+
+    Plan shape: explode → hash agg (doc, token) with map-side combine →
+    token-level hash agg for df → broadcast-gated join of the df dim
+    (|vocab| ≪ |corpus tokens|) → per-doc top-k window.
+    """
+    from pyspark.sql import Window
+
+    tf = (
+        docs.select(
+            F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+        )
+        .groupBy(id_col, "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    # N as a lazy 1-row broadcast-joined scalar — no driver action, the
+    # whole op stays one job
+    n_docs = docs.select(F.countDistinct(id_col).alias("n_docs"))
+    df_dim = (
+        tf.groupBy("token")
+        .agg(F.countDistinct(id_col).alias("df"))
+        .crossJoin(F.broadcast(n_docs))
+    )
+    scored = tf.join(maybe_broadcast(df_dim), "token").withColumn(
+        "score",
+        F.round(
+            F.col("tf")
+            * (F.log((F.col("n_docs") + 1.0) / (F.col("df") + 1)) + 1.0),
+            6,
+        ),
+    )
+    w = Window.partitionBy(id_col).orderBy(
+        F.col("score").desc(), F.col("token").asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(id_col, "token", "tf", "score", F.col("_rn").alias("rank"))
+    )
+
+
+def curate_corpus(
+    docs: DataFrame,
+    benchmark: DataFrame | None = None,
+    min_quality: float | None = None,
+    dedup: str | None = None,
+    ngram: int = 13,
+    weights: dict[str, float] | None = None,
+    seed: str = "kg-split-v1",
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Compose the curation stages a training-data prep job runs:
+
+    quality filter → corpus dedup (``exact`` keeps the lowest-id copy of
+    each normalized text; ``paragraph`` removes later occurrences of
+    exact paragraphs corpus-wide) → benchmark decontamination (anti-join
+    on :func:`decontaminate` hits) → deterministic ``split`` column.
+
+    Entirely lazy — one DataFrame out, no actions; the CLI
+    (``jobs/run_curate.py``) decides what to count.  Every stage is
+    shuffle-bounded: quality is map-side, exact dedup is one
+    groupBy-min + semi-join on the md5 fingerprint (map-side combine
+    collapses duplicate hot keys), decontamination broadcasts the
+    benchmark's gram set, and the split is map-side.
+    """
+    from kg.ops.text import doc_fingerprint, quality_score
+
+    out = docs
+    if min_quality is not None:
+        out = out.where(quality_score(F.col(text_col)) >= F.lit(min_quality))
+    if dedup == "exact":
+        fp = doc_fingerprint(F.col(text_col)).alias("_fp")
+        withfp = out.select("*", fp)
+        keep = (
+            withfp.groupBy("_fp")
+            .agg(F.min(id_col).alias(id_col))
+            .select("_fp", id_col)
+        )
+        out = withfp.join(keep, ["_fp", id_col], "left_semi").drop("_fp")
+    elif dedup == "paragraph":
+        from kg.ops.dedup import paragraph_dedup
+
+        # paragraph_dedup returns (id, n_paras, n_kept, text_clean):
+        # docs whose every paragraph was a later duplicate come back
+        # empty — drop them, rewrite the rest with the cleaned text
+        deduped = paragraph_dedup(out.select(id_col, text_col), id_col, text_col)
+        kept = deduped.where(F.col("n_kept") > 0).select(
+            id_col, F.col("text_clean").alias(text_col)
+        )
+        out = out.drop(text_col).join(kept, id_col)
+    elif dedup is not None:
+        raise ValueError(f"unknown dedup mode: {dedup!r}")
+    if benchmark is not None:
+        hits = decontaminate(
+            out, benchmark, id_col=id_col, text_col=text_col, n=ngram
+        )
+        out = out.join(hits.select(id_col), id_col, "left_anti")
+    return split_assign(out, id_col=id_col, weights=weights, seed=seed)

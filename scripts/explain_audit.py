@@ -34,7 +34,10 @@ def main() -> None:
         "user_event_windows", "dedup_exact", "dedup_minhash",
         "dedup_embedding", "text_stats", "ann_brute_force", "ann_lsh", "ann_ivf",
         "graph_pagerank", "graph_triangles", "graph_jaccard",
-        "repetition_stats",
+        "repetition_stats", "graph_degree", "graph_two_hop",
+        "ann_ivf_trained", "dedup_winnow", "dedup_paragraphs",
+        "winnow_fingerprints", "decontaminate", "split_assign",
+        "sample_stratified", "tfidf_topk",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

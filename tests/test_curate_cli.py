@@ -1,0 +1,111 @@
+"""End-to-end test of the curation CLI (jobs/run_curate.py): quality
+filter, exact dedup, decontamination, and split-partitioned output."""
+
+from __future__ import annotations
+
+import json
+import os
+
+import pytest
+
+import jobs.run_curate as cli
+from kg.ops.curate import curate_corpus
+
+
+def _write_docs(spark, path, rows):
+    spark.createDataFrame(rows, ["doc_id", "text"]).write.mode(
+        "overwrite"
+    ).parquet(path)
+
+
+WORDS = [f"word{i}" for i in range(40)]
+GOOD = " ".join(WORDS)                      # long, alpha, no stopwords
+BENCH = " ".join(f"eval{i}" for i in range(20))
+LEAK = " ".join(f"eval{i}" for i in range(14)) + " " + " ".join(WORDS[:10])
+JUNK = "!!! ??? !!!"                        # zero quality
+
+
+@pytest.fixture()
+def corpus(spark, tmp_path):
+    docs = str(tmp_path / "docs")
+    bench = str(tmp_path / "bench")
+    _write_docs(
+        spark,
+        docs,
+        [
+            (1, GOOD),
+            (2, GOOD),          # exact duplicate of 1 -> dropped
+            (3, LEAK),          # shares 13-grams with benchmark -> dropped
+            (4, JUNK),          # quality 0 -> dropped
+            (5, " ".join(reversed(WORDS))),  # clean survivor
+        ],
+    )
+    _write_docs(spark, bench, [(100, BENCH)])
+    return docs, bench
+
+
+def test_cli_end_to_end(spark, corpus, tmp_path, capsys):
+    docs, bench = corpus
+    out = str(tmp_path / "curated")
+    cli.main(
+        [
+            "--input", docs,
+            "--output", out,
+            "--benchmark", bench,
+            "--min-quality", "0.05",
+            "--dedup", "exact",
+            "--stats",
+        ],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_in"] == 5
+    assert report["rows_out"] == 2
+    assert report["stages"] == {
+        "quality_dropped": 1,
+        "dedup_dropped": 1,
+        "decontaminate_dropped": 1,
+    }
+    got = spark.read.parquet(out)
+    assert sorted(r["doc_id"] for r in got.collect()) == [1, 5]
+    assert "split" in got.columns
+    # physically partitioned by split for trainer-side pruning
+    assert any(d.startswith("split=") for d in os.listdir(out))
+    assert sum(report["splits"].values()) == 2
+
+
+def test_cli_deterministic_rerun(spark, corpus, tmp_path):
+    docs, bench = corpus
+    out1, out2 = str(tmp_path / "c1"), str(tmp_path / "c2")
+    args = ["--input", docs, "--output", None, "--benchmark", bench,
+            "--dedup", "exact"]
+    for out in (out1, out2):
+        args[3] = out
+        cli.main(list(args), spark=spark)
+    a = sorted(map(tuple, spark.read.parquet(out1).collect()))
+    b = sorted(map(tuple, spark.read.parquet(out2).collect()))
+    assert a == b
+
+
+def test_curate_corpus_paragraph_mode(spark):
+    # doc 20 repeats doc 10's paragraph -> rewritten without it;
+    # doc 30 is ONLY that paragraph -> dropped entirely
+    rows = [
+        (10, "unique alpha beta\nshared paragraph here"),
+        (20, "shared paragraph here\nother gamma delta"),
+        (30, "shared paragraph here"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["text"]
+        for r in curate_corpus(docs, dedup="paragraph").collect()
+    }
+    assert set(got) == {10, 20}
+    assert got[10] == "unique alpha beta\nshared paragraph here"
+    assert got[20] == "other gamma delta"
+
+
+def test_curate_corpus_rejects_unknown_dedup(spark):
+    docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        curate_corpus(docs, dedup="fuzzy")

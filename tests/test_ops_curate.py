@@ -1,0 +1,165 @@
+"""Curation-operator tests: decontamination, splits, stratified
+sampling, TF-IDF — hand corpora with known answers."""
+
+from __future__ import annotations
+
+import math
+
+from pyspark.sql import functions as F
+
+from kg.ops.curate import (
+    decontaminate,
+    split_assign,
+    stratified_sample,
+    tfidf_topk,
+    word_ngrams,
+)
+
+
+def _df(spark, rows, cols):
+    return spark.createDataFrame(rows, cols)
+
+
+# ---------------------------------------------------------------- ngrams
+def test_word_ngrams_shape_and_dedup(spark):
+    df = _df(spark, [(1, "a b c a b c a b")], ["doc_id", "text"])
+    got = sorted(
+        df.select(F.explode(word_ngrams(F.col("text"), 3)).alias("g"))
+        .toPandas()["g"]
+        .tolist()
+    )
+    # 6 sliding 3-grams, duplicates collapsed in-array
+    assert got == sorted({"a b c", "b c a", "c a b"})
+
+
+def test_word_ngrams_short_doc_is_empty(spark):
+    df = _df(spark, [(1, "only two")], ["doc_id", "text"])
+    assert (
+        df.select(F.size(word_ngrams(F.col("text"), 3)).alias("n"))
+        .first()["n"]
+        == 0
+    )
+
+
+# -------------------------------------------------------- decontaminate
+def test_decontaminate_flags_13gram_overlap_only(spark):
+    bench_text = " ".join(f"w{i}" for i in range(20))
+    # doc 1: verbatim 13-token run from the benchmark -> contaminated
+    leak = " ".join(f"w{i}" for i in range(13)) + " zzz qqq"
+    # doc 2: only a 12-token run -> clean at n=13
+    near = " ".join(f"w{i}" for i in range(12)) + " unrelated tail here"
+    # doc 3: disjoint vocabulary -> clean
+    clean = " ".join(f"x{i}" for i in range(30))
+    docs = _df(
+        spark, [(1, leak), (2, near), (3, clean)], ["doc_id", "text"]
+    )
+    bench = _df(spark, [(100, bench_text)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(docs, bench, n=13).collect()
+    }
+    assert set(got) == {1}
+    assert got[1] == 1  # exactly one distinct shared 13-gram
+
+
+def test_decontaminate_counts_distinct_grams(spark):
+    bench_text = " ".join(f"w{i}" for i in range(30))
+    # 16-token verbatim run shares 16-13+1 = 4 distinct 13-grams
+    leak = " ".join(f"w{i}" for i in range(16))
+    docs = _df(spark, [(1, leak)], ["doc_id", "text"])
+    bench = _df(spark, [(100, bench_text)], ["doc_id", "text"])
+    got = decontaminate(docs, bench, n=13).collect()
+    assert got[0]["n_hits"] == 4
+
+
+# --------------------------------------------------------- split_assign
+def test_split_assign_deterministic_and_total(spark):
+    df = spark.range(2000).withColumnRenamed("id", "doc_id")
+    a = split_assign(df).select("doc_id", "split", "bucket")
+    b = split_assign(df).select("doc_id", "split", "bucket")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    counts = {r["split"]: r["n"] for r in
+              a.groupBy("split").agg(F.count("*").alias("n")).collect()}
+    assert sum(counts.values()) == 2000
+    # binomial sanity at p=.98/.01/.01 over 2000 draws
+    assert counts["train"] > 1900
+    assert 0 < counts.get("val", 0) < 100
+    assert 0 < counts.get("test", 0) < 100
+
+
+def test_split_assign_stable_under_corpus_growth(spark):
+    small = spark.range(500).withColumnRenamed("id", "doc_id")
+    big = spark.range(2000).withColumnRenamed("id", "doc_id")
+    s = {r["doc_id"]: r["split"] for r in split_assign(small).collect()}
+    g = {r["doc_id"]: r["split"] for r in split_assign(big).collect()}
+    assert all(g[k] == v for k, v in s.items())
+
+
+def test_split_assign_rejects_bad_weights(spark):
+    import pytest
+
+    df = spark.range(10).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError):
+        split_assign(df, weights={"train": 0.5, "val": 0.1})
+
+
+# --------------------------------------------------- stratified_sample
+def test_stratified_sample_exact_quotas(spark):
+    rows = [(i, "en" if i < 100 else "de") for i in range(130)]
+    df = _df(spark, rows, ["doc_id", "lang"])
+    got = stratified_sample(df, "lang", fraction=0.1)
+    counts = {r["lang"]: r["n"] for r in
+              got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    assert counts == {"en": math.ceil(100 * 0.1), "de": math.ceil(30 * 0.1)}
+
+
+def test_stratified_sample_deterministic(spark):
+    rows = [(i, "en" if i % 2 == 0 else "de") for i in range(200)]
+    df = _df(spark, rows, ["doc_id", "lang"])
+    a = sorted(r["doc_id"] for r in stratified_sample(df, "lang").collect())
+    b = sorted(r["doc_id"] for r in stratified_sample(df, "lang").collect())
+    assert a == b
+
+
+def test_stratified_sample_rejects_bad_fraction(spark):
+    import pytest
+
+    df = _df(spark, [(1, "en")], ["doc_id", "lang"])
+    with pytest.raises(ValueError):
+        stratified_sample(df, "lang", fraction=0.0)
+
+
+# ------------------------------------------------------------- tfidf
+def test_tfidf_rare_term_beats_ubiquitous(spark):
+    docs = _df(
+        spark,
+        [
+            (1, "common common common rareword"),
+            (2, "common filler filler"),
+            (3, "common other other"),
+        ],
+        ["doc_id", "text"],
+    )
+    top = tfidf_topk(docs, k=1).collect()
+    d1 = next(r for r in top if r["doc_id"] == 1)
+    # 'common' has tf=3 in doc 1 but df=3 (idf=ln(4/4)+1=1 -> score 3.0);
+    # 'rareword' tf=1 df=1 (idf=ln(2)+1 ~ 1.693) -> common still wins on
+    # tf -- verify the EXACT smooth-idf arithmetic instead of vibes
+    assert d1["token"] == "common"
+    assert abs(d1["score"] - 3.0) < 1e-9
+    d2 = next(r for r in top if r["doc_id"] == 2)
+    assert d2["token"] == "filler"
+    exp = 2 * (math.log(4 / 2) + 1)
+    assert abs(d2["score"] - round(exp, 6)) < 1e-9
+
+
+def test_tfidf_k_bound_and_tiebreak(spark):
+    docs = _df(spark, [(1, "b a c"), (2, "z z")], ["doc_id", "text"])
+    got = tfidf_topk(docs, k=2).collect()
+    d1 = [r for r in got if r["doc_id"] == 1]
+    assert len(d1) == 2
+    # identical scores -> token-asc tie-break
+    assert [r["token"] for r in sorted(d1, key=lambda r: r["rank"])] == [
+        "a",
+        "b",
+    ]
