@@ -104,13 +104,15 @@ def main() -> None:
     src_dir = tempfile.mkdtemp(prefix="kg_bench_src_", dir=shm)
     source_files_df(spark, n_files).write.mode("overwrite").parquet(src_dir)
 
-    # engine for the pipeline leg: the jvm twin (equivalence-tested,
-    # byte-identical output — tests/test_extract_jvm.py) is what a
-    # deployment with regex-expressible rules would run; measured ~13%
-    # faster than the arrow contract path at this protocol on quiet
-    # windows (27.8 vs 32.4 s, interleaved A/B — BENCH/BASELINE.md r4).
-    # KG_EXTRACT_ENGINE=arrow overrides to bench the contract surface.
-    engine = os.environ.get("KG_EXTRACT_ENGINE", "jvm")
+    # engine for the pipeline leg: ENGINE CHOICE IS PROTOCOL-DEPENDENT.
+    # At the fleet protocol (local[2] slices) the jvm twin wins because
+    # arrow's python workers silently widen each instance's core slice —
+    # that's why bench_shards uses it for the scaling record.  At THIS
+    # protocol (one local[16] session, spare capacity for python
+    # workers) the arrow engine is ~3.4x faster (7.5 vs 25.4 s
+    # steady-state extract A/B, idle box, r4) — a jvm default here cost
+    # the pipeline leg 115 s vs ~45 s.  KG_EXTRACT_ENGINE overrides.
+    engine = os.environ.get("KG_EXTRACT_ENGINE", "arrow")
     wh = tempfile.mkdtemp(prefix="kg_bench_", dir=shm)
     cfg = PipelineConfig(
         warehouse=wh, shuffle_partitions=cpus, extract_engine=engine

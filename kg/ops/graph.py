@@ -220,11 +220,15 @@ def triangles(
     lt = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
+    # oriented is referenced three times below (both wedge legs + the
+    # closer); without a checkpoint Catalyst re-executes the full
+    # scan → union → degree agg → two joins chain per reference (a 48-join
+    # physical plan, measured 3-4x the runtime of the checkpointed form)
     oriented = ranked.select(
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    )
+    ).localCheckpoint()
     w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"),
                          F.col("ddst").alias("db"))
     w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"),
@@ -235,11 +239,10 @@ def triangles(
     )
     closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
     tri = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
-    members = (
-        tri.select(F.col("a").alias("id"))
-        .unionAll(tri.select(F.col("b").alias("id")))
-        .unionAll(tri.select(F.col("c").alias("id")))
-    )
+    # explode, not a 3-way union of tri projections: each union branch
+    # re-executes the wedge join (the plan's expensive part) — measured
+    # 3x the runtime of the single-pass explode on a 670k-triangle graph
+    members = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     return members.groupBy("id").agg(
         F.count("*").cast("long").alias("n_triangles")
     )
@@ -265,10 +268,13 @@ def neighbor_jaccard(
     cap exists for; pairs whose ONLY evidence is a super-node neighbor
     are noise for link prediction anyway."""
     und = _undirected(edges, out_col, in_col)
+    # adj feeds both wedge legs and the degree agg, deg feeds the fanout
+    # filter plus two denominator joins — checkpoint both so the edge
+    # scan runs once and the degree shuffle once (not 5-7x)
     adj = und.select(F.col("u").alias("id"), F.col("v").alias("nbr")).unionAll(
         und.select(F.col("v").alias("id"), F.col("u").alias("nbr"))
-    )
-    deg = adj.groupBy("id").agg(F.count("*").alias("deg"))
+    ).localCheckpoint()
+    deg = adj.groupBy("id").agg(F.count("*").alias("deg")).localCheckpoint()
     wedge_src = adj.select(F.col("nbr").alias("mid"), F.col("id"))
     if max_fanout is not None:
         ok = deg.filter(F.col("deg") <= max_fanout).select(
