@@ -48,6 +48,20 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
+def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read + round-robin repartition to the session's task-slot count.
+
+    The testdata tables are single-row-group parquet files, so Spark
+    gets exactly ONE input split no matter how small
+    ``files.maxPartitionBytes`` goes — any per-row-heavy op (n-gram
+    explosion, winnowing, signature folds) serializes on one core.  At
+    production scale partitioning comes from the file layout and this
+    shuffle would be dead weight; here it moves < 1 MB once and unlocks
+    the full slot count, which is what the op's plan assumes."""
+    df = _read(spark, sf_dir, name)
+    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+
+
 # ---------------------------------------------------------------------------
 # flagship
 # ---------------------------------------------------------------------------
@@ -320,7 +334,7 @@ def q_user_event_windows(spark: SparkSession, sf: str) -> DataFrame:
 def q_dedup_exact(spark: SparkSession, sf: str) -> DataFrame:
     from kg.ops import exact_duplicates
 
-    return exact_duplicates(_read(spark, sf, "documents"), "doc_id", "text")
+    return exact_duplicates(_read_spread(spark, sf, "documents"), "doc_id", "text")
 
 
 def q_dedup_token_jaccard(spark: SparkSession, sf: str) -> DataFrame:
@@ -349,7 +363,7 @@ def q_dedup_minhash(spark: SparkSession, sf: str) -> DataFrame:
     from kg.ops import minhash_duplicates
 
     return minhash_duplicates(
-        _read(spark, sf, "documents"), "doc_id", "text", threshold=0.5
+        _read_spread(spark, sf, "documents"), "doc_id", "text", threshold=0.5
     )
 
 
@@ -363,7 +377,7 @@ def q_dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     from kg.ops import minhash_duplicates
 
     return minhash_duplicates(
-        _read(spark, sf, "documents"), "doc_id", "text", threshold=0.5,
+        _read_spread(spark, sf, "documents"), "doc_id", "text", threshold=0.5,
         portable=True,
     )
 
@@ -372,7 +386,7 @@ def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash values per document (bit-fold UDF — no SQL twin)."""
     from kg.ops import simhash_col
 
-    return simhash_col(_read(spark, sf, "documents"), "doc_id", "text")
+    return simhash_col(_read_spread(spark, sf, "documents"), "doc_id", "text")
 
 
 def q_dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
@@ -383,7 +397,7 @@ def q_dedup_simhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     from kg.ops import simhash_col
 
     return simhash_col(
-        _read(spark, sf, "documents"), "doc_id", "text", portable=True
+        _read_spread(spark, sf, "documents"), "doc_id", "text", portable=True
     )
 
 
@@ -699,7 +713,7 @@ def q_dedup_winnow(spark: SparkSession, sf: str) -> DataFrame:
     from kg.ops import winnow_duplicates
 
     return winnow_duplicates(
-        _read(spark, sf, "documents"), "doc_id", "text",
+        _read_spread(spark, sf, "documents"), "doc_id", "text",
         k=5, window=4, ngram=3, threshold=0.5,
     )
 
@@ -711,7 +725,7 @@ def q_winnow_fingerprints(spark: SparkSession, sf: str) -> DataFrame:
     from kg.ops import winnow_fingerprints
 
     return winnow_fingerprints(
-        _read(spark, sf, "documents"), "doc_id", "text", k=5, window=4
+        _read_spread(spark, sf, "documents"), "doc_id", "text", k=5, window=4
     )
 
 
@@ -723,7 +737,7 @@ def _para_corpus(spark: SparkSession, sf: str) -> DataFrame:
     ``_augmented_embeddings`` (the raw synthetic docs are single-line
     bag-of-words with no shared spans, so dedup over them is vacuous)."""
     toks = tokens_col(F.col("text"))
-    d = _read(spark, sf, "documents").select("doc_id", toks.alias("_t"))
+    d = _read_spread(spark, sf, "documents").select("doc_id", toks.alias("_t"))
     n = F.size(F.col("_t"))
     chunks = F.when(
         n >= 1,
@@ -802,7 +816,7 @@ def q_repetition_stats(spark: SparkSession, sf: str) -> DataFrame:
     alternative is rejected in the op's docstring."""
     from kg.ops import repetition_stats
 
-    return repetition_stats(_read(spark, sf, "documents"), "doc_id", "text")
+    return repetition_stats(_read_spread(spark, sf, "documents"), "doc_id", "text")
 
 
 def _repetition_sql() -> str:
@@ -838,7 +852,7 @@ def _repetition_sql() -> str:
 
 
 def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
-    d = _read(spark, sf, "documents")
+    d = _read_spread(spark, sf, "documents")
     return d.select(
         "doc_id",
         token_count(F.col("text")).alias("n_tokens"),
@@ -856,7 +870,7 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     13-gram with the benchmark slice (doc_id % 20 == 7), with
     distinct-hit counts.  The planted near-dups in the testdata are the
     contamination ground truth."""
-    d = _read(spark, sf, "documents")
+    d = _read_spread(spark, sf, "documents")
     bench = d.where(F.col("doc_id") % 20 == 7)
     corpus = d.where(F.col("doc_id") % 20 != 7)
     return decontaminate(corpus, bench, n=13)
@@ -876,7 +890,7 @@ def q_sample_stratified(spark: SparkSession, sf: str) -> DataFrame:
 
 def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     """Top-3 tokens per document by smoothed TF-IDF (6dp-rounded)."""
-    d = _read(spark, sf, "documents")
+    d = _read_spread(spark, sf, "documents")
     return tfidf_topk(d, k=3)
 
 

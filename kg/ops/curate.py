@@ -43,8 +43,22 @@ def word_ngrams(text: Column, n: int) -> Column:
 
     DuckDB twin: ``list_distinct([array_to_string(toks[i:i+n-1], ' ')
     for i in range(1, len-n+2)])`` via ``list_transform(range(...))``.
+
+    NOTE: ``text`` should be a plain column reference, and when the
+    caller controls the plan it should bind the token array as its own
+    projection first (see ``_gram_hashes``) — an expensive expression
+    captured inside a higher-order-fn lambda is re-evaluated per
+    element, turning the gram pass O(L²) in document length.
     """
-    toks = tokens_col(text)
+    return _ngrams_of(tokens_col(text), n)
+
+
+def _ngrams_of(toks: Column, n: int) -> Column:
+    """Distinct space-joined ``n``-grams of a token-array column.
+    Pass an ATTRIBUTE reference (a column bound by a previous
+    projection) — re-evaluating an attribute per lambda element is a
+    row-buffer read; re-evaluating a tokenizer expression is a full
+    regex split per element."""
     count = F.size(toks) - (n - 1)
     # ANSI mode: sequence(1, 0) raises, so docs shorter than n tokens
     # take the empty branch (CaseWhen evaluates only the live branch)
@@ -56,6 +70,23 @@ def word_ngrams(text: Column, n: int) -> Column:
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)
+
+
+def _gram_hashes(
+    df: DataFrame, keep: list[str], text_col: str, n: int
+) -> DataFrame:
+    """(keep..., gh) rows: top-60-bit md5 of each distinct word n-gram.
+
+    Three projections so the token array and the gram array are each
+    BOUND AS ATTRIBUTES before a lambda touches them (Catalyst's
+    CollapseProject keeps multi-referenced non-cheap aliases in their
+    own projection — the same O(L) vs O(L²) discipline as
+    ``kg.ops.text.winnow_fingerprints``)."""
+    d = df.select(*keep, tokens_col(F.col(text_col)).alias("_t"))
+    d = d.select(*keep, _ngrams_of(F.col("_t"), n).alias("_g"))
+    return d.select(*keep, F.explode("_g").alias("gram")).select(
+        *keep, md5_60(F.col("gram")).alias("gh")
+    )
 
 
 def decontaminate(
@@ -76,17 +107,8 @@ def decontaminate(
     Grams travel as top-60-bit md5 longs, not strings — 8 bytes each
     through the join regardless of n.
     """
-    bench_grams = (
-        benchmark.select(
-            F.explode(word_ngrams(F.col(text_col), n)).alias("gram")
-        )
-        .select(md5_60(F.col("gram")).alias("gh"))
-        .distinct()
-    )
-    corpus_grams = docs.select(
-        F.col(id_col),
-        F.explode(word_ngrams(F.col(text_col), n)).alias("gram"),
-    ).select(id_col, md5_60(F.col("gram")).alias("gh"))
+    bench_grams = _gram_hashes(benchmark, [], text_col, n).distinct()
+    corpus_grams = _gram_hashes(docs, [id_col], text_col, n)
     hits = corpus_grams.join(maybe_broadcast(bench_grams), "gh")
     return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))
 
