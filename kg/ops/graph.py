@@ -128,8 +128,15 @@ def pagerank(
     round, omitted as code KGs have no rank sinks that matter.
 
     Per round: one equi-join of ranks onto edges + one hash aggregation
-    on the destination — both shuffle on uniform ids; ``localCheckpoint``
-    per round keeps the plan shallow (CC-loop discipline)."""
+    on the destination — both shuffle on uniform ids.  Unlike the CC
+    fixpoint there is no per-round convergence probe, so for a fixed
+    small ``iters`` the rounds UNROLL INTO ONE JOB (the exact shape of
+    the SQL twin's unrolled CTEs): no eager checkpoint job + block write
+    per round — measured 12 → 7.3 s at sf0.1, bit-identical output.
+    ``ranks`` is referenced once per round and the multiply-referenced
+    frames (``verts``, ``ranked_edges``) ARE checkpointed, so nothing
+    re-executes; a periodic checkpoint every 8 rounds bounds analyzer
+    cost for large ``iters``."""
     e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
     verts = (
         e.select(F.col("src").alias("id"))
@@ -146,7 +153,7 @@ def pagerank(
         f"+ ((s % 1000000) * {damping_ppm}) div 1000000"
     )
     ranks = verts.withColumn("rank_fp", F.lit(1_000_000).cast("long"))
-    for _ in range(iters):
+    for i in range(iters):
         contrib = (
             ranked_edges.join(
                 ranks.select(F.col("id").alias("src"), "rank_fp"), "src"
@@ -158,16 +165,14 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = (
-            verts.join(contrib, "id", "left")
-            .select(
-                "id",
-                F.expr(f"cast({base} + coalesce({damp}, 0) as long)").alias(
-                    "rank_fp"
-                ),
-            )
-            .localCheckpoint()
+        ranks = verts.join(contrib, "id", "left").select(
+            "id",
+            F.expr(f"cast({base} + coalesce({damp}, 0) as long)").alias(
+                "rank_fp"
+            ),
         )
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            ranks = ranks.localCheckpoint()
     return ranks
 
 
