@@ -894,6 +894,21 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_topk(d, k=3)
 
 
+_PACK_MAX_TOKENS = 512
+
+
+def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
+    """Concatenation-model sequence packing into 512-token context
+    windows: global running token offset via a DISTRIBUTED scan (range
+    shuffle + broadcast partition prefix), never a single-partition
+    window — offsets are invariant to where the range boundaries land,
+    so the op is value-deterministic and fully SQL-twinnable."""
+    from kg.ops import pack_sequences
+
+    d = _read_spread(spark, sf, "documents")
+    return pack_sequences(d, max_tokens=_PACK_MAX_TOKENS)
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline stages (synthetic 200-file corpus; golden-backed SQL twins)
 # ---------------------------------------------------------------------------
@@ -1003,6 +1018,7 @@ def queries() -> dict[str, _T]:
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
         "tfidf_topk": q_tfidf_topk,
+        "pack_sequences": q_pack_sequences,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_winnow": q_dedup_winnow,
@@ -1498,6 +1514,16 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk FROM s) "
             'SELECT doc_id, token, tf, score, CAST(rnk AS INT) AS "rank" '
             "FROM r WHERE rnk <= 3"
+        ),
+        "pack_sequences": (
+            f"WITH t AS (SELECT doc_id, len({tok}) AS n FROM documents), "
+            "o AS (SELECT doc_id, n, CAST(coalesce(SUM(n) OVER ("
+            "ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND "
+            "1 PRECEDING), 0) AS BIGINT) AS s FROM t) "
+            "SELECT doc_id, CAST(n AS BIGINT) AS n_tokens, s AS start_offset, "
+            f"s // {_PACK_MAX_TOKENS} AS first_pack, "
+            f"(s + greatest(n - 1, 0)) // {_PACK_MAX_TOKENS} AS last_pack "
+            "FROM o"
         ),
         "ann_brute_force": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "

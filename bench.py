@@ -68,6 +68,7 @@ def main() -> None:
         "repetition_stats",
         "decontaminate",
         "tfidf_topk",
+        "pack_sequences",
     ]
 
     # untimed warm-up at the smallest scale factor: python-worker spawn,

@@ -9,6 +9,7 @@ queries over the materialized vertex/edge output (degrees, 2-hop, k-hop).
 
 from kg.ops.curate import (  # noqa: F401
     decontaminate,
+    pack_sequences,
     split_assign,
     stratified_sample,
     tfidf_topk,

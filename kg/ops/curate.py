@@ -20,6 +20,10 @@ Design notes (100 TB shape):
 - ``tfidf_topk`` — two hash aggregations (term×doc, then term) and one
   broadcast-gated join of the document-frequency dim; ranking uses
   6dp-rounded scores so the order is reproducible across engines.
+- ``pack_sequences`` — the global running token offset is a distributed
+  scan (range shuffle + per-partition totals + broadcast prefix), never
+  a single-partition ``Window.orderBy`` — the one-task funnel that
+  kills an ordered scan at corpus scale.
 
 All outputs are engine-portable (md5-based hashing, 6dp rounds) so each
 op carries an exact DuckDB oracle twin in ``__spark_entry__``.
@@ -297,3 +301,85 @@ def curate_corpus(
         )
         out = out.join(hits.select(id_col), id_col, "left_anti")
     return split_assign(out, id_col=id_col, weights=weights, seed=seed)
+
+
+def pack_sequences(
+    docs: DataFrame,
+    max_tokens: int,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Concatenation-model sequence packing (the standard pretraining
+    dataloader shape): documents are laid out in ``id_col`` order as one
+    token stream and chunked every ``max_tokens``.  Per document:
+
+    * ``n_tokens``     — token count (same tokenizer as ``tokens_col``);
+    * ``start_offset`` — position of its first token in the stream;
+    * ``first_pack`` / ``last_pack`` — the chunk range it lands in
+      (``offset div max_tokens``); a doc spans ``last - first + 1``
+      context windows.  Zero-token docs get ``last_pack = first_pack``.
+
+    The global running offset is a DISTRIBUTED SCAN, not a
+    single-partition window (``Window.orderBy`` with no partitionBy
+    funnels the corpus through one task — the exact anti-pattern the
+    ordered-scan O3 note in SURVEY.md dissolves):
+
+    1. range-repartition by id + sort within partitions (one shuffle —
+       the total order);
+    2. per-partition token totals (``spark_partition_id`` agg, one tiny
+       collect of O(partitions) rows — same class as the lineage reads);
+    3. exclusive prefix of those totals broadcast back, added to each
+       partition-local running sum.
+
+    The emitted offsets are invariant to where the range boundaries
+    land, so the op stays value-deterministic while every heavy step is
+    partition-parallel.  Exact DuckDB twin: ``SUM(n) OVER (ORDER BY id
+    ROWS UNBOUNDED PRECEDING)`` minus n.
+    """
+    if max_tokens <= 0:
+        raise ValueError(f"max_tokens must be positive, got {max_tokens}")
+    from pyspark.sql import Window
+
+    spark = docs.sparkSession
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    counted = docs.select(
+        F.col(id_col), F.size(tokens_col(F.col(text_col))).alias("n_tokens")
+    )
+    # one range shuffle = the total order; checkpoint because the frame
+    # feeds both the per-partition totals and the final window
+    ordered = (
+        counted.repartitionByRange(n_parts, F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ordered.groupBy("_pid").agg(F.sum("n_tokens").alias("t")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    prefix_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(v)) for p, v in prefix.items()], "_pid int, _pre long"
+        )
+    )
+    w = Window.partitionBy("_pid").orderBy(id_col)
+    local_end = F.sum("n_tokens").over(w)  # inclusive running sum
+    start = (F.col("_pre") + local_end - F.col("n_tokens")).alias("start_offset")
+    out = ordered.join(prefix_df, "_pid").select(
+        F.col(id_col), F.col("n_tokens").cast("long").alias("n_tokens"), start
+    )
+    return out.select(
+        id_col,
+        "n_tokens",
+        F.col("start_offset").cast("long").alias("start_offset"),
+        F.expr(f"start_offset div {max_tokens}")
+        .cast("long")
+        .alias("first_pack"),
+        F.expr(f"(start_offset + greatest(n_tokens - 1, 0)) div {max_tokens}")
+        .cast("long")
+        .alias("last_pack"),
+    )

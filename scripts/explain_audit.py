@@ -37,7 +37,7 @@ def main() -> None:
         "repetition_stats", "graph_degree", "graph_two_hop",
         "ann_ivf_trained", "dedup_winnow", "dedup_paragraphs",
         "winnow_fingerprints", "decontaminate", "split_assign",
-        "sample_stratified", "tfidf_topk",
+        "sample_stratified", "tfidf_topk", "pack_sequences",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

@@ -163,3 +163,78 @@ def test_tfidf_k_bound_and_tiebreak(spark):
         "a",
         "b",
     ]
+
+
+# ------------------------------------------------------- pack_sequences
+def test_pack_sequences_hand_check(spark):
+    # token counts: d1=3, d2=4, d3=2, d4=5 -> offsets 0, 3, 7, 9
+    docs = _df(
+        spark,
+        [
+            (1, "a b c"),
+            (2, "a b c d"),
+            (3, "a b"),
+            (4, "a b c d e"),
+        ],
+        ["doc_id", "text"],
+    )
+    from kg.ops.curate import pack_sequences
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["first_pack"], r["last_pack"]
+        )
+        for r in pack_sequences(docs, max_tokens=4).collect()
+    }
+    assert got == {
+        1: (3, 0, 0, 0),     # tokens 0-2 in pack 0
+        2: (4, 3, 0, 1),     # tokens 3-6 span packs 0 and 1
+        3: (2, 7, 1, 2),     # tokens 7-8 span packs 1 and 2
+        4: (5, 9, 2, 3),     # tokens 9-13 span packs 2 and 3
+    }
+
+
+def test_pack_sequences_offsets_are_contiguous(spark):
+    # 200 docs with varying sizes across many partitions: offsets must
+    # form an exact prefix sum in id order regardless of partitioning
+    rows = [(i, " ".join(["tok"] * (i % 7 + 1))) for i in range(200)]
+    docs = _df(spark, rows, ["doc_id", "text"]).repartition(13)
+    from kg.ops.curate import pack_sequences
+
+    out = sorted(
+        pack_sequences(docs, max_tokens=32).collect(),
+        key=lambda r: r["doc_id"],
+    )
+    acc = 0
+    for r in out:
+        assert r["start_offset"] == acc
+        acc += r["n_tokens"]
+
+
+def test_pack_sequences_zero_token_doc(spark):
+    docs = _df(
+        spark, [(1, "a b c"), (2, "!!! ..."), (3, "d e")], ["doc_id", "text"]
+    )
+    from kg.ops.curate import pack_sequences
+
+    got = {
+        r["doc_id"]: (
+            r["n_tokens"], r["start_offset"], r["first_pack"], r["last_pack"]
+        )
+        for r in pack_sequences(docs, max_tokens=2).collect()
+    }
+    # doc 2 tokenizes to nothing: occupies no stream space, lands at its
+    # offset's pack with last_pack == first_pack
+    assert got[2] == (0, 3, 1, 1)
+    assert got[3] == (2, 3, 1, 2)
+
+
+def test_pack_sequences_rejects_bad_max_tokens(spark):
+    docs = _df(spark, [(1, "a")], ["doc_id", "text"])
+    from kg.ops.curate import pack_sequences
+
+    try:
+        pack_sequences(docs, max_tokens=0)
+        assert False, "expected ValueError"
+    except ValueError:
+        pass
