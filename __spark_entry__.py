@@ -45,6 +45,12 @@ _T = Callable[[SparkSession, str], DataFrame]
 
 
 def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    # the driver harness builds its own session (not kg.session.get_spark),
+    # so the HOF-explode plan guard is applied here — idempotent, results
+    # bit-identical (kg/hints.py::exclude_generate_filter_inference)
+    from kg.hints import exclude_generate_filter_inference
+
+    exclude_generate_filter_inference(spark)
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
@@ -921,9 +927,12 @@ def _kg_outputs(
     q_kg_entity_map must not pay for materialize."""
     from kg.datagen import source_files_df
     from kg.extract import run_extract
+    from kg.hints import exclude_generate_filter_inference
     from kg.link import run_link
     from kg.canonicalize import run_canonicalize
     from kg.materialize import run_materialize
+
+    exclude_generate_filter_inference(spark)
 
     # pinned explicitly: the kg_nodes/kg_edges goldens were generated with
     # partition_key='repo'; defaulting from KG_PARTITION_KEY would make the

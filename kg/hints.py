@@ -101,3 +101,38 @@ def broadcast_if_small(
     if row_count * bytes_per_row <= max_bytes:
         return F.broadcast(df)
     return df
+
+
+_INFER_GEN_RULE = (
+    "org.apache.spark.sql.catalyst.optimizer.InferFiltersFromGenerate"
+)
+
+
+def exclude_generate_filter_inference(spark) -> None:
+    """Exclude Catalyst's ``InferFiltersFromGenerate`` rule (idempotent).
+
+    The rule adds ``size(e) > 0 AND isnotnull(e)`` above every
+    ``explode(e)``; ``PushDownPredicates`` then pushes that filter below
+    the projections that bound ``e``'s building blocks as attributes,
+    substituting the full expression chain back in — the array is
+    recomputed twice in the filter, and any tokenizer-style expression
+    re-captured inside a higher-order-fn lambda is re-evaluated PER
+    ELEMENT again (the exact O(L) → O(L²) rot the attribute-binding
+    discipline in ``kg.ops.text.winnow_fingerprints`` /
+    ``kg.ops.curate._gram_hashes`` exists to prevent).  Measured on the
+    13-gram pass: 10-20 s → 2.2 s at sf0.1, identical output.
+
+    What the rule buys — pruning empty-array rows before the generate —
+    is a no-op for this repo's plans (``explode`` with outer=false
+    already skips them; no source pruning ever hangs off these filters),
+    so every op that explodes an HOF-built array calls this before
+    returning its plan.  Runtime-settable conf; results are bit-identical
+    either way.
+    """
+    cur = spark.conf.get("spark.sql.optimizer.excludedRules", None)
+    if not cur:
+        spark.conf.set("spark.sql.optimizer.excludedRules", _INFER_GEN_RULE)
+    elif _INFER_GEN_RULE not in cur:
+        spark.conf.set(
+            "spark.sql.optimizer.excludedRules", cur + "," + _INFER_GEN_RULE
+        )

@@ -87,4 +87,9 @@ def get_spark(
             builder = builder.config(k, v)
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    # plan-shape guard for every HOF-array explode in the library
+    # (see the helper's docstring for the measured O(L²) failure mode)
+    from kg.hints import exclude_generate_filter_inference
+
+    exclude_generate_filter_inference(spark)
     return spark

@@ -221,3 +221,58 @@ def test_denormalize_endpoints_gate_degrades_to_shuffle_join(spark, sf_dir):
         assert sorted(map(tuple, blind.collect())) == sorted(
             map(tuple, hinted.collect())
         )
+
+
+def test_exclude_generate_filter_inference_idempotent_and_appending(spark):
+    from kg.hints import _INFER_GEN_RULE, exclude_generate_filter_inference
+
+    key = "spark.sql.optimizer.excludedRules"
+    before = spark.conf.get(key, None)
+    try:
+        # the session fixture comes from get_spark, which already applies
+        # the guard — the rule must be present and a second call a no-op
+        exclude_generate_filter_inference(spark)
+        cur = spark.conf.get(key, None)
+        assert cur is not None and cur.count(_INFER_GEN_RULE) == 1
+        exclude_generate_filter_inference(spark)
+        assert spark.conf.get(key, None) == cur
+        # appending preserves other exclusions
+        spark.conf.set(key, "some.other.Rule")
+        exclude_generate_filter_inference(spark)
+        assert spark.conf.get(key, None) == "some.other.Rule," + _INFER_GEN_RULE
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
+
+
+def test_generate_filter_inference_exclusion_preserves_results(spark):
+    """Same gram rows with and without the optimizer rule — the guard is
+    a plan-shape change only."""
+    from pyspark.sql import functions as F
+
+    from kg.ops.curate import _gram_hashes
+
+    key = "spark.sql.optimizer.excludedRules"
+    before = spark.conf.get(key, None)
+    df = spark.createDataFrame(
+        [(1, "a b c d e"), (2, "c d e f g h"), (3, "x"), (4, "")],
+        ["doc_id", "text"],
+    )
+    try:
+        spark.conf.unset(key)
+        with_rule = sorted(
+            map(tuple, _gram_hashes(df, ["doc_id"], "text", 3).collect())
+        )
+        spark.conf.set(key, "org.apache.spark.sql.catalyst.optimizer."
+                            "InferFiltersFromGenerate")
+        without_rule = sorted(
+            map(tuple, _gram_hashes(df, ["doc_id"], "text", 3).collect())
+        )
+        assert with_rule == without_rule and len(with_rule) == 7
+    finally:
+        if before is None:
+            spark.conf.unset(key)
+        else:
+            spark.conf.set(key, before)
