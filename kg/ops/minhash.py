@@ -4,11 +4,13 @@ Shared by entity linking (kg.link) and document dedup (kg.ops.dedup).
 
 Scale design: the naive formulation (explode shingles × P seed rows) blows
 row count up P-fold before the shuffle.  Instead each shingle is hashed
-ONCE (``xxhash64``), and the P permutations are affine maps
-``(a_i * h + b_i) mod PRIME`` evaluated as P projected columns inside
-whole-stage codegen — so the shuffle moves |shingle rows| records with P
-small columns reduced by partial ``min`` aggregation map-side.  One
-shuffle for signatures, one for band buckets, one bucket self-join.
+ONCE (``xxhash64``) inside its row's array, and the P permutations are
+affine maps ``(a_i * h + b_i) mod PRIME`` taken as ``array_min`` over
+per-row transforms of that bound hash array — the signature never leaves
+the row, so there is NO signature shuffle at all (the previous explode →
+P projected columns → map-side-combined groupBy computed the same values
+but moved |shingle rows| × P longs).  One shuffle for band buckets, one
+bucket self-join.
 
 All constants are hash-derived (deterministic across runs/executors).
 """
@@ -31,7 +33,10 @@ def _affine_params(i: int) -> tuple[int, int]:
 
 
 def minhash_signature_cols(h: Column, perms: int) -> list[Column]:
-    """P permuted hash columns from one base hash column."""
+    """P permuted hash columns from one base hash column.  Kept as the
+    row-wise form of the affine family for callers with pre-exploded
+    hashes; ``minhash_candidate_pairs`` itself uses the in-array form
+    (same constants, same values, no explode)."""
     out = []
     for i in range(perms):
         a, b = _affine_params(i)
@@ -91,15 +96,32 @@ def minhash_candidate_pairs(
     group_cols = group_cols or []
     r = perms // bands
 
-    sh = df.select(id_col, *group_cols, F.explode(shingles_col).alias("sh"))
-    base = sh.withColumn("h", base_hash(F.col("sh")))
-    permuted = base.select(
-        id_col, *group_cols, *minhash_signature_cols(F.col("h"), perms)
+    # signatures WITHOUT leaving the row: hash the shingle array once
+    # (bound as an attribute so the 64 permutation lambdas re-read a row
+    # buffer, not re-hash — the winnowing O(L) discipline), then each
+    # permutation is array_min over an affine transform of that array.
+    # The previous shape (explode shingles → P projected columns →
+    # groupBy min) computed the SAME values but shuffled |shingle rows|
+    # × P longs through a hash aggregation; this is pure map-side.
+    # Docs with no shingles produce no signature in either shape (the
+    # explode emitted nothing; here the filter drops them).
+    hashed = df.where(F.size(F.col(shingles_col)) >= 1).select(
+        id_col,
+        *group_cols,
+        F.transform(F.col(shingles_col), base_hash).alias("_hs"),
     )
-    # partial aggregation: map-side combine reduces each partition to one
-    # row per id before the shuffle
-    sig = permuted.groupBy(id_col, *group_cols).agg(
-        *[F.min(f"m{i}").alias(f"m{i}") for i in range(perms)]
+
+    def _perm_min(i: int) -> Column:
+        a, b = _affine_params(i)
+        return F.array_min(
+            F.transform(
+                F.col("_hs"),
+                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME)),
+            )
+        ).alias(f"m{i}")
+
+    sig = hashed.select(
+        id_col, *group_cols, *[_perm_min(i) for i in range(perms)]
     )
     # LSH banding: band key = the band's signature slice (hash-compressed
     # by default, raw concat when portability is required)
