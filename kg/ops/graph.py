@@ -234,16 +234,23 @@ def triangles(
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).localCheckpoint()
+    from kg.hints import maybe_broadcast
+
     w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"),
                          F.col("ddst").alias("db"))
     w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"),
                          F.col("ddst").alias("dc"))
-    wedges = w1.join(w2, "a").filter(
+    # the wedge set is the big intermediate (Σ out-deg² rows): broadcast
+    # the EDGE-sized sides when the checkpoint's stats prove them small,
+    # so the wedges are generated and closed map-side and never shuffle —
+    # over budget the gate leaves both joins to Catalyst/AQE (shuffle at
+    # worst), the standard degrade path of kg.hints
+    wedges = w1.join(maybe_broadcast(w2), "a").filter(
         (F.col("db") < F.col("dc"))
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(closer, ["b", "c"]).select("a", "b", "c")
+    tri = wedges.join(maybe_broadcast(closer), ["b", "c"]).select("a", "b", "c")
     # explode, not a 3-way union of tri projections: each union branch
     # re-executes the wedge join (the plan's expensive part) — measured
     # 3x the runtime of the single-pass explode on a 670k-triangle graph
@@ -286,18 +293,29 @@ def neighbor_jaccard(
             F.col("id").alias("mid")
         )
         wedge_src = wedge_src.join(ok, "mid")
+    from kg.hints import maybe_broadcast
+
     p1 = wedge_src.select("mid", F.col("id").alias("a"))
     p2 = wedge_src.select("mid", F.col("id").alias("b"))
+    # same broadcast discipline as triangles: the candidate-pair set is
+    # the big intermediate — keep it map-side when the edge-sized wedge
+    # leg provably fits; the vertex-sized degree dim rides the same gate
     common = (
-        p1.join(p2, "mid")
+        p1.join(maybe_broadcast(p2), "mid")
         .filter(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count("*").cast("long").alias("n_common"))
         .filter(F.col("n_common") >= min_common)
     )
     return (
-        common.join(deg.withColumnsRenamed({"id": "a", "deg": "da"}), "a")
-        .join(deg.withColumnsRenamed({"id": "b", "deg": "db"}), "b")
+        common.join(
+            maybe_broadcast(deg.withColumnsRenamed({"id": "a", "deg": "da"})),
+            "a",
+        )
+        .join(
+            maybe_broadcast(deg.withColumnsRenamed({"id": "b", "deg": "db"})),
+            "b",
+        )
         .select(
             "a",
             "b",
