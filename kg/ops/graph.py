@@ -152,11 +152,20 @@ def pagerank(
         f"(s div 1000000) * {damping_ppm} "
         f"+ ((s % 1000000) * {damping_ppm}) div 1000000"
     )
+    from kg.hints import maybe_broadcast
+
     ranks = verts.withColumn("rank_fp", F.lit(1_000_000).cast("long"))
     for i in range(iters):
+        # both per-round joins have a vertex-sized side (ranks, contrib):
+        # broadcast when the stats prove it fits so the edge frame never
+        # re-shuffles; a billion-vertex graph blows the budget and the
+        # gate degrades to the shuffle join Catalyst would pick anyway
         contrib = (
             ranked_edges.join(
-                ranks.select(F.col("id").alias("src"), "rank_fp"), "src"
+                maybe_broadcast(
+                    ranks.select(F.col("id").alias("src"), "rank_fp")
+                ),
+                "src",
             )
             .select(
                 F.col("dst").alias("id"),
@@ -165,7 +174,7 @@ def pagerank(
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = verts.join(contrib, "id", "left").select(
+        ranks = verts.join(maybe_broadcast(contrib), "id", "left").select(
             "id",
             F.expr(f"cast({base} + coalesce({damp}, 0) as long)").alias(
                 "rank_fp"
