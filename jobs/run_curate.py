@@ -4,7 +4,8 @@
         --input /path/to/documents --output /path/to/curated \
         [--benchmark /path/to/eval_docs] [--min-quality 0.1] \
         [--dedup exact|paragraph] [--ngram 13] \
-        [--split train=0.98,val=0.01,test=0.01] [--seed kg-split-v1]
+        [--split train=0.98,val=0.01,test=0.01] [--seed kg-split-v1] \
+        [--pack 2048]
 
 Runs quality filter → corpus dedup → benchmark decontamination →
 deterministic split over a documents table and writes the curated
@@ -59,6 +60,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--seed", default="kg-split-v1")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--pack", type=int, default=None, metavar="MAX_TOKENS",
+                    help="annotate each doc with its context-window span "
+                         "(concatenation-model packing, PER SPLIT: a "
+                         "trainer packs train/val/test independently)")
     ap.add_argument("--stats", action="store_true",
                     help="count per-stage drops (extra corpus passes)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -89,6 +94,27 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         id_col=args.id_col,
         text_col=args.text_col,
     )
+    if args.pack is not None:
+        from pyspark.sql import functions as F
+
+        from kg.ops.curate import pack_sequences
+
+        # pack PER SPLIT: each split is its own token stream (a trainer
+        # never mixes train rows into a val context window).  Split
+        # count is bounded by the --split spec, so this is a handful of
+        # distributed scans, not a per-row loop.
+        parts = []
+        for name in weights:
+            sub = curated.where(F.col("split") == name)
+            offs = pack_sequences(
+                sub, max_tokens=args.pack,
+                id_col=args.id_col, text_col=args.text_col,
+            )
+            parts.append(sub.join(offs, args.id_col))
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionByName(p)
+        curated = out
     curated.write.mode("overwrite").partitionBy("split").parquet(args.output)
     sec = time.monotonic() - t0
 

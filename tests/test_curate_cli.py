@@ -109,3 +109,28 @@ def test_curate_corpus_rejects_unknown_dedup(spark):
     docs = spark.createDataFrame([(1, "x")], ["doc_id", "text"])
     with pytest.raises(ValueError):
         curate_corpus(docs, dedup="fuzzy")
+
+
+def test_cli_pack_annotates_per_split(spark, corpus, tmp_path, capsys):
+    docs, _ = corpus
+    out = str(tmp_path / "curated_packed")
+    cli.main(
+        ["--input", docs, "--output", out, "--pack", "16",
+         "--split", "train=0.5,val=0.5"],
+        spark=spark,
+    )
+    capsys.readouterr()
+    got = spark.read.parquet(out)
+    for c in ("n_tokens", "start_offset", "first_pack", "last_pack"):
+        assert c in got.columns
+    import pandas as pd
+
+    pdf = got.toPandas()
+    # offsets restart per split and form an exact prefix sum in id order
+    for name, g in pdf.groupby("split"):
+        g = g.sort_values("doc_id")
+        acc = 0
+        for _, r in g.iterrows():
+            assert r["start_offset"] == acc
+            assert r["first_pack"] == acc // 16
+            acc += r["n_tokens"]
