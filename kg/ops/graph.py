@@ -19,7 +19,9 @@ consumer of that output runs:
 * ``triangles`` — per-vertex triangle participation via degree
   orientation (bounded wedge join even on power-law hubs);
 * ``neighbor_jaccard`` — shared-neighbor similarity for link prediction
-  / entity-merge candidate pairs.
+  / entity-merge candidate pairs;
+* ``components`` — weakly connected components (min-member-id labels),
+  delegating to the canonicalization CC engine.
 
 Scale shape (100 TB): everything is equi-joins + hash aggregations on the
 flat edge table — no cartesian anywhere.  Edge endpoints in the pipeline's
@@ -392,3 +394,40 @@ def k_hop(
         visited = visited.unionByName(nxt).localCheckpoint()
         frontier = nxt
     return visited
+
+
+def components(
+    edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
+) -> DataFrame:
+    """Weakly connected components over the edge table: (id, component)
+    for every vertex, component = the min member id (deterministic).
+
+    Thin graph-surface wrapper over the engine's canonicalization CC
+    (``kg.canonicalize.cc.connected_components``): the same alternating
+    large-star/small-star fixpoint that resolves entity ids — O(log n)
+    rounds at any scale, with the evidence-gated driver union-find fast
+    path for vocabulary-sized graphs.  Exposed here because "how many
+    connected subgraphs did my KG build produce" is a first-pass
+    diagnostic any consumer of ``kg_nodes``/``kg_edges`` runs, and the
+    CC machinery already existed one package over.
+
+    Iterative with a data-dependent round count → no SQL oracle entry
+    (the golden-backed ``kg_entity_map`` IS this algorithm's
+    correctness gate); covered by the hand-graph pytest."""
+    from kg.canonicalize.cc import connected_components
+
+    und = _undirected(edges, out_col, in_col)
+    pairs = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    cc = connected_components(pairs).select(
+        F.col("mention_id").alias("id"), F.col("canonical_id").alias("component")
+    )
+    # singletons: vertices with no non-loop edge still belong in the map
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+    )
+    return (
+        verts.join(cc, "id", "left")
+        .select("id", F.coalesce("component", "id").alias("component"))
+    )

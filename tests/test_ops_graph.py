@@ -185,3 +185,25 @@ def test_neighbor_jaccard_fanout_cap_drops_hub_pairs(edges):
     from kg.ops import neighbor_jaccard as nj
 
     assert nj(edges, min_common=2).count() == 0
+
+
+def test_components_hand_graph(spark):
+    from kg.ops import components
+
+    # two components {1,2,3} (chain) and {7,8}; 9 is a self-loop singleton
+    edges = spark.createDataFrame(
+        [("1", "2"), ("2", "3"), ("7", "8"), ("9", "9")],
+        ["out_id", "in_id"],
+    )
+    got = {r["id"]: r["component"] for r in components(edges).collect()}
+    assert got == {"1": "1", "2": "1", "3": "1", "7": "7", "8": "7", "9": "9"}
+
+
+def test_components_direction_invariant(spark):
+    from kg.ops import components
+
+    fwd = spark.createDataFrame([("a", "b"), ("b", "c")], ["out_id", "in_id"])
+    rev = spark.createDataFrame([("b", "a"), ("c", "b")], ["out_id", "in_id"])
+    assert sorted(map(tuple, components(fwd).collect())) == sorted(
+        map(tuple, components(rev).collect())
+    )
