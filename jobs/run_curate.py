@@ -103,6 +103,17 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # never mixes train rows into a val context window).  Split
         # count is bounded by the --split spec, so this is a handful of
         # distributed scans, not a per-row loop.
+        #
+        # checkpoint the curated chain ONCE first: pack_sequences
+        # localCheckpoints its input and the write-side join probes it
+        # again, so without this the full quality/dedup/decontaminate
+        # chain re-executes ~2x per split (~6x corpus passes at the
+        # default 3 splits — ADVICE r4; results identical, cost not).
+        curated = curated.localCheckpoint()
+        # pack_sequences' output columns would collide with same-named
+        # input columns at the join below (ambiguous-column write error)
+        pack_cols = ("n_tokens", "start_offset", "first_pack", "last_pack")
+        clash = [c for c in pack_cols if c in curated.columns]
         parts = []
         for name in weights:
             sub = curated.where(F.col("split") == name)
@@ -110,7 +121,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 sub, max_tokens=args.pack,
                 id_col=args.id_col, text_col=args.text_col,
             )
-            parts.append(sub.join(offs, args.id_col))
+            parts.append(sub.drop(*clash).join(offs, args.id_col))
         out = parts[0]
         for p in parts[1:]:
             out = out.unionByName(p)

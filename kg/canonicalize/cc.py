@@ -111,9 +111,23 @@ def connected_components(
     )
     if driver_threshold and e.count() <= driver_threshold:
         out = _driver_cc([(r.u, r.v) for r in e.collect()])
-        return e.sparkSession.createDataFrame(
-            out, "mention_id string, canonical_id string"
+        # schema from the INPUT id type, not a hardcoded string pair: the
+        # graph surface feeds arbitrary vertex id types here, and a
+        # hardcoded string schema made the contract size-dependent
+        # (long-id graphs worked above the threshold, threw below it —
+        # ADVICE r4).  Python min() on the collected values orders
+        # exactly like the distributed least/min for both strings and
+        # integers, so the canonical roots stay identical across paths.
+        id_type = e.schema["u"].dataType
+        from pyspark.sql.types import StructField, StructType
+
+        schema = StructType(
+            [
+                StructField("mention_id", id_type),
+                StructField("canonical_id", id_type),
+            ]
         )
+        return e.sparkSession.createDataFrame(out, schema)
     prev = None
     for _ in range(max_iter):
         # superseded rounds' checkpoint blocks are freed by the

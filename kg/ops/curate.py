@@ -144,6 +144,17 @@ def split_assign(
     total = sum(weights.values())
     if abs(total - 1.0) > 1e-9:
         raise ValueError(f"weights must sum to 1.0, got {total}")
+    # ``withColumn`` REPLACES a same-named column silently — and the
+    # pipeline's own warehouse tables carry a ``bucket`` partition
+    # column, so curating docs read back from a warehouse would clobber
+    # it without a trace (ADVICE r4).  Fail loudly; the caller decides
+    # what to drop or rename.
+    clash = [c for c in ("bucket", "split") if c in df.columns]
+    if clash:
+        raise ValueError(
+            f"split_assign writes columns {clash} that already exist in the "
+            "input — drop or rename them first"
+        )
     bucket = split_bucket(F.col(id_col), seed)
     expr: Column | None = None
     acc = 0.0
@@ -366,7 +377,18 @@ def pack_sequences(
             [(int(p), int(v)) for p, v in prefix.items()], "_pid int, _pre long"
         )
     )
-    w = Window.partitionBy("_pid").orderBy(id_col)
+    # explicit ROWS frame: the default with an orderBy is RANGE, under
+    # which tied ``id_col`` values share one inclusive sum — duplicate
+    # ids would silently produce overlapping start_offsets that diverge
+    # from the oracle's ROWS UNBOUNDED PRECEDING frame (ADVICE r4).
+    # With a ROWS frame duplicate ids still pack (tie ORDER within a
+    # partition is unspecified, as it is in the SQL twin); unique ids —
+    # this repo's contract — are bit-deterministic either way.
+    w = (
+        Window.partitionBy("_pid")
+        .orderBy(id_col)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
     local_end = F.sum("n_tokens").over(w)  # inclusive running sum
     start = (F.col("_pre") + local_end - F.col("n_tokens")).alias("start_offset")
     out = ordered.join(prefix_df, "_pid").select(

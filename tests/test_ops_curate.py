@@ -103,6 +103,19 @@ def test_split_assign_rejects_bad_weights(spark):
         split_assign(df, weights={"train": 0.5, "val": 0.1})
 
 
+def test_split_assign_rejects_existing_bucket_or_split_column(spark):
+    """withColumn would silently clobber a pre-existing bucket/split —
+    e.g. the warehouse tables' own ``bucket`` partition column (ADVICE
+    r4); the op must fail loudly instead."""
+    import pytest
+
+    df = spark.range(5).withColumnRenamed("id", "doc_id")
+    with pytest.raises(ValueError, match="bucket"):
+        split_assign(df.withColumn("bucket", F.lit(1)))
+    with pytest.raises(ValueError, match="split"):
+        split_assign(df.withColumn("split", F.lit("x")))
+
+
 # --------------------------------------------------- stratified_sample
 def test_stratified_sample_exact_quotas(spark):
     rows = [(i, "en" if i < 100 else "de") for i in range(130)]

@@ -199,6 +199,34 @@ def test_components_hand_graph(spark):
     assert got == {"1": "1", "2": "1", "3": "1", "7": "7", "8": "7", "9": "9"}
 
 
+def test_components_long_ids_both_cc_paths(spark):
+    """Non-string vertex ids must work on BOTH connected-components
+    strategies: the sub-threshold driver union-find used to hardcode a
+    string schema, so a long-id graph worked above the 500k-edge
+    threshold and threw below it (ADVICE r4)."""
+    from kg.ops import components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (7, 8)], "out_id long, in_id long"
+    )
+    want = {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+    for thresh in (500_000, 0):  # driver fast path / star loop
+        from kg.canonicalize.cc import connected_components
+
+        pairs = edges.select(
+            F.col("out_id").alias("a"), F.col("in_id").alias("b")
+        )
+        got = {
+            r["mention_id"]: r["canonical_id"]
+            for r in connected_components(
+                pairs, driver_threshold=thresh
+            ).collect()
+        }
+        assert got == want
+    got = {r["id"]: r["component"] for r in components(edges).collect()}
+    assert got == want
+
+
 def test_components_direction_invariant(spark):
     from kg.ops import components
 
