@@ -10,6 +10,26 @@ JSON line::
 
 Each query is forced through the noop sink so the full plan executes
 (a bare count() would let Catalyst prune most of the work).
+
+Weather robustness (VERDICT r4 #1): this box's neighbors swing the load
+average 1 → 8 while the sandbox itself is idle, and a single un-gated
+pass charged one such burst straight to whichever query it landed on
+(r4's official artifact: 3× on half the queries vs the quiet-window
+band).  Two defenses, both bounded:
+
+* a cheap LOAD GATE before every timed measurement — wait until the
+  1-min load average drops under ``KG_BENCH_LOAD_MAX`` (default 5.0,
+  ~the box's idle-neighbor baseline + our own settling JVM), drawing
+  from one global wait budget (``KG_BENCH_GATE_BUDGET``, default 180 s)
+  so a permanently-loaded box still terminates;
+* INTERLEAVED best-of-R — the headline list is timed as R full passes
+  (default 3) taking the per-query minimum, so a burst that survives
+  the gate sinks at most one pass of each query, never the reported
+  number.  The pipeline leg repeats likewise (default 2 — it is the
+  expensive leg).
+
+The reported numbers stay one-JSON-line compatible; gate wait time and
+repeat counts ride along as extra keys.
 """
 
 from __future__ import annotations
@@ -18,6 +38,21 @@ import json
 import os
 import sys
 import time
+
+_GATE = {"budget": float(os.environ.get("KG_BENCH_GATE_BUDGET", "180")),
+         "waited": 0.0}
+_LOAD_MAX = float(os.environ.get("KG_BENCH_LOAD_MAX", "5.0"))
+
+
+def _load_gate() -> None:
+    """Block until the 1-min load average is under the threshold, within
+    the run-global wait budget (so a busy box degrades to un-gated
+    timing instead of hanging the driver)."""
+    while _GATE["budget"] > 0 and os.getloadavg()[0] > _LOAD_MAX:
+        step = min(5.0, _GATE["budget"])
+        time.sleep(step)
+        _GATE["budget"] -= step
+        _GATE["waited"] += step
 
 
 def main() -> None:
@@ -81,11 +116,15 @@ def main() -> None:
         for name in headline:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
+    repeats = int(os.environ.get("KG_BENCH_REPEATS", "3"))
     timings: dict[str, float] = {}
-    for name in headline:
-        t0 = time.monotonic()
-        qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.monotonic() - t0, 3)
+    for _ in range(repeats):
+        for name in headline:
+            _load_gate()
+            t0 = time.monotonic()
+            qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            dt = round(time.monotonic() - t0, 3)
+            timings[name] = min(timings.get(name, dt), dt)
 
     # KG pipeline end-to-end (extract → link → canonicalize → materialize)
     import shutil
@@ -119,10 +158,14 @@ def main() -> None:
         warehouse=wh, shuffle_partitions=cpus, extract_engine=engine
     )
     src = spark.read.parquet(src_dir)
-    t0 = time.monotonic()
-    out = run_pipeline(spark, src, cfg, restart=True)
-    n_triples = out["triples"].count()
-    kg_sec = time.monotonic() - t0
+    pipeline_repeats = int(os.environ.get("KG_BENCH_PIPELINE_REPEATS", "2"))
+    kg_sec, n_triples = float("inf"), 0
+    for _ in range(pipeline_repeats):
+        _load_gate()
+        t0 = time.monotonic()
+        out = run_pipeline(spark, src, cfg, restart=True)
+        n_triples = out["triples"].count()
+        kg_sec = min(kg_sec, time.monotonic() - t0)
     timings["kg_pipeline"] = round(kg_sec, 3)
     shutil.rmtree(wh, ignore_errors=True)
     shutil.rmtree(src_dir, ignore_errors=True)
@@ -140,6 +183,9 @@ def main() -> None:
                 "kg_triples": n_triples,
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "cpus": cpus,
+                "repeats": repeats,
+                "pipeline_repeats": pipeline_repeats,
+                "gate_waited_sec": round(_GATE["waited"], 1),
             }
         )
     )
