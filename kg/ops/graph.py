@@ -39,16 +39,97 @@ connected-components fixpoint, ``kg/canonicalize/cc.py``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
+from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
+
+_INTEGRAL_IDS = (ByteType, ShortType, IntegerType, LongType)
+
+
+def _encode_vertex_ids(
+    edges: DataFrame, out_col: str, in_col: str
+) -> tuple[DataFrame, DataFrame] | None:
+    """``(encoded_edges, vocab)`` when the op's internal shuffles can run
+    on xxhash64 longs instead of the caller's string vertex ids, else
+    ``None`` (caller falls back to the raw columns).
+
+    The pipeline's sink ids are sha256-hex strings ("o_12345"-style in
+    the test star schema): every wedge/rank shuffle row then carries and
+    compares variable-length bytes.  Dictionary-encoding them to fixed
+    8-byte longs narrows each shuffle and turns comparisons into single
+    instructions — the iterative/wedge ops below are join+agg dominated,
+    so this is where the graph surface's bench time actually goes
+    (VERDICT r4 #2).  Encoding is a pure map-side ``xxhash64`` (no dict
+    join on the hot path); decoding at the end is ONE vertex-sized dim
+    join per output id column, broadcast-gated like every dim join here.
+
+    Injectivity is CHECKED, not hoped for: one agg over the (distinct)
+    vertex set compares id count to hash count — any collision and the
+    op silently runs on the original strings (correct, just slower).
+    At 4B+ vertices the birthday bound makes collisions likely, which is
+    exactly when the check fires and degrades the plan instead of
+    corrupting results.  Ids already integral → no-op (nothing to win).
+
+    Extra columns (edge labels etc.) pass through untouched so callers
+    can still filter on them after encoding.
+    """
+    if isinstance(edges.schema[out_col].dataType, _INTEGRAL_IDS):
+        return None
+    vocab = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+        .withColumn("enc", F.xxhash64("id"))
+        .localCheckpoint()
+    )
+    stats = vocab.agg(
+        F.count("*").alias("n"), F.countDistinct("enc").alias("d")
+    ).first()
+    if stats["n"] != stats["d"]:
+        return None
+    encoded = edges.withColumn(out_col, F.xxhash64(out_col)).withColumn(
+        in_col, F.xxhash64(in_col)
+    )
+    return encoded, vocab
+
+
+def _decode_ids(df: DataFrame, vocab: DataFrame, cols: list[str]) -> DataFrame:
+    """Swap each encoded-long id column back to the original id via the
+    vertex vocabulary, preserving column order and names."""
+    from kg.hints import maybe_broadcast
+
+    out_cols = df.columns
+    for c in cols:
+        dim = vocab.select(
+            F.col("enc").alias(c), F.col("id").alias("_dec_" + c)
+        )
+        df = df.join(maybe_broadcast(dim), c)
+    return df.select(
+        *[
+            F.col("_dec_" + c).alias(c) if c in cols else F.col(c)
+            for c in out_cols
+        ]
+    )
 
 
 def degrees(
-    edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    label_col: str | None = None,
+    label: str | None = None,
 ) -> DataFrame:
     """Per-vertex (id, out_degree, in_degree, degree).
 
     One union + ONE hash aggregation (map-side partial combine): a
     groupBy per direction + full outer join would shuffle twice and
-    join-shuffle a third time for the same answer."""
+    join-shuffle a third time for the same answer.
+
+    ``label_col``/``label`` restrict to one edge type before the
+    aggregation — a plain filter Catalyst pushes into the edge scan
+    (typed degree, Gremlin ``g.V().map(bothE('label').count())``); the
+    reference's sink schema puts ``label`` on every edge
+    (``Migrator.cs:147``)."""
+    if label_col is not None and label is not None:
+        edges = edges.filter(F.col(label_col) == label)
     ends = edges.select(
         F.col(out_col).alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i")
     ).unionAll(
@@ -78,6 +159,9 @@ def two_hop(
     out_col: str = "out_id",
     in_col: str = "in_id",
     max_fanout: int | None = None,
+    label_col: str | None = None,
+    first_label: str | None = None,
+    second_label: str | None = None,
 ) -> DataFrame:
     """All ordered (src, dst) pairs connected by a directed path of
     length 2, with multiplicity: (src, dst, n_paths).
@@ -88,9 +172,46 @@ def two_hop(
     cap before the join: a hub vertex contributes fan-in × fan-out
     candidate rows — quadratic in its degree — while carrying little
     path-specific signal; at web scale the cap is the difference between
-    Σ(in_i × out_i) over normal vertices and one hub owning the job."""
-    a = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("mid"))
-    b = edges.select(F.col(out_col).alias("mid"), F.col(in_col).alias("dst"))
+    Σ(in_i × out_i) over normal vertices and one hub owning the job.
+
+    ``label_col`` + ``first_label``/``second_label`` type each hop
+    (Gremlin ``g.V().out('places').out('contains')``): plain per-leg
+    filters Catalyst pushes into the edge scans, applied BEFORE the
+    fanout stats so the cap measures the typed graph.  Internal shuffles
+    run on xxhash64-encoded long ids when the encoding is provably
+    injective (see ``_encode_vertex_ids``); outputs always carry the
+    caller's original ids."""
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        pairs = _two_hop_impl(
+            encoded, out_col, in_col, max_fanout,
+            label_col, first_label, second_label,
+        )
+        return _decode_ids(pairs, vocab, ["src", "dst"])
+    return _two_hop_impl(
+        edges, out_col, in_col, max_fanout,
+        label_col, first_label, second_label,
+    )
+
+
+def _two_hop_impl(
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    max_fanout: int | None,
+    label_col: str | None = None,
+    first_label: str | None = None,
+    second_label: str | None = None,
+) -> DataFrame:
+    first = second = edges
+    if label_col is not None:
+        if first_label is not None:
+            first = edges.filter(F.col(label_col) == first_label)
+        if second_label is not None:
+            second = edges.filter(F.col(label_col) == second_label)
+    a = first.select(F.col(out_col).alias("src"), F.col(in_col).alias("mid"))
+    b = second.select(F.col(out_col).alias("mid"), F.col(in_col).alias("dst"))
     if max_fanout is not None:
         fan_in = a.groupBy("mid").agg(F.count("*").alias("_n"))
         fan_out = b.groupBy("mid").agg(F.count("*").alias("_n"))
@@ -138,7 +259,21 @@ def pagerank(
     ``ranks`` is referenced once per round and the multiply-referenced
     frames (``verts``, ``ranked_edges``) ARE checkpointed, so nothing
     re-executes; a periodic checkpoint every 8 rounds bounds analyzer
-    cost for large ``iters``."""
+    cost for large ``iters``.
+
+    String vertex ids are dictionary-encoded to xxhash64 longs for the
+    per-round join+agg shuffles (``_encode_vertex_ids``; the encode
+    reuses the vertex-set distinct the algorithm needs anyway), decoded
+    once at the end — rank values are id-independent, so the output is
+    bit-identical either way."""
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        verts = vocab.select(F.col("enc").alias("id"))
+        ranks = _pagerank_loop(
+            encoded, verts, iters, damping_ppm, out_col, in_col
+        )
+        return _decode_ids(ranks, vocab, ["id"])
     e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
     verts = (
         e.select(F.col("src").alias("id"))
@@ -146,6 +281,18 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
+    return _pagerank_loop(edges, verts, iters, damping_ppm, out_col, in_col)
+
+
+def _pagerank_loop(
+    edges: DataFrame,
+    verts: DataFrame,
+    iters: int,
+    damping_ppm: int,
+    out_col: str,
+    in_col: str,
+) -> DataFrame:
+    e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
     outd = e.groupBy("src").agg(F.count("*").alias("outd"))
     # out-degree is reused every round: checkpoint once
     ranked_edges = e.join(outd, "src").localCheckpoint()
@@ -221,17 +368,54 @@ def triangles(
 
     Plan shape: degree agg + three equi-joins + one hash agg — no
     cartesian, no Python, and deterministic, so the operator carries a
-    full SQL oracle twin (``graph_triangles``)."""
-    und = _undirected(edges, out_col, in_col)
+    full SQL oracle twin (``graph_triangles``).
+
+    String ids run encoded as xxhash64 longs (``_encode_vertex_ids``):
+    the orientation only needs SOME strict total order on vertices —
+    (deg, enc) is one whenever the encoding is injective, and each
+    triangle is still found exactly once — so per-vertex counts are
+    invariant under the encoding; the decode join restores the caller's
+    ids.  This is the graph surface's most shuffle-heavy op (the wedge
+    set is Σ out-deg² rows), so it gains the most from 8-byte keys."""
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        counts = _triangles_impl(encoded, out_col, in_col)
+        return _decode_ids(counts, vocab, ["id"])
+    return _triangles_impl(edges, out_col, in_col)
+
+
+def _triangles_impl(
+    edges: DataFrame, out_col: str, in_col: str
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    # und feeds the degree agg AND the two annotation joins below, which
+    # materialize as SEPARATE jobs (deg is checkpointed for its stats) —
+    # cross-job exchange reuse doesn't exist, so without a checkpoint
+    # the distinct runs twice
+    und = _undirected(edges, out_col, in_col).localCheckpoint()
+    # deg is vertex-sized (two longs per vertex): checkpoint so its
+    # stats are real, then broadcast-gate BOTH annotation joins — the
+    # edge table never shuffles for the orientation, only for its own
+    # distinct above (measured ~2 s off the chain at sf0.1; over budget
+    # the gate degrades to the shuffle joins this code was before)
     deg = (
         und.select(F.col("u").alias("id"))
         .unionAll(und.select(F.col("v").alias("id")))
         .groupBy("id")
         .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
     ranked = (
-        und.join(deg.withColumnsRenamed({"id": "u", "deg": "du"}), "u")
-        .join(deg.withColumnsRenamed({"id": "v", "deg": "dv"}), "v")
+        und.join(
+            maybe_broadcast(deg.withColumnsRenamed({"id": "u", "deg": "du"})),
+            "u",
+        )
+        .join(
+            maybe_broadcast(deg.withColumnsRenamed({"id": "v", "deg": "dv"})),
+            "v",
+        )
     )
     lt = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
@@ -289,7 +473,35 @@ def neighbor_jaccard(
     drops shared-neighbor hubs before the wedge join — a hub with degree
     d contributes d·(d-1)/2 pairs, the exact quadratic shape the two_hop
     cap exists for; pairs whose ONLY evidence is a super-node neighbor
-    are noise for link prediction anyway."""
+    are noise for link prediction anyway.
+
+    Internally long-encoded like ``triangles`` (the candidate-pair
+    shuffle is the big intermediate); n_common/jaccard are symmetric and
+    id-independent, so after decoding the pair is re-oriented with
+    least/greatest to restore the a < b contract on the ORIGINAL ids."""
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        pairs = _neighbor_jaccard_impl(
+            encoded, out_col, in_col, min_common, max_fanout
+        )
+        decoded = _decode_ids(pairs, vocab, ["a", "b"])
+        return decoded.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "n_common",
+            "jaccard",
+        )
+    return _neighbor_jaccard_impl(edges, out_col, in_col, min_common, max_fanout)
+
+
+def _neighbor_jaccard_impl(
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    min_common: int,
+    max_fanout: int | None,
+) -> DataFrame:
     und = _undirected(edges, out_col, in_col)
     # adj feeds both wedge legs and the degree agg, deg feeds the fanout
     # filter plus two denominator joins — checkpoint both so the edge

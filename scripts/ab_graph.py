@@ -1,0 +1,48 @@
+"""Quick load-gated best-of-R A/B for the graph headline queries.
+
+Usage: python scripts/ab_graph.py [query ...] — defaults to the two
+iterative/wedge ops.  Gates each timed run on 1-min load < 4.0 (bounded
+wait) and reports the per-query minimum of 3 runs, the same protocol as
+bench.py; single numbers on this box are weather, not signal.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+
+def main() -> None:
+    names = sys.argv[1:] or ["graph_triangles", "graph_pagerank"]
+    from kg.session import get_spark
+
+    spark = get_spark(
+        "ab_graph", cores=16, shuffle_partitions=16,
+        extra_conf={"spark.local.dir": "/dev/shm/kg_ab_local"},
+    )
+    import __spark_entry__ as e
+
+    qs = e.queries()
+    sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    budget = 120.0
+    for name in names:
+        qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
+            "overwrite"
+        ).save()
+        best = float("inf")
+        for _ in range(3):
+            while budget > 0 and os.getloadavg()[0] > 4.0:
+                time.sleep(5)
+                budget -= 5
+            t0 = time.monotonic()
+            qs[name](spark, sf).write.format("noop").mode("overwrite").save()
+            best = min(best, time.monotonic() - t0)
+        print(name, round(best, 2), "load", round(os.getloadavg()[0], 1))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

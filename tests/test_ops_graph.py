@@ -199,6 +199,51 @@ def test_components_hand_graph(spark):
     assert got == {"1": "1", "2": "1", "3": "1", "7": "7", "8": "7", "9": "9"}
 
 
+def test_long_id_encoding_is_output_invariant(spark, edges):
+    """String vertex ids run xxhash64-long-encoded internally (VERDICT
+    r4 #2); the encode/decode wrap must be invisible in the output —
+    same rows as the raw string implementation for every wrapped op."""
+    from kg.ops.graph import (
+        _encode_vertex_ids,
+        _neighbor_jaccard_impl,
+        _triangles_impl,
+        _two_hop_impl,
+        pagerank,
+        triangles,
+        two_hop,
+    )
+
+    # integral ids: nothing to encode
+    long_edges = spark.createDataFrame([(1, 2)], "out_id long, in_id long")
+    assert _encode_vertex_ids(long_edges, "out_id", "in_id") is None
+
+    tri_edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "out_id string, in_id string",
+    )
+    enc = triangles(tri_edges).collect()
+    raw = _triangles_impl(tri_edges, "out_id", "in_id").collect()
+    assert sorted(map(tuple, enc)) == sorted(map(tuple, raw))
+    assert dict(map(tuple, enc)) == {"a": 1, "b": 1, "c": 1}
+
+    enc = two_hop(edges).collect()
+    raw = _two_hop_impl(edges, "out_id", "in_id", None).collect()
+    assert sorted(map(tuple, enc)) == sorted(map(tuple, raw))
+
+    enc = _neighbor_jaccard_impl(edges, "out_id", "in_id", 1, None)
+    from kg.ops import neighbor_jaccard
+
+    assert sorted(map(tuple, neighbor_jaccard(edges).collect())) == sorted(
+        map(tuple, enc.collect())
+    )
+
+    # pagerank values are id-independent: spot-check ids decode intact
+    ranks = {r["id"]: r["rank_fp"] for r in pagerank(edges, iters=1).collect()}
+    assert set(ranks) == {
+        "a", "b", "c", "d", "m", "p1", "p2", "p3", "q1", "q2", "q3"
+    }
+
+
 def test_components_long_ids_both_cc_paths(spark):
     """Non-string vertex ids must work on BOTH connected-components
     strategies: the sub-threshold driver union-find used to hardcode a
