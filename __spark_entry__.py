@@ -553,6 +553,41 @@ def q_graph_two_hop(spark: SparkSession, sf: str) -> DataFrame:
     return two_hop(_star_graph_edges(spark, sf), max_fanout=1024)
 
 
+def _star_graph_edges_labeled(spark: SparkSession, sf: str) -> DataFrame:
+    """``_star_graph_edges`` plus the per-edge ``label`` the reference's
+    sink schema carries on every edge document (Migrator.cs:147):
+    customer -places-> order -contains-> part."""
+    orders = _read(spark, sf, "orders").select(
+        F.concat(F.lit("c_"), F.col("o_custkey").cast("string")).alias("out_id"),
+        F.concat(F.lit("o_"), F.col("o_orderkey").cast("string")).alias("in_id"),
+        F.lit("places").alias("label"),
+    )
+    lineitem = _read(spark, sf, "lineitem").select(
+        F.concat(F.lit("o_"), F.col("l_orderkey").cast("string")).alias("out_id"),
+        F.concat(F.lit("p_"), F.col("l_partkey").cast("string")).alias("in_id"),
+        F.lit("contains").alias("label"),
+    )
+    return orders.unionByName(lineitem)
+
+
+def q_graph_two_hop_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """Label-typed 2-hop traversal (Gremlin
+    ``g.V().out('places').out('contains')``) — the second query any
+    consumer of a labeled edge sink runs (VERDICT r4 #3).  The label
+    predicates are plain per-leg filters Catalyst pushes into the edge
+    scans; everything downstream is the same capped mid-join + hash agg
+    as ``graph_two_hop``, long-encoded internally."""
+    from kg.ops import two_hop
+
+    return two_hop(
+        _star_graph_edges_labeled(spark, sf),
+        max_fanout=1024,
+        label_col="label",
+        first_label="places",
+        second_label="contains",
+    )
+
+
 _PR_ITERS, _PR_DAMP = 3, 850_000
 
 
@@ -1019,6 +1054,7 @@ def queries() -> dict[str, _T]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "graph_degree": q_graph_degree,
         "graph_two_hop": q_graph_two_hop,
+        "graph_two_hop_typed": q_graph_two_hop_typed,
         "graph_pagerank": q_graph_pagerank,
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
@@ -1457,6 +1493,24 @@ def oracle_sql() -> dict[str, str]:
             "WITH e AS (" + _GRAPH_EDGES_SQL + "), "
             "a AS (SELECT out_id AS src, in_id AS mid FROM e), "
             "b AS (SELECT out_id AS mid, in_id AS dst FROM e), "
+            "fi AS (SELECT mid FROM a GROUP BY mid HAVING count(*) <= 1024), "
+            "fo AS (SELECT mid FROM b GROUP BY mid HAVING count(*) <= 1024), "
+            "a2 AS (SELECT a.* FROM a JOIN fi USING (mid) JOIN fo USING (mid)), "
+            "b2 AS (SELECT b.* FROM b JOIN fi USING (mid) JOIN fo USING (mid)) "
+            "SELECT src, dst, CAST(count(*) AS BIGINT) AS n_paths "
+            "FROM a2 JOIN b2 USING (mid) GROUP BY src, dst"
+        ),
+        "graph_two_hop_typed": (
+            "WITH e AS (SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS out_id, "
+            "'o_' || CAST(o_orderkey AS VARCHAR) AS in_id, "
+            "'places' AS label FROM orders "
+            "UNION ALL "
+            "SELECT 'o_' || CAST(l_orderkey AS VARCHAR), "
+            "'p_' || CAST(l_partkey AS VARCHAR), 'contains' FROM lineitem), "
+            "a AS (SELECT out_id AS src, in_id AS mid FROM e "
+            "      WHERE label = 'places'), "
+            "b AS (SELECT out_id AS mid, in_id AS dst FROM e "
+            "      WHERE label = 'contains'), "
             "fi AS (SELECT mid FROM a GROUP BY mid HAVING count(*) <= 1024), "
             "fo AS (SELECT mid FROM b GROUP BY mid HAVING count(*) <= 1024), "
             "a2 AS (SELECT a.* FROM a JOIN fi USING (mid) JOIN fo USING (mid)), "

@@ -65,6 +65,45 @@ def test_two_hop_max_fanout_drops_hub(edges):
     assert not any(s in {"p1", "p2", "p3"} for s, _ in got)
 
 
+def test_two_hop_typed_labels_restrict_each_leg(spark):
+    """label_col + first/second_label type each hop: only paths whose
+    first edge is 'x' and second edge is 'y' survive."""
+    edges = spark.createDataFrame(
+        [
+            ("a", "b", "x"),
+            ("b", "c", "y"),
+            ("b", "d", "x"),  # second hop wrong label -> no (a, d)
+            ("e", "b", "y"),  # first hop wrong label -> no (e, c)
+        ],
+        "out_id string, in_id string, label string",
+    )
+    got = {
+        (r.src, r.dst): r.n_paths
+        for r in two_hop(
+            edges, label_col="label", first_label="x", second_label="y"
+        ).collect()
+    }
+    assert got == {("a", "c"): 1}
+    # untyped on the same table sees every 2-path
+    untyped = {
+        (r.src, r.dst)
+        for r in two_hop(edges.drop("label")).collect()
+    }
+    assert untyped == {("a", "c"), ("a", "d"), ("e", "c"), ("e", "d")}
+
+
+def test_degrees_typed_label_filter(spark):
+    edges = spark.createDataFrame(
+        [("a", "b", "x"), ("a", "c", "y")],
+        "out_id string, in_id string, label string",
+    )
+    got = {
+        r.id: r.degree
+        for r in degrees(edges, label_col="label", label="x").collect()
+    }
+    assert got == {"a": 1, "b": 1}
+
+
 def test_two_hop_plan_is_equi_joins_only(edges):
     plan = two_hop(edges, max_fanout=1024)._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
