@@ -103,12 +103,11 @@ def test_clean_exact_resume_only_missing_buckets(spark, tmp_path_factory, baseli
     assert len(store.completed_buckets("clean_exact")) == cfg.lineage_buckets
 
 
-def _handmade_corpus(spark, with_near_dup: bool):
-    """Controlled corpus for the near-dup test: the SYNTHETIC generator's
-    files are templated and mutually similar (cross-file Jaccard up to
-    ~0.94 — measured), so a threshold that catches a planted near-copy
-    also drops genuine files there.  These six python files share no
-    shingles; the near-copy differs from file0 by one trailing line."""
+def _hand_rows():
+    """Six mutually-dissimilar python files (no shared shingles): the
+    SYNTHETIC generator's files are templated and mutually similar
+    (cross-file Jaccard up to ~0.94 — measured), so a threshold that
+    catches a planted near-copy also drops genuine files there."""
     mods = ["alpha", "bravo", "charlie", "delta", "echo", "foxtrot"]
     rows = []
     for i, m in enumerate(mods):
@@ -118,12 +117,60 @@ def _handmade_corpus(spark, with_near_dup: bool):
                f"\n    pass" for j in range(4)]
         )
         rows.append((f"org/repo{i}", f"src/{m}.py", "c0", "python", body))
+    return rows
+
+
+def _handmade_corpus(spark, with_near_dup: bool):
+    """Controlled corpus for the near-dup test; the near-copy differs
+    from file0 by one trailing line."""
+    rows = _hand_rows()
     if with_near_dup:
         near = rows[0][4] + "\n# forked with a trailing note\n"
         rows.append(("zz-fork/org/repo0", "src/alpha.py", "c0", "python", near))
     from kg.schemas import SOURCE_FILES
 
     return spark.createDataFrame(rows, SOURCE_FILES)
+
+
+def test_near_dup_drop_ids_cluster_consistent(spark):
+    """Keeper selection is per-CLUSTER, not per-pair (VERDICT r4 #4):
+    chains keep only their min member, and star shapes — where the old
+    greedy pair-side drop kept both outer endpoints — collapse to one."""
+    from kg.pipeline import _near_dup_drop_ids
+
+    pairs = spark.createDataFrame(
+        [
+            ("a", "b"), ("b", "c"),          # chain a-b-c
+            ("x", "z"), ("y", "z"),          # star: x,y both near-dup z
+        ],
+        "a string, b string",
+    )
+    dropped = {r["_fid"] for r in _near_dup_drop_ids(pairs).collect()}
+    assert dropped == {"b", "c", "y", "z"}  # survivors: a (chain), x (star)
+
+
+def test_clean_minhash_chain_keeps_only_min_member(spark, tmp_path_factory):
+    """End-to-end: a dup CHAIN base ~ fork1 ~ fork2 planted in the
+    corpus leaves exactly the (repo, path)-min member in the clean
+    table."""
+    rows = _hand_rows()  # six dissimilar files
+    base = rows[0][4]
+    fork1 = base + "\n# forked with a trailing note\n"
+    fork2 = fork1 + "# second-generation fork note\n"
+    rows.append(("pp-fork1/org/repo0", "src/alpha.py", "c0", "python", fork1))
+    rows.append(("zz-fork2/org/repo0", "src/alpha.py", "c0", "python", fork2))
+    from kg.schemas import SOURCE_FILES
+
+    src = spark.createDataFrame(rows, SOURCE_FILES)
+    cfg = _cfg(tmp_path_factory, "clean_mh_chain")
+    run_pipeline(
+        spark, src, cfg, restart=True, dedup="minhash", dedup_threshold=0.5
+    )
+    clean = spark.read.parquet(cfg.table_path("clean"))
+    assert clean.count() == 6
+    got = {r["repo"] for r in clean.select("repo").collect()}
+    assert "org/repo0" in got  # the min (repo, path) member survives
+    assert not any(r.startswith(("pp-fork1/", "zz-fork2/")) for r in got)
 
 
 def test_clean_minhash_drops_near_duplicates(spark, tmp_path_factory):
