@@ -198,6 +198,26 @@ def score_pairs(
     return scored
 
 
+def add_shingles(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """Re-derive the shingle column map-side from the stored ``norm``.
+
+    Shingles are a pure function of ``norm`` (no shuffle), so a mentions
+    table read back from storage regains them for free — which lets the
+    pipeline materialize the corpus-sized distinct exactly ONCE as the
+    durable mentions table instead of localCheckpoint + a second write
+    of the same data (VERDICT r4 #5 fixed-cost list)."""
+    return mentions.withColumn(
+        "shingles", _shingles_col(F.col("norm"), cfg.shingle_size)
+    )
+
+
+def match_pairs(mentions: DataFrame, cfg: PipelineConfig) -> DataFrame:
+    """mentions (with shingles) → scored match pairs above threshold."""
+    pairs = candidate_pairs(mentions, cfg)
+    scored = score_pairs(pairs, mentions, cfg)
+    return scored.filter(F.col("is_match"))
+
+
 def run_link(triples: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFrame]:
     """Stage entry: triples → (mentions, scored match pairs).
 
@@ -205,9 +225,8 @@ def run_link(triples: DataFrame, cfg: PipelineConfig) -> tuple[DataFrame, DataFr
     it feeds candidate generation AND both sides of the scorer join, so it
     is materialized once (localCheckpoint — GC-freed blocks, unlike a
     persist nobody can unpersist) — otherwise every consumer re-scans the
-    full triple set.
+    full triple set.  (The pipeline uses the durable mentions write as
+    the materialization instead — see ``add_shingles``.)
     """
     mentions = mentions_from_triples(triples, cfg).localCheckpoint()
-    pairs = candidate_pairs(mentions, cfg)
-    scored = score_pairs(pairs, mentions, cfg)
-    return mentions, scored.filter(F.col("is_match"))
+    return mentions, match_pairs(mentions, cfg)

@@ -260,13 +260,15 @@ def test_crash_after_extract_recorded_still_rebuilds_downstream(
     # run B: a detect_changes rerun (run A recorded no fingerprints, so
     # every bucket is conservatively re-extracted) records extract
     # lineage, then link crashes
-    real_run_link = P.run_link
+    real_mft = P.mentions_from_triples
     monkeypatch.setattr(
-        P, "run_link", lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom"))
+        P,
+        "mentions_from_triples",
+        lambda *a, **k: (_ for _ in ()).throw(RuntimeError("boom")),
     )
     with pytest.raises(RuntimeError, match="boom"):
         run_pipeline(spark, src, cfg, detect_changes=True)
-    monkeypatch.setattr(P, "run_link", real_run_link)
+    monkeypatch.setattr(P, "mentions_from_triples", real_mft)
 
     # run C: extract has nothing pending (extract_ran=False), but the
     # crashed run's durable invalidation forces downstream to rebuild
