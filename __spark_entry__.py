@@ -607,6 +607,37 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PPR_SOURCES = ("c_1", "c_2", "c_3")
+
+
+def q_graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
+    """Personalized PageRank seeded at three customer vertices — the
+    "what is near these entities" recommendation/expansion traversal.
+    Same integer-exact shared loop as q_graph_pagerank with the teleport
+    gated to the source set, so the iterative op still carries a FULL
+    unrolled-CTE SQL twin."""
+    from kg.ops import personalized_pagerank
+
+    src = spark.createDataFrame([(s,) for s in _PPR_SOURCES], "id string")
+    return personalized_pagerank(
+        _star_graph_edges(spark, sf), src,
+        iters=_PR_ITERS, damping_ppm=_PR_DAMP,
+    )
+
+
+def q_graph_degree_typed(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed per-vertex degree (g.V().map(bothE('contains').count())):
+    the label predicate is a plain filter pushed into the edge scan —
+    on the literal-labeled union Catalyst prunes the non-matching
+    branch's table scan entirely."""
+    from kg.ops import degrees
+
+    return degrees(
+        _star_graph_edges_labeled(spark, sf),
+        label_col="label", label="contains",
+    )
+
+
 _GRAPH_EDGES_SQL = (
     "SELECT 'c_' || CAST(o_custkey AS VARCHAR) AS out_id, "
     "'o_' || CAST(o_orderkey AS VARCHAR) AS in_id FROM orders "
@@ -616,25 +647,45 @@ _GRAPH_EDGES_SQL = (
 )
 
 
-def _pagerank_sql(iters: int = _PR_ITERS, damp: int = _PR_DAMP) -> str:
-    """Twin of q_graph_pagerank: the same integer update rule per round
-    (DuckDB ``//`` is the BIGINT floor division Spark's ``div`` is; all
-    values non-negative, so floor == trunc on both engines)."""
+def _pagerank_sql(
+    iters: int = _PR_ITERS,
+    damp: int = _PR_DAMP,
+    sources: tuple[str, ...] | None = None,
+) -> str:
+    """Twin of q_graph_pagerank / q_graph_ppr: the same integer update
+    rule per round (DuckDB ``//`` is the BIGINT floor division Spark's
+    ``div`` is; all values non-negative, so floor == trunc on both
+    engines).  ``sources`` switches to the personalized rule: teleport
+    mass ``base * is_src`` and initial rank ``10^6 * is_src`` — the
+    exact integer expressions ``kg.ops.graph._pagerank_loop`` runs."""
     base = 1_000_000 - damp
+    if sources is None:
+        vsel = "SELECT DISTINCT id FROM " \
+               "(SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)"
+        init = "CAST(1000000 AS BIGINT)"
+        base_term = str(base)
+    else:
+        in_list = ", ".join(f"'{s}'" for s in sources)
+        vsel = (
+            "SELECT id, CASE WHEN id IN (" + in_list + ") THEN 1 ELSE 0 END"
+            " AS is_src FROM (SELECT DISTINCT id FROM "
+            "(SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed))"
+        )
+        init = "CAST(1000000 * is_src AS BIGINT)"
+        base_term = f"{base} * v.is_src"
     parts = [
         "e AS (" + _GRAPH_EDGES_SQL + ")",
         "ed AS (SELECT out_id AS src, in_id AS dst FROM e)",
-        "verts AS (SELECT DISTINCT id FROM "
-        "(SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed))",
+        f"verts AS ({vsel})",
         "outd AS (SELECT src, count(*) AS outd FROM ed GROUP BY src)",
         "re AS (SELECT ed.src, ed.dst, outd.outd FROM ed JOIN outd USING (src))",
-        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_fp FROM verts)",
+        f"r0 AS (SELECT id, {init} AS rank_fp FROM verts)",
     ]
     for i in range(1, iters + 1):
         parts += [
             f"c{i} AS (SELECT re.dst AS id, sum(r.rank_fp // re.outd) AS s "
             f"FROM re JOIN r{i - 1} r ON r.id = re.src GROUP BY re.dst)",
-            f"r{i} AS (SELECT v.id, CAST({base} + COALESCE("
+            f"r{i} AS (SELECT v.id, CAST({base_term} + COALESCE("
             f"(c.s // 1000000) * {damp} + ((c.s % 1000000) * {damp}) // 1000000"
             f", 0) AS BIGINT) AS rank_fp FROM verts v LEFT JOIN c{i} c USING (id))",
         ]
@@ -1060,6 +1111,8 @@ def queries() -> dict[str, _T]:
         "graph_two_hop": q_graph_two_hop,
         "graph_two_hop_typed": q_graph_two_hop_typed,
         "graph_pagerank": q_graph_pagerank,
+        "graph_ppr": q_graph_ppr,
+        "graph_degree_typed": q_graph_degree_typed,
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
         "text_stats": q_text_stats,
@@ -1523,6 +1576,16 @@ def oracle_sql() -> dict[str, str]:
             "FROM a2 JOIN b2 USING (mid) GROUP BY src, dst"
         ),
         "graph_pagerank": _pagerank_sql(),
+        "graph_ppr": _pagerank_sql(sources=_PPR_SOURCES),
+        "graph_degree_typed": (
+            "WITH e AS (SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS out_id, "
+            "'p_' || CAST(l_partkey AS VARCHAR) AS in_id FROM lineitem), "
+            "ends AS (SELECT out_id AS id, 1 AS o, 0 AS i FROM e "
+            "         UNION ALL SELECT in_id, 0, 1 FROM e) "
+            "SELECT id, CAST(sum(o) AS BIGINT) AS out_degree, "
+            "CAST(sum(i) AS BIGINT) AS in_degree, "
+            "CAST(count(*) AS BIGINT) AS degree FROM ends GROUP BY id"
+        ),
         "graph_triangles": _triangles_sql(_TRI_EDGES_SQL),
         "graph_jaccard": _neighbor_jaccard_sql(
             _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT

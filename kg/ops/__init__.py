@@ -33,6 +33,7 @@ from kg.ops.graph import (  # noqa: F401
     k_hop,
     neighbor_jaccard,
     pagerank,
+    personalized_pagerank,
     triangles,
     two_hop,
 )

@@ -291,19 +291,33 @@ def _pagerank_loop(
     damping_ppm: int,
     out_col: str,
     in_col: str,
+    personalized: bool = False,
 ) -> DataFrame:
+    """Shared fixed-round integer rank loop.  ``personalized=True``
+    expects an ``is_src`` (0/1) column on ``verts``: the teleport mass
+    (1-d)·10^6 then lands ONLY on source vertices (initial rank is the
+    teleport mass itself), which is exactly global PageRank when every
+    vertex is a source — one rule, two operators."""
     e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
     outd = e.groupBy("src").agg(F.count("*").alias("outd"))
     # out-degree is reused every round: checkpoint once
     ranked_edges = e.join(outd, "src").localCheckpoint()
     base = 1_000_000 - damping_ppm
+    base_term = f"{base} * is_src" if personalized else str(base)
     damp = (
         f"(s div 1000000) * {damping_ppm} "
         f"+ ((s % 1000000) * {damping_ppm}) div 1000000"
     )
     from kg.hints import maybe_broadcast
 
-    ranks = verts.withColumn("rank_fp", F.lit(1_000_000).cast("long"))
+    carry = ["id", "is_src"] if personalized else ["id"]
+    if personalized:
+        ranks = verts.select(
+            *carry,
+            (F.lit(1_000_000) * F.col("is_src")).cast("long").alias("rank_fp"),
+        )
+    else:
+        ranks = verts.withColumn("rank_fp", F.lit(1_000_000).cast("long"))
     for i in range(iters):
         # both per-round joins have a vertex-sized side (ranks, contrib):
         # broadcast when the stats prove it fits so the edge frame never
@@ -324,14 +338,67 @@ def _pagerank_loop(
             .agg(F.sum("c").alias("s"))
         )
         ranks = verts.join(maybe_broadcast(contrib), "id", "left").select(
-            "id",
-            F.expr(f"cast({base} + coalesce({damp}, 0) as long)").alias(
+            *carry,
+            F.expr(f"cast({base_term} + coalesce({damp}, 0) as long)").alias(
                 "rank_fp"
             ),
         )
         if (i + 1) % 8 == 0 and (i + 1) < iters:
             ranks = ranks.localCheckpoint()
-    return ranks
+    return ranks.select("id", "rank_fp")
+
+
+def personalized_pagerank(
+    edges: DataFrame,
+    sources: DataFrame,
+    iters: int = 3,
+    damping_ppm: int = 850_000,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Personalized PageRank: (id, rank_fp) where the teleport mass
+    returns ONLY to ``sources`` — rank_fp measures random-walk proximity
+    to the source set ("what is near these entities", the
+    recommendation/expansion query over a fresh KG; Gremlin consumers
+    run it as a seeded repeat-out traversal).
+
+    Same integer-exact update rule as :func:`pagerank` (one shared loop,
+    ``is_src`` gates the teleport term), so a fixed-``iters`` run is
+    bit-reproducible and SQL-twinnable as unrolled CTEs.  Each source
+    carries unit teleport mass 10^6 — NOT normalized by |S|, which keeps
+    every intermediate an exact integer; divide outside if a
+    distribution is needed.  Sources not present in the edge set are
+    ignored (rank is defined over the graph's vertices).  Long-encoded
+    internally like the other iterative ops."""
+    src = sources.select(F.col(id_col).alias("id")).distinct()
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        src_enc = src.select(F.xxhash64(F.col("id").cast("string")).alias("id"))
+        verts = (
+            vocab.select(F.col("enc").alias("id"))
+            .join(src_enc.withColumn("is_src", F.lit(1)), "id", "left")
+            .select("id", F.coalesce("is_src", F.lit(0)).alias("is_src"))
+            .localCheckpoint()
+        )
+        ranks = _pagerank_loop(
+            encoded, verts, iters, damping_ppm, out_col, in_col,
+            personalized=True,
+        )
+        return _decode_ids(ranks, vocab, ["id"])
+    e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .join(src.withColumn("is_src", F.lit(1)), "id", "left")
+        .select("id", F.coalesce("is_src", F.lit(0)).alias("is_src"))
+        .localCheckpoint()
+    )
+    return _pagerank_loop(
+        edges, verts, iters, damping_ppm, out_col, in_col, personalized=True
+    )
 
 
 def _undirected(edges: DataFrame, out_col: str, in_col: str) -> DataFrame:

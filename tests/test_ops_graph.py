@@ -146,6 +146,43 @@ def test_pagerank_integer_rule_hand_check(spark):
     assert r2 == {r.id: r.rank_fp for r in pagerank(e, iters=2).collect()}
 
 
+def test_personalized_pagerank_hand_check_and_global_equivalence(spark):
+    from kg.ops import personalized_pagerank
+
+    # a -> b -> c; seed at a, 1 iteration, d = 0.85
+    edges = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "out_id string, in_id string"
+    )
+    src = spark.createDataFrame([("a",)], "id string")
+    got = {
+        r["id"]: r["rank_fp"]
+        for r in personalized_pagerank(
+            edges, src, iters=1, damping_ppm=850_000
+        ).collect()
+    }
+    # r0: a=1e6, b=0, c=0.  r1: a = base(150000)·1 + 0
+    #                            b = 0 + floor(0.85 · (1e6 div 1)) = 850000
+    #                            c = 0 + floor(0.85 · (0 div 1)) = 0
+    assert got == {"a": 150_000, "b": 850_000, "c": 0}
+    # sources not in the graph are ignored
+    src2 = spark.createDataFrame([("a",), ("zzz",)], "id string")
+    got2 = {
+        r["id"]: r["rank_fp"]
+        for r in personalized_pagerank(
+            edges, src2, iters=1, damping_ppm=850_000
+        ).collect()
+    }
+    assert got2 == got
+    # seeding EVERY vertex reproduces global pagerank bit-for-bit
+    allv = spark.createDataFrame([("a",), ("b",), ("c",)], "id string")
+    ppr_all = {
+        r["id"]: r["rank_fp"]
+        for r in personalized_pagerank(edges, allv, iters=3).collect()
+    }
+    glob = {r["id"]: r["rank_fp"] for r in pagerank(edges, iters=3).collect()}
+    assert ppr_all == glob
+
+
 def test_k_hop_multi_source_min_distance(spark, edges):
     """A vertex reachable from two sources gets the MIN hop distance."""
     src = spark.createDataFrame([("b",), ("c",)], "id string")
