@@ -735,6 +735,71 @@ def q_graph_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_clustering(spark: SparkSession, sf: str) -> DataFrame:
+    """Local clustering coefficient (2·T / (d·(d−1))) over the tripartite
+    graph — the Watts–Strogatz cohesion diagnostic, the natural next
+    question after triangles/degrees over a freshly materialized sink.
+    Composes the degree-oriented triangle counter with a vertex-sized
+    degree agg; ratio rounded to 6 dp on both engines."""
+    from kg.ops import clustering_coefficient
+
+    return clustering_coefficient(_tri_graph_edges(spark, sf))
+
+
+_KHOP_K, _KHOP_SRC_MAX = 3, 32
+
+
+def q_graph_khop(spark: SparkSession, sf: str) -> DataFrame:
+    """BFS levels to depth 3 from a small order seed set over the
+    UNDIRECTED tripartite graph (Gremlin ``g.V(xs).repeat(both()).
+    times(3).emit()`` with distance labels).  The iterative ``k_hop``
+    loop is fixed-depth here, so it carries a FULL SQL twin (one
+    unrolled frontier CTE per hop) — the same determinism-buys-an-oracle
+    design as the unrolled PageRank."""
+    from kg.ops import k_hop
+
+    e = _tri_graph_edges(spark, sf)
+    und = e.unionByName(
+        e.select(F.col("in_id").alias("out_id"), F.col("out_id").alias("in_id"))
+    )
+    src = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= _KHOP_SRC_MAX)
+        .select(F.concat(F.lit("o_"), F.col("o_orderkey").cast("string")).alias("id"))
+    )
+    return k_hop(und, src, k=_KHOP_K)
+
+
+def _cn_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """customer→nation→region membership edges: a graph whose weakly
+    connected components are exactly the five region clusters — planted
+    structure for the CC entry (the tripartite lineitem graph is one
+    giant component, useless for exercising a component labeler)."""
+    cust = _read(spark, sf, "customer").select(
+        F.concat(F.lit("c_"), F.col("c_custkey").cast("string")).alias("out_id"),
+        F.concat(F.lit("n_"), F.col("c_nationkey").cast("string")).alias("in_id"),
+    )
+    nat = _read(spark, sf, "nation").select(
+        F.concat(F.lit("n_"), F.col("n_nationkey").cast("string")).alias("out_id"),
+        F.concat(F.lit("r_"), F.col("n_regionkey").cast("string")).alias("in_id"),
+    )
+    return cust.unionByName(nat)
+
+
+def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
+    """Weakly connected components over the membership graph — "how many
+    connected subgraphs did my KG build produce", the first structural
+    diagnostic over a new sink.  The alternating large-star/small-star
+    fixpoint is iterative, but its FIXPOINT is still SQL-expressible:
+    the DuckDB twin is a recursive reachability CTE taking min(reachable
+    id) per vertex — the oracle iterates to ITS fixpoint independently,
+    so the two engines agree only if the component labeling itself is
+    right."""
+    from kg.ops import components
+
+    return components(_cn_graph_edges(spark, sf))
+
+
 _TRI_EDGES_SQL = (
     "SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS out_id, "
     "'p_' || CAST(l_partkey AS VARCHAR) AS in_id FROM lineitem "
@@ -773,6 +838,78 @@ def _triangles_sql(edges_sql: str) -> str:
         "m AS (SELECT a AS id FROM t UNION ALL SELECT b FROM t "
         "UNION ALL SELECT c FROM t) "
         "SELECT id, CAST(count(*) AS BIGINT) AS n_triangles FROM m GROUP BY id"
+    )
+
+
+def _clustering_sql(edges_sql: str) -> str:
+    """Twin of kg.ops.graph.clustering_coefficient: the full triangles
+    twin as a nested CTE + the same distinct-undirected degree agg and
+    6dp-rounded ratio."""
+    return (
+        "WITH tri AS MATERIALIZED (" + _triangles_sql(edges_sql) + "), "
+        "e AS (" + edges_sql + "), "
+        "undc AS (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM e WHERE out_id <> in_id), "
+        "degall AS (SELECT id, CAST(count(*) AS BIGINT) AS deg FROM "
+        "(SELECT u AS id FROM undc UNION ALL SELECT v FROM undc) GROUP BY id) "
+        "SELECT d.id, d.deg, "
+        "CAST(COALESCE(t.n_triangles, 0) AS BIGINT) AS n_triangles, "
+        "CASE WHEN d.deg >= 2 THEN "
+        "round(2.0 * COALESCE(t.n_triangles, 0) / (d.deg * (d.deg - 1)), 6) "
+        "ELSE 0.0 END AS clustering "
+        "FROM degall d LEFT JOIN tri t USING (id)"
+    )
+
+
+def _khop_sql(edges_sql: str, k: int, src_max: int) -> str:
+    """Twin of q_graph_khop: one MATERIALIZED frontier CTE per hop —
+    hop h = vertices adjacent to frontier h−1 minus everything seen in
+    hops 0..h−1 (BFS min-distance semantics, exactly the anti-join in
+    ``kg.ops.graph.k_hop``)."""
+    parts = [
+        "t AS (" + edges_sql + ")",
+        "e AS (SELECT DISTINCT s, d FROM (SELECT out_id AS s, in_id AS d "
+        "FROM t UNION ALL SELECT in_id, out_id FROM t))",
+        "h0 AS MATERIALIZED (SELECT DISTINCT 'o_' || CAST(o_orderkey AS VARCHAR) "
+        f"AS id FROM orders WHERE o_orderkey <= {src_max})",
+    ]
+    sel = ["SELECT id, CAST(0 AS INTEGER) AS hops FROM h0"]
+    for h in range(1, k + 1):
+        seen = " AND ".join(
+            f"e.d NOT IN (SELECT id FROM h{j})" for j in range(h)
+        )
+        parts.append(
+            f"h{h} AS MATERIALIZED (SELECT DISTINCT e.d AS id FROM e "
+            f"JOIN h{h - 1} ON e.s = h{h - 1}.id WHERE {seen})"
+        )
+        sel.append(f"SELECT id, CAST({h} AS INTEGER) AS hops FROM h{h}")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+_CN_EDGES_SQL = (
+    "SELECT 'c_' || CAST(c_custkey AS VARCHAR) AS out_id, "
+    "'n_' || CAST(c_nationkey AS VARCHAR) AS in_id FROM customer "
+    "UNION ALL "
+    "SELECT 'n_' || CAST(n_nationkey AS VARCHAR), "
+    "'r_' || CAST(n_regionkey AS VARCHAR) FROM nation"
+)
+
+
+def _components_sql(edges_sql: str) -> str:
+    """Twin of kg.ops.graph.components: recursive reachability to the
+    fixpoint, min(reachable id) per vertex = the component label.  The
+    recursion is DuckDB's own fixpoint — an INDEPENDENT iteration scheme
+    from the engine's large-star/small-star loop, so agreement checks
+    the labeling itself, not a shared unrolling."""
+    return (
+        "WITH RECURSIVE ed AS (" + edges_sql + "), "
+        "und AS (SELECT out_id AS a, in_id AS b FROM ed "
+        "UNION SELECT in_id, out_id FROM ed), "
+        "reach(id, m) AS ("
+        "SELECT DISTINCT a AS id, a AS m FROM und "
+        "UNION "
+        "SELECT u.b AS id, r.m FROM reach r JOIN und u ON u.a = r.id) "
+        "SELECT id, min(m) AS component FROM reach GROUP BY id"
     )
 
 
@@ -1115,6 +1252,9 @@ def queries() -> dict[str, _T]:
         "graph_degree_typed": q_graph_degree_typed,
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
+        "graph_clustering": q_graph_clustering,
+        "graph_khop": q_graph_khop,
+        "graph_components": q_graph_components,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
         "split_assign": q_split_assign,
@@ -1590,6 +1730,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_jaccard": _neighbor_jaccard_sql(
             _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT
         ),
+        "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),
+        "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
+        "graph_components": _components_sql(_CN_EDGES_SQL),
         "repetition_stats": _repetition_sql(),
         "text_stats": (
             "SELECT doc_id, CAST(len(" + tok + ") AS INT) AS n_tokens, "

@@ -27,6 +27,7 @@ from kg.ops.dedup import (  # noqa: F401
     winnow_duplicates,
 )
 from kg.ops.graph import (  # noqa: F401
+    clustering_coefficient,
     components,
     degree_distribution,
     degrees,

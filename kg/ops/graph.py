@@ -522,6 +522,56 @@ def _triangles_impl(
     )
 
 
+def clustering_coefficient(
+    edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
+) -> DataFrame:
+    """Local clustering coefficient per vertex: ``2·T / (d·(d−1))`` where
+    T = triangles the vertex participates in and d = its distinct
+    undirected neighbor count — the standard "how clique-like is this
+    entity's neighborhood" diagnostic (Watts–Strogatz), and the natural
+    next question after ``triangles``/``degrees`` over a freshly
+    materialized KG sink.
+
+    Output: (id, deg, n_triangles, clustering) for every vertex with at
+    least one non-loop edge; degree-1 vertices get coefficient 0.0 (no
+    wedge to close), non-participants get n_triangles = 0.  The ratio is
+    rounded to 6 dp so the value is bit-reproducible across engines —
+    same portability contract as every float this repo's oracle twins
+    compare.
+
+    Plan shape: the ``triangles`` chain (bounded wedge join on degree
+    orientation) + one vertex-sized degree agg + one broadcast-gated
+    left join.  The undirected-distinct pass runs once here and once
+    inside ``triangles`` — both are single shuffles on uniform keys; at
+    the scale where that matters the caller should checkpoint the edge
+    table, which collapses them to scans of the same blocks."""
+    from kg.hints import maybe_broadcast
+
+    und = _undirected(edges, out_col, in_col)
+    deg = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+    )
+    tri = triangles(edges, out_col, in_col)
+    n_tri = F.coalesce(F.col("n_triangles"), F.lit(0)).cast("long")
+    return deg.join(maybe_broadcast(tri), "id", "left").select(
+        "id",
+        "deg",
+        n_tri.alias("n_triangles"),
+        F.when(
+            F.col("deg") >= 2,
+            F.round(
+                F.lit(2.0) * n_tri / (F.col("deg") * (F.col("deg") - F.lit(1))),
+                6,
+            ),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("clustering"),
+    )
+
+
 def neighbor_jaccard(
     edges: DataFrame,
     out_col: str = "out_id",
@@ -690,9 +740,13 @@ def components(
     diagnostic any consumer of ``kg_nodes``/``kg_edges`` runs, and the
     CC machinery already existed one package over.
 
-    Iterative with a data-dependent round count → no SQL oracle entry
-    (the golden-backed ``kg_entity_map`` IS this algorithm's
-    correctness gate); covered by the hand-graph pytest."""
+    Iterative with a data-dependent round count, but the FIXPOINT is
+    SQL-expressible: the ``graph_components`` driver entry twins it
+    against a DuckDB recursive reachability CTE (min reachable id per
+    vertex) — an independent iteration scheme, so agreement checks the
+    labeling itself.  The golden-backed ``kg_entity_map`` gates the same
+    engine inside the pipeline; the hand-graph pytest covers edge
+    shapes."""
     from kg.canonicalize.cc import connected_components
 
     und = _undirected(edges, out_col, in_col)

@@ -218,6 +218,24 @@ def test_triangles_clique_and_direction_invariance(spark):
     assert got == {"w": 3, "x": 3, "y": 3, "z": 3}
 
 
+def test_clustering_coefficient_hand_graph(edges):
+    """Undirected degrees: a=2, b=2, c=3, d=1, m=6, leaves=1; the only
+    triangle is {a,b,c} → a,b fully clustered (1.0), c = 2/(3·2) =
+    0.333333, everything else 0.0 (degree-1 vertices have no wedge)."""
+    from kg.ops import clustering_coefficient
+
+    got = {
+        r.id: (r.deg, r.n_triangles, r.clustering)
+        for r in clustering_coefficient(edges).collect()
+    }
+    assert got["a"] == (2, 1, 1.0)
+    assert got["b"] == (2, 1, 1.0)
+    assert got["c"] == (3, 1, 0.333333)
+    assert got["d"] == (1, 0, 0.0)
+    assert got["m"] == (6, 0, 0.0)
+    assert len(got) == 11  # every vertex with ≥1 non-loop edge appears
+
+
 def test_triangles_plan_no_cartesian(edges):
     from kg.ops import triangles
 
