@@ -392,6 +392,35 @@ def q_dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-consistent near-dup keeper selection — the decision the
+    pipeline's ``--dedup minhash`` clean stage applies
+    (``kg/pipeline.py::_near_dup_drop_ids``, VERDICT r4 #4) exposed as a
+    query: MinHash-LSH near-dup pairs (portable hashing, same config as
+    ``dedup_minhash_portable``) are closed into clusters via connected
+    components, and each cluster keeps its min doc_id.  One row per
+    clustered doc: ``(doc_id, keeper_id, is_keeper)`` — a greedy
+    pair-side drop would keep both outer endpoints of a star (a,c),(b,c);
+    the CC hull keeps exactly one member per cluster.  The DuckDB twin
+    re-derives the clusters with a recursive reachability CTE — an
+    independent fixpoint scheme, so agreement checks the clustering."""
+    from kg.canonicalize.cc import connected_components
+    from kg.ops import minhash_duplicates
+
+    pairs = minhash_duplicates(
+        _read_spread(spark, sf, "documents"), "doc_id", "text", threshold=0.5,
+        portable=True,
+    )
+    comp = connected_components(pairs.select("a", "b"))
+    return comp.select(
+        F.col("mention_id").alias("doc_id"),
+        F.col("canonical_id").alias("keeper_id"),
+        (F.col("mention_id") == F.col("canonical_id"))
+        .cast("int")
+        .alias("is_keeper"),
+    )
+
+
 def q_dedup_simhash(spark: SparkSession, sf: str) -> DataFrame:
     """SimHash values per document (bit-fold UDF — no SQL twin)."""
     from kg.ops import simhash_col
@@ -1236,6 +1265,7 @@ def queries() -> dict[str, _T]:
         "dedup_token_jaccard": q_dedup_token_jaccard,
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_portable": q_dedup_minhash_portable,
+        "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_embedding": q_dedup_embedding,
@@ -1365,6 +1395,26 @@ def _minhash_portable_sql(
         "           FROM cand JOIN shs sa ON sa.doc_id = cand.a "
         "           JOIN shs sb ON sb.doc_id = cand.b) "
         f"SELECT a, b, round(j, 6) AS jaccard FROM scored WHERE j >= {threshold}"
+    )
+
+
+def _cluster_keepers_sql() -> str:
+    """DuckDB twin of q_dedup_cluster_keepers: the portable-minhash pair
+    query (identical constants) feeds a recursive reachability CTE; the
+    component label (= keeper) is min(reachable id) per vertex.  DuckDB's
+    recursion is an independent fixpoint scheme from the engine's
+    large-star/small-star loop / driver union-find, so agreement checks
+    the cluster hull itself, not a shared unrolling."""
+    return (
+        "WITH RECURSIVE pairs AS (" + _minhash_portable_sql() + "), "
+        "und AS (SELECT a, b FROM pairs UNION SELECT b, a FROM pairs), "
+        "reach(id, m) AS ("
+        "SELECT DISTINCT a AS id, a AS m FROM und "
+        "UNION "
+        "SELECT u.b AS id, r.m FROM reach r JOIN und u ON u.a = r.id) "
+        "SELECT id AS doc_id, min(m) AS keeper_id, "
+        "CAST(CASE WHEN id = min(m) THEN 1 ELSE 0 END AS INT) AS is_keeper "
+        "FROM reach GROUP BY id"
     )
 
 
@@ -1813,6 +1863,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _dedup_embedding_sql(),
         "dedup_paragraphs": _dedup_paragraphs_sql(),
         "dedup_minhash_portable": _minhash_portable_sql(),
+        "dedup_cluster_keepers": _cluster_keepers_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
