@@ -1171,6 +1171,34 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, max_tokens=_PACK_MAX_TOKENS)
 
 
+_CURATE_MIN_QUALITY = 0.2
+
+
+def q_curate_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """END-TO-END curation decision (``kg/ops/curate.py::curate_corpus``)
+    as one oracle-checked query: quality gate (composite score ≥ 0.2)
+    → exact dedup (lowest-id copy of each normalized text survives)
+    → 13-gram benchmark decontamination (anti-join on shared grams with
+    the ``doc_id % 20 == 7`` benchmark slice) → deterministic md5-bucket
+    train/val/test split.  The individual stages each have their own
+    driver entry (``text_stats``/``dedup_exact``/``decontaminate``/
+    ``split_assign``); this entry pins their COMPOSITION — the docs that
+    actually reach a training run and which split they land in.  The
+    whole chain is one lazy plan: map-side quality filter, one
+    fingerprint groupBy-min + semi-join, a broadcast-gated gram join,
+    and a map-side split — no Python, no driver actions."""
+    from kg.ops.curate import curate_corpus
+
+    d = _read_spread(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 7)
+    corpus = d.where(F.col("doc_id") % 20 != 7)
+    out = curate_corpus(
+        corpus, benchmark=bench, min_quality=_CURATE_MIN_QUALITY,
+        dedup="exact",
+    )
+    return out.select("doc_id", "bucket", "split")
+
+
 # ---------------------------------------------------------------------------
 # KG pipeline stages (synthetic 200-file corpus; golden-backed SQL twins)
 # ---------------------------------------------------------------------------
@@ -1291,6 +1319,7 @@ def queries() -> dict[str, _T]:
         "sample_stratified": q_sample_stratified,
         "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
+        "curate_corpus": q_curate_corpus,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_winnow": q_dedup_winnow,
@@ -1561,6 +1590,51 @@ def _lang_case() -> str:
         for lang, c in conds.items()
     )
     return f"CASE {whens} ELSE 'und' END"
+
+
+def _curate_corpus_sql() -> str:
+    """DuckDB twin of q_curate_corpus: the same four stages composed as
+    CTEs — quality expression identical to the ``text_stats`` twin,
+    dedup identical to the ``dedup_exact`` twin's keep rule,
+    gram pipeline identical to the ``decontaminate`` twin (in-array
+    distinct on gram STRINGS, then top-60-bit md5 longs), split identical
+    to the ``split_assign`` twin.  Composing the already-verified stage
+    twins means a mismatch here isolates to stage INTERACTION (filter
+    order, join type, column threading), not re-derivation noise."""
+    tok = _TOK.format(c="text")
+    quality = (
+        "round(least(length(text) / 500.0, 1.0) * "
+        "(length(regexp_replace(text, '[^A-Za-z]', '', 'g')) / greatest(length(text), 1)) * "
+        f"(1.0 - least(2.0 * len(list_filter({tok}, t -> t IN ({_EN}))) / "
+        f"greatest(len({tok}), 1), 1.0)), 6)"
+    )
+    grams = (
+        "list_transform(list_distinct(CASE WHEN len(toks) >= 13 "
+        "THEN list_transform(range(1, len(toks) - 11), "
+        "i -> array_to_string(toks[i:i+12], ' ')) ELSE [] END), "
+        "g -> CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT AS BIGINT))"
+    )
+    return (
+        f"WITH qual AS (SELECT doc_id, text FROM documents "
+        f"WHERE doc_id % 20 <> 7 AND {quality} >= {_CURATE_MIN_QUALITY}), "
+        "fp AS (SELECT doc_id, text, "
+        "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fpv FROM qual), "
+        "keep AS (SELECT fpv, min(doc_id) AS doc_id FROM fp GROUP BY fpv), "
+        "dd AS (SELECT f.doc_id, f.text FROM fp f "
+        "JOIN keep k ON k.fpv = f.fpv AND k.doc_id = f.doc_id), "
+        f"btok AS (SELECT {tok} AS toks FROM documents WHERE doc_id % 20 = 7), "
+        f"bgr AS (SELECT DISTINCT unnest({grams}) AS gh FROM btok), "
+        f"ctok AS (SELECT doc_id, {tok} AS toks FROM dd), "
+        f"cgr AS (SELECT doc_id, unnest({grams}) AS gh FROM ctok), "
+        "hits AS (SELECT DISTINCT c.doc_id FROM cgr c JOIN bgr b USING (gh)), "
+        "clean AS (SELECT d.doc_id FROM dd d "
+        "WHERE d.doc_id NOT IN (SELECT doc_id FROM hits)), "
+        "b AS (SELECT doc_id, "
+        "CAST(('0x' || substring(md5('kg-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+        "::UBIGINT % 1000000 AS INT) AS bucket FROM clean) "
+        "SELECT doc_id, bucket, CASE WHEN bucket < 980000 THEN 'train' "
+        "WHEN bucket < 990000 THEN 'val' ELSE 'test' END AS split FROM b"
+    )
 
 
 def oracle_sql() -> dict[str, str]:
@@ -1848,6 +1922,7 @@ def oracle_sql() -> dict[str, str]:
             f"(s + greatest(n - 1, 0)) // {_PACK_MAX_TOKENS} AS last_pack "
             "FROM o"
         ),
+        "curate_corpus": _curate_corpus_sql(),
         "ann_brute_force": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
             "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
