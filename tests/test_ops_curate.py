@@ -251,3 +251,65 @@ def test_pack_sequences_rejects_bad_max_tokens(spark):
         assert False, "expected ValueError"
     except ValueError:
         pass
+
+
+# ------------------------------------------------------- curate_corpus
+def test_curate_corpus_composes(spark):
+    """Pins the stage INTERACTIONS, not the stages themselves (each has
+    its own unit tests): quality runs before dedup (a filtered doc can't
+    be a keeper), dedup runs before decontamination (a contaminated
+    keeper's duplicates are NOT resurrected when the keeper is dropped),
+    and every survivor gets a split assignment."""
+    from kg.ops.curate import curate_corpus
+
+    filler = " ".join(f"word{chr(97 + i)}ish" for i in range(60))  # >500 alpha chars
+    bench_run = (
+        "alpha bravo charlie delta echo foxtrot golf hotel india "
+        "juliett kilo lima mike"
+    )  # 13 tokens, no stopwords
+    good = "unique opening line " + filler
+    contaminated = bench_run + " " + filler
+    docs = _df(
+        spark,
+        [
+            (1, good),
+            (2, good),                      # exact dup of 1 -> dedup drops
+            (3, contaminated),              # 13-gram hit -> decontaminate drops
+            (4, contaminated),              # dup of 3: dropped by DEDUP, must
+                                            # not resurrect when 3 is removed
+            (5, "the and of is a " * 40),   # stopword soup -> quality drops
+            (6, "another survivor text " + filler),
+        ],
+        ["doc_id", "text"],
+    )
+    bench = _df(spark, [(100, bench_run + " trailing benchmark prose")],
+                ["doc_id", "text"])
+
+    out = curate_corpus(
+        docs, benchmark=bench, min_quality=0.2, dedup="exact"
+    ).collect()
+    got = {r["doc_id"]: r["split"] for r in out}
+    assert set(got) == {1, 6}
+    assert all(s in ("train", "val", "test") for s in got.values())
+    assert all(0 <= r["bucket"] < 1_000_000 for r in out)
+
+
+def test_curate_corpus_quality_filter_precedes_dedup(spark):
+    """A low-quality doc with the LOWEST id must not become the dedup
+    keeper for a high-quality twin: the quality gate runs first, so the
+    good copy survives even though its id is larger."""
+    from kg.ops.curate import curate_corpus
+
+    filler = " ".join(f"word{chr(97 + i)}ish" for i in range(60))
+    good = "shared body " + filler
+    # doc 0 normalizes to the SAME fingerprint as doc 7 (case/whitespace
+    # only) but we make it low quality instead: impossible for identical
+    # text — so instead plant a DISTINCT low-quality doc at id 0 and the
+    # good pair at 7/8; keeper must be 7 (min id among QUALITY survivors)
+    docs = _df(
+        spark,
+        [(0, "the and of is a " * 40), (7, good), (8, "  " + good.upper() + " ")],
+        ["doc_id", "text"],
+    )
+    out = curate_corpus(docs, min_quality=0.2, dedup="exact").collect()
+    assert {r["doc_id"] for r in out} == {7}
