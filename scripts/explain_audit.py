@@ -38,6 +38,9 @@ def main() -> None:
         "ann_ivf_trained", "dedup_winnow", "dedup_paragraphs",
         "winnow_fingerprints", "decontaminate", "split_assign",
         "sample_stratified", "tfidf_topk", "pack_sequences",
+        "graph_two_hop_typed", "graph_degree_typed", "graph_ppr",
+        "graph_clustering", "graph_khop", "graph_components",
+        "dedup_cluster_keepers", "curate_corpus",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib
