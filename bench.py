@@ -30,6 +30,15 @@ band).  Two defenses, both bounded:
 
 The reported numbers stay one-JSON-line compatible; gate wait time and
 repeat counts ride along as extra keys.
+
+Both defenses are themselves bounded by a WALL BUDGET
+(``KG_BENCH_WALL_BUDGET``, default 480 s): after any completed pass
+(and before the second pipeline repeat) the harness checks elapsed
+wall time and skips the remaining repeats once over budget, so bad
+weather degrades the protocol toward best-of-1 instead of running the
+driver into a timeout that would produce NO artifact at all.  At least
+one full pass of every query and one pipeline run always execute; the
+JSON reports how many passes actually completed.
 """
 
 from __future__ import annotations
@@ -117,14 +126,20 @@ def main() -> None:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
     repeats = int(os.environ.get("KG_BENCH_REPEATS", "3"))
+    wall_budget = float(os.environ.get("KG_BENCH_WALL_BUDGET", "480"))
+    bench_t0 = time.monotonic()
     timings: dict[str, float] = {}
-    for _ in range(repeats):
+    passes_done = 0
+    for r in range(repeats):
+        if r > 0 and time.monotonic() - bench_t0 > wall_budget:
+            break  # degrade to fewer passes, never into a driver timeout
         for name in headline:
             _load_gate()
             t0 = time.monotonic()
             qs[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             dt = round(time.monotonic() - t0, 3)
             timings[name] = min(timings.get(name, dt), dt)
+        passes_done += 1
 
     # KG pipeline end-to-end (extract → link → canonicalize → materialize)
     import shutil
@@ -160,12 +175,16 @@ def main() -> None:
     src = spark.read.parquet(src_dir)
     pipeline_repeats = int(os.environ.get("KG_BENCH_PIPELINE_REPEATS", "2"))
     kg_sec, n_triples = float("inf"), 0
-    for _ in range(pipeline_repeats):
+    pipeline_passes = 0
+    for r in range(pipeline_repeats):
+        if r > 0 and time.monotonic() - bench_t0 > wall_budget:
+            break
         _load_gate()
         t0 = time.monotonic()
         out = run_pipeline(spark, src, cfg, restart=True)
         n_triples = out["triples"].count()
         kg_sec = min(kg_sec, time.monotonic() - t0)
+        pipeline_passes += 1
     timings["kg_pipeline"] = round(kg_sec, 3)
     shutil.rmtree(wh, ignore_errors=True)
     shutil.rmtree(src_dir, ignore_errors=True)
@@ -184,7 +203,9 @@ def main() -> None:
                 "kg_triples_per_sec": round(n_triples / kg_sec, 1),
                 "cpus": cpus,
                 "repeats": repeats,
+                "passes_done": passes_done,
                 "pipeline_repeats": pipeline_repeats,
+                "pipeline_passes_done": pipeline_passes,
                 "gate_waited_sec": round(_GATE["waited"], 1),
             }
         )
