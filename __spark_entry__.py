@@ -1171,6 +1171,18 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, max_tokens=_PACK_MAX_TOKENS)
 
 
+def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language corpus profile (``kg/ops/curate.py::corpus_profile``):
+    doc count, exact-dup ratio (distinct normalized md5 fingerprints),
+    token-count mean/max and exact quantiles (p25/p50/p75/p90/p99),
+    mean char length — the data-profiling pass a training run starts
+    from.  One hash aggregation, no joins; the quantile state is one
+    value→count map per group over the bounded token-count domain."""
+    from kg.ops.curate import corpus_profile
+
+    return corpus_profile(_read_spread(spark, sf, "documents"))
+
+
 _CURATE_MIN_QUALITY = 0.2
 
 
@@ -1320,6 +1332,7 @@ def queries() -> dict[str, _T]:
         "tfidf_topk": q_tfidf_topk,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
+        "corpus_profile": q_corpus_profile,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_winnow": q_dedup_winnow,
@@ -1923,6 +1936,23 @@ def oracle_sql() -> dict[str, str]:
             "FROM o"
         ),
         "curate_corpus": _curate_corpus_sql(),
+        "corpus_profile": (
+            f"WITH b AS (SELECT lang, len({tok}) AS ntok, "
+            "length(text) AS nchars, "
+            "md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp "
+            "FROM documents) "
+            "SELECT lang, count(*) AS n_docs, "
+            "count(DISTINCT fp) AS n_distinct, "
+            "round(1.0 - count(DISTINCT fp)::DOUBLE / count(*), 6) AS dup_ratio, "
+            "round(avg(ntok), 6) AS avg_tokens, max(ntok) AS max_tokens, "
+            "round(avg(nchars), 6) AS avg_chars, "
+            "round(quantile_cont(ntok, 0.25), 6) AS tokens_p25, "
+            "round(quantile_cont(ntok, 0.50), 6) AS tokens_p50, "
+            "round(quantile_cont(ntok, 0.75), 6) AS tokens_p75, "
+            "round(quantile_cont(ntok, 0.90), 6) AS tokens_p90, "
+            "round(quantile_cont(ntok, 0.99), 6) AS tokens_p99 "
+            "FROM b GROUP BY lang"
+        ),
         "ann_brute_force": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
             "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "

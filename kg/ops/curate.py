@@ -405,3 +405,64 @@ def pack_sequences(
         .cast("long")
         .alias("last_pack"),
     )
+
+
+def corpus_profile(
+    docs: DataFrame,
+    by: str = "lang",
+    text_col: str = "text",
+    quantiles: tuple[float, ...] = (0.25, 0.5, 0.75, 0.9, 0.99),
+) -> DataFrame:
+    """Per-group corpus profile — the "know your data" pass a training
+    run starts from: document count, exact-duplicate ratio (distinct
+    normalized fingerprints vs rows), token-count quantiles and
+    mean/max, mean char length.
+
+    One hash aggregation, no joins.  The token-count quantiles use
+    Spark's EXACT ``percentile`` as a single array call (ONE
+    value→count map per group, not one per requested quantile), which
+    keeps O(distinct values) state per group: token counts are a small
+    bounded integer domain (a 2M-token ceiling bounds the map at 2M
+    entries regardless of corpus size), so this holds at 100 TB.  For
+    unbounded continuous columns swap in ``percentile_approx`` — the
+    trade-off is the oracle twin (quantile_cont) stops matching
+    bit-for-bit.
+
+    Engine-portable: md5 fingerprints, 6dp rounding; DuckDB's
+    ``quantile_cont`` uses the same ``(n-1)·p`` linear interpolation as
+    Spark's exact ``percentile``, so the twin matches exactly.
+    """
+    from kg.ops.text import doc_fingerprint, token_count
+
+    if not quantiles or any(not 0 <= q <= 1 for q in quantiles):
+        raise ValueError(f"quantiles must be in [0,1]: {quantiles!r}")
+    base = docs.select(
+        F.col(by),
+        token_count(F.col(text_col)).alias("_ntok"),
+        F.length(F.col(text_col)).alias("_nchars"),
+        doc_fingerprint(F.col(text_col)).alias("_fp"),
+    )
+    agg = base.groupBy(by).agg(
+        F.count("*").alias("n_docs"),
+        F.countDistinct("_fp").alias("n_distinct"),
+        F.round(F.avg("_ntok"), 6).alias("avg_tokens"),
+        F.max("_ntok").alias("max_tokens"),
+        F.round(F.avg("_nchars"), 6).alias("avg_chars"),
+        F.percentile("_ntok", F.lit(list(quantiles))).alias("_q"),
+    )
+    qcols = [
+        F.round(F.col("_q")[i], 6).alias(f"tokens_p{round(q * 100)}")
+        for i, q in enumerate(quantiles)
+    ]
+    return agg.select(
+        by,
+        "n_docs",
+        "n_distinct",
+        F.round(
+            F.lit(1.0) - F.col("n_distinct") / F.col("n_docs"), 6
+        ).alias("dup_ratio"),
+        "avg_tokens",
+        "max_tokens",
+        "avg_chars",
+        *qcols,
+    )

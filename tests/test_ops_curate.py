@@ -313,3 +313,41 @@ def test_curate_corpus_quality_filter_precedes_dedup(spark):
     )
     out = curate_corpus(docs, min_quality=0.2, dedup="exact").collect()
     assert {r["doc_id"] for r in out} == {7}
+
+
+# ------------------------------------------------------ corpus_profile
+def test_corpus_profile_hand_check(spark):
+    from kg.ops.curate import corpus_profile
+
+    docs = _df(
+        spark,
+        [
+            (1, "one two", "a"),
+            (2, "ONE  two", "a"),   # same normalized fingerprint as 1
+            (3, "three", "a"),
+            (4, "x y z w", "b"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["lang"]: r.asDict() for r in corpus_profile(docs).collect()}
+    a = got["a"]
+    assert a["n_docs"] == 3 and a["n_distinct"] == 2
+    assert a["dup_ratio"] == round(1 - 2 / 3, 6)
+    assert a["max_tokens"] == 2 and a["avg_tokens"] == round(5 / 3, 6)
+    # sorted token counts [1,2,2]: rank (n-1)*q -> p50 at index 1 = 2.0
+    assert a["tokens_p50"] == 2.0 and a["tokens_p25"] == 1.5
+    b = got["b"]
+    assert b["n_docs"] == 1 and b["dup_ratio"] == 0.0
+    assert b["tokens_p25"] == b["tokens_p99"] == 4.0
+
+
+def test_corpus_profile_rejects_bad_quantiles(spark):
+    import pytest
+
+    from kg.ops.curate import corpus_profile
+
+    docs = _df(spark, [(1, "t", "a")], ["doc_id", "text", "lang"])
+    with pytest.raises(ValueError):
+        corpus_profile(docs, quantiles=(1.5,))
+    with pytest.raises(ValueError):
+        corpus_profile(docs, quantiles=())
