@@ -1183,6 +1183,21 @@ def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     return corpus_profile(_read_spread(spark, sf, "documents"))
 
 
+_MIX_RATES = {"en": 1.0, "de": 0.5, "fr": 0.25}
+
+
+def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic per-group Bernoulli domain mixing
+    (``kg/ops/curate.py::weighted_sample``): keep 100% of English, 50%
+    of German, 25% of French, drop the rest — the up/down-sampling step
+    of a pretraining data recipe.  Pure map-side md5-bucket threshold:
+    zero shuffle, no RNG state, decisions stable under corpus growth."""
+    from kg.ops.curate import weighted_sample
+
+    d = _read_spread(spark, sf, "documents")
+    return weighted_sample(d, _MIX_RATES).select("doc_id", "lang")
+
+
 _CURATE_MIN_QUALITY = 0.2
 
 
@@ -1333,6 +1348,7 @@ def queries() -> dict[str, _T]:
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
+        "sample_weighted": q_sample_weighted,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_winnow": q_dedup_winnow,
@@ -1952,6 +1968,12 @@ def oracle_sql() -> dict[str, str]:
             "round(quantile_cont(ntok, 0.90), 6) AS tokens_p90, "
             "round(quantile_cont(ntok, 0.99), 6) AS tokens_p99 "
             "FROM b GROUP BY lang"
+        ),
+        "sample_weighted": (
+            "SELECT doc_id, lang FROM documents WHERE "
+            "('0x' || substring(md5('kg-mix-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT % 1000000 < CASE lang WHEN 'en' THEN 1000000 "
+            "WHEN 'de' THEN 500000 WHEN 'fr' THEN 250000 ELSE 0 END"
         ),
         "ann_brute_force": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "

@@ -466,3 +466,41 @@ def corpus_profile(
         "avg_chars",
         *qcols,
     )
+
+
+def weighted_sample(
+    docs: DataFrame,
+    rates: dict[str, float],
+    by: str = "lang",
+    id_col: str = "doc_id",
+    seed: str = "kg-mix-v1",
+    default_rate: float = 0.0,
+) -> DataFrame:
+    """Deterministic per-group Bernoulli sampling — the domain up/down
+    mixing step of a pretraining data recipe ("keep 100% of group X,
+    30% of group Y"): a doc survives iff its md5 bucket falls under its
+    group's rate threshold.
+
+    Pure map-side (zero shuffle, no RNG state): the same doc makes the
+    same keep/drop decision on every run, every engine, and any corpus
+    partitioning, and assignments are stable under corpus growth — the
+    properties :func:`split_assign` guarantees, extended to per-group
+    rates.  Rates are exact in expectation (binomial around ``rate``),
+    which is what mixing recipes specify; for exact per-group QUOTAS use
+    :func:`stratified_sample` (costs a per-stratum sort).
+
+    Groups absent from ``rates`` get ``default_rate`` (default: dropped
+    — a recipe enumerates what it wants).
+    """
+    for g, r in rates.items():
+        if not 0.0 <= r <= 1.0:
+            raise ValueError(f"rate for {g!r} must be in [0,1]: {r}")
+    if not 0.0 <= default_rate <= 1.0:
+        raise ValueError(f"default_rate must be in [0,1]: {default_rate}")
+    bucket = split_bucket(F.col(id_col), seed)
+    thresh: Column = F.lit(int(round(default_rate * 1_000_000)))
+    for g, r in rates.items():
+        thresh = F.when(
+            F.col(by) == F.lit(g), F.lit(int(round(r * 1_000_000)))
+        ).otherwise(thresh)
+    return docs.where(bucket < thresh)

@@ -351,3 +351,46 @@ def test_corpus_profile_rejects_bad_quantiles(spark):
         corpus_profile(docs, quantiles=(1.5,))
     with pytest.raises(ValueError):
         corpus_profile(docs, quantiles=())
+
+
+# ------------------------------------------------------ weighted_sample
+def test_weighted_sample_rate_extremes_and_default(spark):
+    from kg.ops.curate import weighted_sample
+
+    docs = _df(
+        spark,
+        [(i, "t", ["a", "b", "c"][i % 3]) for i in range(300)],
+        ["doc_id", "text", "lang"],
+    )
+    kept = weighted_sample(docs, {"a": 1.0, "b": 0.0}).collect()
+    langs = {r["lang"] for r in kept}
+    assert langs == {"a"}                      # b rate-0, c absent -> default 0
+    assert len(kept) == 100                    # rate 1.0 keeps every 'a'
+
+
+def test_weighted_sample_binomial_and_growth_stable(spark):
+    from kg.ops.curate import weighted_sample
+
+    small = _df(spark, [(i, "t", "a") for i in range(500)],
+                ["doc_id", "text", "lang"])
+    big = _df(spark, [(i, "t", "a") for i in range(2000)],
+              ["doc_id", "text", "lang"])
+    rates = {"a": 0.5}
+    s = {r["doc_id"] for r in weighted_sample(small, rates).collect()}
+    g = {r["doc_id"] for r in weighted_sample(big, rates).collect()}
+    # growth-stable: the small corpus's decisions are a restriction
+    assert s == {i for i in g if i < 500}
+    # binomial sanity: 2000 draws at p=.5
+    assert 900 < len(g) < 1100
+
+
+def test_weighted_sample_rejects_bad_rates(spark):
+    import pytest
+
+    from kg.ops.curate import weighted_sample
+
+    docs = _df(spark, [(1, "t", "a")], ["doc_id", "text", "lang"])
+    with pytest.raises(ValueError):
+        weighted_sample(docs, {"a": 1.5})
+    with pytest.raises(ValueError):
+        weighted_sample(docs, {"a": 0.5}, default_rate=-0.1)
