@@ -5,7 +5,7 @@
         [--benchmark /path/to/eval_docs] [--min-quality 0.1] \
         [--dedup exact|paragraph] [--ngram 13] \
         [--split train=0.98,val=0.01,test=0.01] [--seed kg-split-v1] \
-        [--pack 2048]
+        [--mix en=1.0,de=0.5 --mix-by lang] [--profile] [--pack 2048]
 
 Runs quality filter → corpus dedup → benchmark decontamination →
 deterministic split over a documents table and writes the curated
@@ -30,12 +30,12 @@ import time
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def _parse_split(spec: str) -> dict[str, float]:
+def _parse_weights(spec: str, flag: str = "--split") -> dict[str, float]:
     out: dict[str, float] = {}
     for part in spec.split(","):
         name, _, w = part.partition("=")
         if not _:
-            raise SystemExit(f"bad --split component {part!r} (want name=weight)")
+            raise SystemExit(f"bad {flag} component {part!r} (want name=weight)")
         out[name.strip()] = float(w)
     return out
 
@@ -60,6 +60,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--seed", default="kg-split-v1")
     ap.add_argument("--id-col", default="doc_id")
     ap.add_argument("--text-col", default="text")
+    ap.add_argument("--mix", default=None, metavar="GROUP=RATE,...",
+                    help="per-group Bernoulli keep rates applied after "
+                         "curation (domain up/down mixing, deterministic "
+                         "md5 thresholds); groups not listed are DROPPED")
+    ap.add_argument("--mix-by", default="lang",
+                    help="group column for --mix and --profile")
+    ap.add_argument("--profile", action="store_true",
+                    help="append a per-group corpus profile of the curated "
+                         "output to the report (one aggregation pass)")
     ap.add_argument("--pack", type=int, default=None, metavar="MAX_TOKENS",
                     help="annotate each doc with its context-window span "
                          "(concatenation-model packing, PER SPLIT: a "
@@ -80,7 +89,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
-    weights = _parse_split(args.split)
+    weights = _parse_weights(args.split)
 
     t0 = time.monotonic()
     curated = curate_corpus(
@@ -94,6 +103,20 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         id_col=args.id_col,
         text_col=args.text_col,
     )
+    if (args.mix or args.profile) and args.mix_by not in docs.columns:
+        raise SystemExit(
+            f"--mix/--profile group column {args.mix_by!r} not in input "
+            f"columns {docs.columns}"
+        )
+    if args.mix:
+        from kg.ops.curate import weighted_sample
+
+        curated = weighted_sample(
+            curated,
+            _parse_weights(args.mix, "--mix"),
+            by=args.mix_by,
+            id_col=args.id_col,
+        )
     if args.pack is not None:
         from pyspark.sql import functions as F
 
@@ -158,6 +181,17 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             ).drop("bucket", "split")
             stages["decontaminate_dropped"] = cur.count() - nxt.count()
         report["stages"] = stages
+    if args.profile:
+        from kg.ops.curate import corpus_profile
+
+        prof = corpus_profile(
+            spark.read.parquet(args.output),
+            by=args.mix_by,
+            text_col=args.text_col,
+        )
+        # one row per group (groups are bounded by nature — langs,
+        # sources); collect is O(groups)
+        report["profile"] = [r.asDict() for r in prof.collect()]
     splits = {
         r["split"]: r["n"]
         for r in spark.read.parquet(args.output)

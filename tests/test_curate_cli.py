@@ -134,3 +134,39 @@ def test_cli_pack_annotates_per_split(spark, corpus, tmp_path, capsys):
             assert r["start_offset"] == acc
             assert r["first_pack"] == acc // 16
             acc += r["n_tokens"]
+
+
+def test_cli_mix_and_profile(spark, tmp_path, capsys):
+    """--mix keeps/drops whole groups deterministically; --profile
+    appends per-group stats of the written output to the report."""
+    docs = str(tmp_path / "docs_lang")
+    rows = [(i, f"text body number {i} alpha bravo", "keepme" if i % 2 else "dropme")
+            for i in range(40)]
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.mode(
+        "overwrite"
+    ).parquet(docs)
+    out = str(tmp_path / "curated_mix")
+    cli.main(
+        ["--input", docs, "--output", out,
+         "--mix", "keepme=1.0", "--profile"],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    langs = {r["lang"] for r in got.select("lang").distinct().collect()}
+    assert langs == {"keepme"}               # dropme absent from --mix -> dropped
+    assert report["rows_out"] == 20          # rate 1.0 keeps every keepme doc
+    prof = {p["lang"]: p for p in report["profile"]}
+    assert set(prof) == {"keepme"}
+    assert prof["keepme"]["n_docs"] == 20 and prof["keepme"]["dup_ratio"] == 0.0
+
+
+def test_cli_mix_rejects_missing_group_column(spark, tmp_path):
+    docs = str(tmp_path / "docs_nolang")
+    _write_docs(spark, docs, [(1, GOOD)])
+    out = str(tmp_path / "curated_nolang")
+    with pytest.raises(SystemExit, match="lang"):
+        cli.main(
+            ["--input", docs, "--output", out, "--mix", "en=1.0"],
+            spark=spark,
+        )
