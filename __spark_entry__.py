@@ -1156,6 +1156,17 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_topk(d, k=3)
 
 
+def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Unigram-LM bits-per-token per document (the CCNet-style
+    perplexity-filter stage, ``kg/ops/curate.py::lm_score``): corpus
+    vocabulary counts in one hash agg, total-token scalar as a lazy
+    1-row broadcast, one broadcast-gated dim join, one per-doc agg."""
+    from kg.ops.curate import lm_score
+
+    d = _read_spread(spark, sf, "documents")
+    return lm_score(d)
+
+
 _PACK_MAX_TOKENS = 512
 
 
@@ -1345,6 +1356,7 @@ def queries() -> dict[str, _T]:
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
         "tfidf_topk": q_tfidf_topk,
+        "lm_score": q_lm_score,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
@@ -1940,6 +1952,18 @@ def oracle_sql() -> dict[str, str]:
             "(PARTITION BY doc_id ORDER BY score DESC, token ASC) AS rnk FROM s) "
             'SELECT doc_id, token, tf, score, CAST(rnk AS INT) AS "rank" '
             "FROM r WHERE rnk <= 3"
+        ),
+        "lm_score": (
+            "WITH t AS (SELECT doc_id, unnest(" + tok + ") AS token "
+            "FROM documents), "
+            "v AS (SELECT token, count(*) AS c FROM t GROUP BY token), "
+            "n AS (SELECT sum(c) AS n_total FROM v), "
+            "s AS (SELECT doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "round(avg(-log2(c / n_total)), 6) AS bits_per_token "
+            "FROM t JOIN v USING (token) CROSS JOIN n GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, coalesce(s.bits_per_token, 0.0) AS bits_per_token "
+            "FROM documents d LEFT JOIN s USING (doc_id)"
         ),
         "pack_sequences": (
             f"WITH t AS (SELECT doc_id, len({tok}) AS n FROM documents), "

@@ -254,6 +254,61 @@ def tfidf_topk(
     )
 
 
+def lm_score(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Unigram language-model quality score: bits-per-token of each
+    document under the corpus's own unigram distribution — the
+    perplexity-filter stage of a pretraining data recipe (CCNet, Wenzek
+    et al. 2020, uses a KenLM 5-gram; the unigram variant keeps the
+    distributed shape identical while staying exactly SQL-twinnable).
+    Low bits-per-token = repetitive/common-token text (boilerplate,
+    navigation spam), high = rare-token soup (code dumps, lists,
+    non-language bytes); a training recipe keeps the middle band.
+
+    Output: ``(id_col, n_tokens, bits_per_token)`` for every input doc;
+    zero-token docs get 0.0.  ``bits_per_token =
+    avg(-log2(count(token)/N))`` over the doc's token occurrences,
+    rounded to 6dp (the repo-wide float-portability contract; the mean
+    of ~10-bit values carries ~1e-13 cross-engine association error,
+    far inside the round).
+
+    Plan shape (100 TB): one explode → token-level hash agg for the
+    vocabulary counts (map-side combine; |vocab| ≪ corpus tokens), the
+    corpus total as a lazy 1-row broadcast scalar (no driver action,
+    same trick as ``tfidf_topk``), one broadcast-gated join of the
+    vocabulary dim onto the token stream, one per-doc hash agg.  No
+    self-join, no Python, no window.
+    """
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count("*").alias("c"))
+    n_total = vocab.select(F.sum("c").alias("n_total"))
+    dim = vocab.crossJoin(F.broadcast(n_total))
+    scored = (
+        toks.join(maybe_broadcast(dim), "token")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(
+                F.avg(-F.log2(F.col("c") / F.col("n_total"))), 6
+            ).alias("bits_per_token"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("bits_per_token", F.lit(0.0)).alias("bits_per_token"),
+        )
+    )
+
+
 def curate_corpus(
     docs: DataFrame,
     benchmark: DataFrame | None = None,

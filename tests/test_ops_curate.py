@@ -394,3 +394,28 @@ def test_weighted_sample_rejects_bad_rates(spark):
         weighted_sample(docs, {"a": 1.5})
     with pytest.raises(ValueError):
         weighted_sample(docs, {"a": 0.5}, default_rate=-0.1)
+
+
+# ---------------------------------------------------------------- lm score
+def test_lm_score_hand_check(spark):
+    from kg.ops.curate import lm_score
+
+    # corpus unigram counts: a=3, b=2, c=1, N=6
+    docs = _df(
+        spark,
+        [(1, "a a a b"), (2, "b c"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = {r["doc_id"]: r for r in lm_score(docs).collect()}
+    assert rows[1]["n_tokens"] == 4
+    assert rows[2]["n_tokens"] == 2
+    # zero-token doc survives with 0.0 (left join + coalesce)
+    assert rows[3]["n_tokens"] == 0
+    assert rows[3]["bits_per_token"] == 0.0
+    bits_b = math.log2(3)  # -log2(2/6)
+    bits_c = math.log2(6)  # -log2(1/6)
+    assert abs(rows[1]["bits_per_token"] - (3 * 1.0 + bits_b) / 4) < 1e-6
+    assert abs(rows[2]["bits_per_token"] - (bits_b + bits_c) / 2) < 1e-6
+    # the filter's point: common-token boilerplate scores LOWER than
+    # rare-token soup
+    assert rows[1]["bits_per_token"] < rows[2]["bits_per_token"]
