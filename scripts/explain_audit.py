@@ -41,7 +41,7 @@ def main() -> None:
         "graph_two_hop_typed", "graph_degree_typed", "graph_ppr",
         "graph_clustering", "graph_khop", "graph_components",
         "dedup_cluster_keepers", "curate_corpus",
-        "corpus_profile", "sample_weighted",
+        "corpus_profile", "sample_weighted", "lm_score",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib
