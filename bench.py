@@ -125,7 +125,11 @@ def main() -> None:
         for name in headline:
             qs[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
 
-    repeats = int(os.environ.get("KG_BENCH_REPEATS", "3"))
+    # clamped to ≥ 1: the docstring's invariant is that one full pass of
+    # every query and one pipeline run ALWAYS execute — repeats=0 would
+    # otherwise emit an empty timings map / a literal Infinity, which is
+    # not JSON and breaks every consumer of the one-line contract
+    repeats = max(1, int(os.environ.get("KG_BENCH_REPEATS", "3")))
     wall_budget = float(os.environ.get("KG_BENCH_WALL_BUDGET", "480"))
     bench_t0 = time.monotonic()
     timings: dict[str, float] = {}
@@ -173,7 +177,9 @@ def main() -> None:
         warehouse=wh, shuffle_partitions=cpus, extract_engine=engine
     )
     src = spark.read.parquet(src_dir)
-    pipeline_repeats = int(os.environ.get("KG_BENCH_PIPELINE_REPEATS", "2"))
+    pipeline_repeats = max(
+        1, int(os.environ.get("KG_BENCH_PIPELINE_REPEATS", "2"))
+    )
     kg_sec, n_triples = float("inf"), 0
     pipeline_passes = 0
     for r in range(pipeline_repeats):

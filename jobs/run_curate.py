@@ -137,6 +137,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         # input columns at the join below (ambiguous-column write error)
         pack_cols = ("n_tokens", "start_offset", "first_pack", "last_pack")
         clash = [c for c in pack_cols if c in curated.columns]
+        if clash:
+            # replaced, not merged: say so (split_assign RAISES on the
+            # same class because its collision corrupts a foreign
+            # column; here the pack outputs own these names by contract)
+            print(
+                f"run_curate: --pack replaces input column(s) {clash} "
+                "with pack_sequences outputs",
+                file=sys.stderr,
+            )
         parts = []
         for name in weights:
             sub = curated.where(F.col("split") == name)

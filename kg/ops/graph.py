@@ -39,9 +39,7 @@ connected-components fixpoint, ``kg/canonicalize/cc.py``).
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, functions as F
-from pyspark.sql.types import ByteType, IntegerType, LongType, ShortType
-
-_INTEGRAL_IDS = (ByteType, ShortType, IntegerType, LongType)
+from pyspark.sql.types import StringType
 
 
 def _encode_vertex_ids(
@@ -66,12 +64,23 @@ def _encode_vertex_ids(
     op silently runs on the original strings (correct, just slower).
     At 4B+ vertices the birthday bound makes collisions likely, which is
     exactly when the check fires and degrades the plan instead of
-    corrupting results.  Ids already integral → no-op (nothing to win).
+    corrupting results.
+
+    Only applied when BOTH id columns are strings: integral ids have
+    nothing to win, and a mixed-type schema (string out_id, long in_id)
+    must not encode — the vocab union would coerce the integral side to
+    its string form while the edge encoding hashed the raw value, so
+    the decode join would silently drop every row on that side.  Any
+    non-all-string schema takes the raw-column path, which compares the
+    caller's values consistently.
 
     Extra columns (edge labels etc.) pass through untouched so callers
     can still filter on them after encoding.
     """
-    if isinstance(edges.schema[out_col].dataType, _INTEGRAL_IDS):
+    if not (
+        isinstance(edges.schema[out_col].dataType, StringType)
+        and isinstance(edges.schema[in_col].dataType, StringType)
+    ):
         return None
     vocab = (
         edges.select(F.col(out_col).alias("id"))
@@ -127,8 +136,15 @@ def degrees(
     aggregation — a plain filter Catalyst pushes into the edge scan
     (typed degree, Gremlin ``g.V().map(bothE('label').count())``); the
     reference's sink schema puts ``label`` on every edge
-    (``Migrator.cs:147``)."""
-    if label_col is not None and label is not None:
+    (``Migrator.cs:147``).  A half-specified filter (one of the two
+    given) raises: silently returning the UNTYPED degrees is the wrong
+    answer the caller can't see."""
+    if (label_col is None) != (label is None):
+        raise ValueError(
+            "degrees: label_col and label must be given together "
+            f"(got label_col={label_col!r}, label={label!r})"
+        )
+    if label_col is not None:
         edges = edges.filter(F.col(label_col) == label)
     ends = edges.select(
         F.col(out_col).alias("id"), F.lit(1).alias("o"), F.lit(0).alias("i")
@@ -180,7 +196,18 @@ def two_hop(
     fanout stats so the cap measures the typed graph.  Internal shuffles
     run on xxhash64-encoded long ids when the encoding is provably
     injective (see ``_encode_vertex_ids``); outputs always carry the
-    caller's original ids."""
+    caller's original ids.  Leg labels without ``label_col`` (or a
+    ``label_col`` with neither leg label) raise — a half-specified
+    typed traversal silently answering the untyped question is the
+    failure mode, not a convenience."""
+    if label_col is None and (first_label is not None or second_label is not None):
+        raise ValueError(
+            "two_hop: first_label/second_label require label_col"
+        )
+    if label_col is not None and first_label is None and second_label is None:
+        raise ValueError(
+            "two_hop: label_col given but no leg label to filter on"
+        )
     enc = _encode_vertex_ids(edges, out_col, in_col)
     if enc is not None:
         encoded, vocab = enc
@@ -496,8 +523,6 @@ def _triangles_impl(
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
         F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
     ).localCheckpoint()
-    from kg.hints import maybe_broadcast
-
     w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"),
                          F.col("ddst").alias("db"))
     w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"),

@@ -220,9 +220,10 @@ def _run_clean(
 ) -> DataFrame:
     """Optional ``clean`` stage between source and extract: drop exact
     duplicates (crawler re-fetches, vendored copies) and, in ``minhash``
-    mode, near-duplicates (MinHash-LSH pairs with Jaccard ≥ threshold;
-    each pair's min (repo, path) survives — greedy, so a chain keeps only
-    its minimal member).
+    mode, near-duplicates (MinHash-LSH pairs with Jaccard ≥ threshold,
+    hulled into duplicate CLUSTERS via connected components — one keeper,
+    the min (repo, path), survives per cluster, so a dup chain a–b–c
+    keeps exactly {a}; see ``_near_dup_drop_ids``).
 
     Resume granularity mirrors each operation's dependency structure:
 

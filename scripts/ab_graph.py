@@ -2,8 +2,11 @@
 
 Usage: python scripts/ab_graph.py [query ...] — defaults to the two
 iterative/wedge ops.  Gates each timed run on 1-min load < 4.0 (bounded
-wait) and reports the per-query minimum of 3 runs, the same protocol as
-bench.py; single numbers on this box are weather, not signal.
+wait) and reports the per-query minimum of 3 runs — the same load-gate +
+best-of-R DISCIPLINE as bench.py, with this tool's own (tighter)
+threshold/budget constants; single numbers on this box are weather, not
+signal.  A/B numbers from this script are comparable to each other, not
+interchangeable with bench.py's.
 """
 
 from __future__ import annotations

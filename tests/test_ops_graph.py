@@ -374,3 +374,39 @@ def test_components_direction_invariant(spark):
     assert sorted(map(tuple, components(fwd).collect())) == sorted(
         map(tuple, components(rev).collect())
     )
+
+
+def test_mixed_type_ids_take_raw_path_not_silent_loss(spark):
+    """string out_id + long in_id must NOT dictionary-encode: the vocab
+    union coerces the long side to its string form while the edge
+    encoding would hash the raw long, so the decode join would silently
+    drop rows.  The guard falls back to the raw columns and the result
+    matches the all-string equivalent."""
+    from kg.ops.graph import _encode_vertex_ids
+
+    mixed = spark.createDataFrame(
+        [("1", 2), ("2", 3), ("1", 3)], "out_id string, in_id long"
+    )
+    assert _encode_vertex_ids(mixed, "out_id", "in_id") is None
+    got = {
+        (r.src, r.dst): r.n_paths
+        for r in two_hop(mixed).collect()
+    }
+    # 1 → 2 → 3 is the single 2-path (spark coerces the mid comparison;
+    # dst keeps the caller's long type)
+    assert got == {("1", 3): 1}
+
+
+def test_half_specified_label_filter_raises(edges):
+    labeled = edges.withColumn("label", F.lit("t"))
+    with pytest.raises(ValueError):
+        degrees(labeled, label_col="label")  # label forgotten
+    with pytest.raises(ValueError):
+        degrees(labeled, label="t")  # label_col forgotten
+    degrees(edges)  # both omitted: untyped is fine
+    with pytest.raises(ValueError):
+        two_hop(labeled, label_col="label")  # no leg label at all
+    with pytest.raises(ValueError):
+        two_hop(labeled, first_label="t")  # label_col forgotten
+    # fully-specified still works
+    assert two_hop(labeled, label_col="label", first_label="t").count() >= 0
