@@ -1,0 +1,148 @@
+"""spark-submit graph-query entry point over the materialized sink.
+
+    spark-submit --py-files dist/kg.zip jobs/run_graph.py \
+        --warehouse /path/to/warehouse --query pagerank \
+        [--output /path/to/result] [--show 20]
+
+The reference's sink is a Gremlin graph container whose consumers
+immediately TRAVERSE it ("data will be available in a graph database",
+reference README.md:11) — Gremlin IS their query CLI.  This job is the
+Spark-side equivalent over the pipeline's materialized ``edges`` table:
+each ``--query`` dispatches to the corresponding ``kg.ops.graph``
+operator and either writes the result as parquet (``--output``) or
+prints the first ``--show`` rows in a deterministic order.  Label
+typing (``--label`` / ``--first-label``/``--second-label``) maps to the
+Gremlin ``out('label')`` form; the sink schema carries ``label`` on
+every edge (Migrator.cs:147).
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+import time
+
+# direct `python jobs/run_graph.py` puts jobs/ on sys.path, not the repo
+# root; on a cluster the package ships via --py-files instead.
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+QUERIES = (
+    "degrees",
+    "degree-distribution",
+    "two-hop",
+    "pagerank",
+    "ppr",
+    "triangles",
+    "clustering",
+    "jaccard",
+    "khop",
+    "components",
+)
+
+
+def _sources_df(spark, spec: str):
+    ids = [s.strip() for s in spec.split(",") if s.strip()]
+    if not ids:
+        raise SystemExit("--sources must name at least one vertex id")
+    return spark.createDataFrame([(i,) for i in ids], "id string")
+
+
+def main(argv: list[str] | None = None, spark=None) -> None:
+    """``spark=None`` builds and owns a session (spark-submit path);
+    a caller-supplied session (tests) is reused and NOT stopped."""
+    ap = argparse.ArgumentParser(description="kg graph queries")
+    ap.add_argument("--warehouse", required=True,
+                    help="pipeline warehouse root (reads <warehouse>/edges)")
+    ap.add_argument("--query", required=True, choices=QUERIES)
+    ap.add_argument("--label", default=None,
+                    help="restrict to one edge label (degrees; Gremlin "
+                         "bothE('label'))")
+    ap.add_argument("--first-label", default=None,
+                    help="type the first hop (two-hop)")
+    ap.add_argument("--second-label", default=None,
+                    help="type the second hop (two-hop)")
+    ap.add_argument("--iters", type=int, default=3,
+                    help="rank rounds (pagerank/ppr)")
+    ap.add_argument("--sources", default=None,
+                    help="comma-separated vertex ids (ppr/khop)")
+    ap.add_argument("--k", type=int, default=2, help="BFS depth (khop)")
+    ap.add_argument("--max-fanout", type=int, default=None,
+                    help="drop mid/shared vertices above this degree "
+                         "(two-hop/jaccard super-node cap)")
+    ap.add_argument("--min-common", type=int, default=1,
+                    help="minimum shared neighbors (jaccard)")
+    ap.add_argument("--output", default=None,
+                    help="write result parquet here instead of printing")
+    ap.add_argument("--show", type=int, default=20,
+                    help="rows to print when --output is not given")
+    ap.add_argument("--shuffle-partitions", type=int, default=None)
+    args = ap.parse_args(argv)
+
+    owns = spark is None
+    if owns:
+        from kg.session import get_spark
+
+        spark = get_spark(
+            "kg-graph", shuffle_partitions=args.shuffle_partitions
+        )
+    try:
+        from kg.ops import graph as g
+
+        edges = spark.read.parquet(os.path.join(args.warehouse, "edges"))
+        t0 = time.monotonic()
+        if args.query == "degrees":
+            out = (
+                g.degrees(edges, label_col="label", label=args.label)
+                if args.label is not None
+                else g.degrees(edges)
+            )
+        elif args.query == "degree-distribution":
+            out = g.degree_distribution(edges)
+        elif args.query == "two-hop":
+            typed = args.first_label is not None or args.second_label is not None
+            out = g.two_hop(
+                edges,
+                max_fanout=args.max_fanout,
+                label_col="label" if typed else None,
+                first_label=args.first_label,
+                second_label=args.second_label,
+            )
+        elif args.query == "pagerank":
+            out = g.pagerank(edges, iters=args.iters)
+        elif args.query == "ppr":
+            if not args.sources:
+                raise SystemExit("--query ppr requires --sources")
+            out = g.personalized_pagerank(
+                edges, _sources_df(spark, args.sources), iters=args.iters
+            )
+        elif args.query == "triangles":
+            out = g.triangles(edges)
+        elif args.query == "clustering":
+            out = g.clustering_coefficient(edges)
+        elif args.query == "jaccard":
+            out = g.neighbor_jaccard(
+                edges, min_common=args.min_common, max_fanout=args.max_fanout
+            )
+        elif args.query == "khop":
+            if not args.sources:
+                raise SystemExit("--query khop requires --sources")
+            out = g.k_hop(edges, _sources_df(spark, args.sources), k=args.k)
+        else:  # components
+            out = g.components(edges)
+        if args.output:
+            out.write.mode("overwrite").parquet(args.output)
+            print(
+                f"{args.query}: wrote {args.output} "
+                f"in {time.monotonic() - t0:.1f}s"
+            )
+        else:
+            # deterministic print order: sort on every column
+            out.orderBy(*out.columns).show(args.show, truncate=False)
+    finally:
+        if owns:
+            spark.stop()
+
+
+if __name__ == "__main__":
+    main()

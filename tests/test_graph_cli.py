@@ -1,0 +1,93 @@
+"""End-to-end test of the graph-query CLI (jobs/run_graph.py) over a
+materialized-warehouse edge table."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+
+import jobs.run_graph as cli
+
+# a→b→c chain typed 't', plus a d→c edge typed 'u'
+_EDGES = [
+    ("edge_1", "t", "a", "b"),
+    ("edge_2", "t", "b", "c"),
+    ("edge_3", "u", "d", "c"),
+]
+
+
+@pytest.fixture()
+def warehouse(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    spark.createDataFrame(
+        _EDGES, "id string, label string, out_id string, in_id string"
+    ).write.mode("overwrite").parquet(os.path.join(wh, "edges"))
+    return wh
+
+
+def _run(spark, warehouse, tmp_path, *argv):
+    out = str(tmp_path / "result")
+    cli.main(
+        ["--warehouse", warehouse, "--output", out, *argv], spark=spark
+    )
+    return spark.read.parquet(out)
+
+
+def test_cli_degrees_typed(spark, warehouse, tmp_path):
+    got = {
+        r["id"]: r["degree"]
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "degrees", "--label", "t"
+        ).collect()
+    }
+    # only the 't' edges count: d is absent, c has in-degree 1
+    assert got == {"a": 1, "b": 2, "c": 1}
+
+
+def test_cli_two_hop_typed(spark, warehouse, tmp_path):
+    rows = _run(
+        spark, warehouse, tmp_path,
+        "--query", "two-hop", "--first-label", "t", "--second-label", "t",
+    ).collect()
+    assert {(r["src"], r["dst"]) for r in rows} == {("a", "c")}
+
+
+def test_cli_pagerank_and_components(spark, warehouse, tmp_path):
+    pr = _run(
+        spark, warehouse, tmp_path, "--query", "pagerank", "--iters", "2"
+    ).collect()
+    assert {r["id"] for r in pr} == {"a", "b", "c", "d"}
+    # sink c accumulates the most rank mass
+    best = max(pr, key=lambda r: r["rank_fp"])
+    assert best["id"] == "c"
+    comp = _run(
+        spark, warehouse, tmp_path, "--query", "components"
+    ).collect()
+    # one weak component containing everything, labeled by min id
+    assert {r["component"] for r in comp} == {"a"}
+
+
+def test_cli_khop_requires_sources_and_runs(spark, warehouse, tmp_path):
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--warehouse", warehouse, "--query", "khop"], spark=spark
+        )
+    got = {
+        r["id"]: r["hops"]
+        for r in _run(
+            spark, warehouse, tmp_path,
+            "--query", "khop", "--sources", "a", "--k", "2",
+        ).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2}
+
+
+def test_cli_show_path_prints(spark, warehouse, tmp_path, capsys):
+    cli.main(
+        ["--warehouse", warehouse, "--query", "degree-distribution",
+         "--show", "5"],
+        spark=spark,
+    )
+    printed = capsys.readouterr().out
+    assert "degree" in printed and "n_nodes" in printed
