@@ -1447,7 +1447,8 @@ def _minhash_portable_sql(
     return (
         "WITH toks AS (SELECT doc_id, " + tok + " AS t FROM documents), "
         "shs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
-        "        CASE WHEN len(t) <= 3 THEN [array_to_string(t, ' ')] "
+        "        CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) "
+        "        WHEN len(t) <= 3 THEN [array_to_string(t, ' ')] "
         "        ELSE list_distinct(list_transform(generate_series(1, len(t)-2), "
         "             i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) END AS shset "
         "        FROM toks), "
@@ -1815,8 +1816,9 @@ def oracle_sql() -> dict[str, str]:
             "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM fp2 x "
             "         JOIN fp2 y ON x.fingerprint = y.fingerprint "
             "         AND x.doc_id < y.doc_id), "
-            "shs AS (SELECT doc_id, CASE WHEN len(toks) <= 3 THEN "
-            "        [array_to_string(toks, ' ')] "
+            "shs AS (SELECT doc_id, CASE WHEN len(toks) = 0 THEN "
+            "        CAST([] AS VARCHAR[]) "
+            "        WHEN len(toks) <= 3 THEN [array_to_string(toks, ' ')] "
             "        ELSE list_distinct(list_transform(generate_series(1, len(toks)-2), "
             "             i -> toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2])) END AS shset "
             "        FROM t), "

@@ -79,6 +79,22 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     args = ap.parse_args(argv)
 
+    # reject filter flags the chosen query would silently ignore — the
+    # same fail-loudly contract kg.ops.graph.degrees applies to
+    # half-specified label filters: an untyped answer the caller
+    # believes is typed is the worst outcome
+    if args.label is not None and args.query != "degrees":
+        raise SystemExit(
+            f"--label applies to --query degrees only (got {args.query}); "
+            "use --first-label/--second-label for two-hop"
+        )
+    if (
+        args.first_label is not None or args.second_label is not None
+    ) and args.query != "two-hop":
+        raise SystemExit(
+            "--first-label/--second-label apply to --query two-hop only"
+        )
+
     owns = spark is None
     if owns:
         from kg.session import get_spark

@@ -233,7 +233,12 @@ class LineageStore:
         )
 
     def record_stage(
-        self, stage: str, rows_in: int, rows_out: int, duration_ms: int
+        self,
+        stage: str,
+        rows_in: int,
+        rows_out: int,
+        duration_ms: int,
+        input_fp: str | None = None,
     ) -> None:
         self.record_buckets(
             stage,
@@ -243,14 +248,33 @@ class LineageStore:
                     "rows_in": rows_in,
                     "rows_out": rows_out,
                     "content_sha_xor": None,
+                    "input_fp": input_fp,
                 }
             ],
             duration_ms,
         )
 
+    def stage_input_fp(self, stage: str) -> str | None:
+        """Recorded input fingerprint of a stage-level (single-bucket)
+        record, or None when absent — None reads as "cannot prove
+        unchanged" (same conservative contract as changed_buckets)."""
+        for r in self._rows(stage, done_only=True):
+            if r["bucket"] == 0:
+                return r["input_fp"]
+        return None
+
     def reset(self) -> None:
-        """O17: truncate all checkpoints on --restart (Cache.cs:24-34)."""
+        """O17: truncate all checkpoints on --restart (Cache.cs:24-34).
+
+        Also removes the ``_rewrite_keeping`` scratch dirs: a crash after
+        the ``.tmp/_SUCCESS`` durability point leaves a complete
+        pre-restart table in ``.tmp``, and the next ``_recover()`` would
+        roll it FORWARD over the reset — resurrecting "done" lineage for
+        outputs --restart just truncated (every stage would then skip
+        over missing tables)."""
         shutil.rmtree(self.path, ignore_errors=True)
+        shutil.rmtree(self.path + ".tmp", ignore_errors=True)
+        shutil.rmtree(self.path + ".old", ignore_errors=True)
 
 
 class StageTimer:

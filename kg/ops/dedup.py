@@ -102,11 +102,20 @@ def paragraph_dedup(
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
 def token_ngrams(text: F.Column, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a document (JVM-side)."""
+    """Distinct word n-gram shingles of a document (JVM-side).
+
+    Token-less documents (symbol-only files, scripts whose text has no
+    [a-z0-9] runs) get an EMPTY shingle set, not ``[""]``: the un-guarded
+    short-doc branch stringifies the empty token array to one empty-string
+    shingle, which made every such document a jaccard-1.0 "near-duplicate"
+    of every other one — minhash clean mode would then silently delete
+    all but one of them.  No shingles → no signature → never blocked."""
     toks = tokens_col(text)
     idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
     return F.array_distinct(
-        F.when(F.size(toks) <= n, F.array(F.concat_ws(" ", toks))).otherwise(
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) <= n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(
             F.transform(
                 idx, lambda i: F.concat_ws(" ", F.slice(toks, i + 1, n))
             )
@@ -129,11 +138,21 @@ def ngram_jaccard_pairs(
         .select(
             "a",
             "b",
-            F.round(
-                F.size(F.array_intersect("sh_a", "sh_b"))
-                / F.size(F.array_union("sh_a", "sh_b")),
-                6,
-            ).alias("jaccard"),
+            # token-less docs carry EMPTY shingle sets (see token_ngrams):
+            # a pair of two such docs has union size 0 — no n-gram
+            # evidence either way, scored 0.0 (ANSI would raise on the
+            # bare 0/0 integer division)
+            F.when(
+                F.size(F.array_union("sh_a", "sh_b")) == 0, F.lit(0.0)
+            )
+            .otherwise(
+                F.round(
+                    F.size(F.array_intersect("sh_a", "sh_b"))
+                    / F.size(F.array_union("sh_a", "sh_b")),
+                    6,
+                )
+            )
+            .alias("jaccard"),
         )
     )
 

@@ -217,6 +217,7 @@ def _run_clean(
     lineage: LineageStore,
     dedup: str,
     threshold: float,
+    detect_changes: bool = False,
 ) -> DataFrame:
     """Optional ``clean`` stage between source and extract: drop exact
     duplicates (crawler re-fetches, vendored copies) and, in ``minhash``
@@ -238,7 +239,18 @@ def _run_clean(
 
     Either mode, a run that produced new clean output durably invalidates
     extract + downstream lineage BEFORE recording itself done — the same
-    crash-consistency order the extract stage uses."""
+    crash-consistency order the extract stage uses.
+
+    Like extract, bucket/stage resume assumes UNCHANGED input: new source
+    files hash into already-done content buckets and would be silently
+    skipped on a plain rerun.  ``detect_changes`` closes that hole the
+    same way it does for extract — input fingerprints are recorded per
+    cbucket (exact) or per stage (minhash) and compared on reruns;
+    changed/grown buckets are invalidated and re-cleaned.  Unlike
+    extract's fingerprint (an extra content-column scan the default path
+    avoids), the clean stage reads full content anyway, but the flag
+    semantics are kept symmetric so one switch governs the whole
+    pipeline's changed-input behavior."""
     if dedup not in ("exact", "minhash"):
         raise ValueError(f"dedup must be 'exact' or 'minhash', got {dedup!r}")
     b = cfg.lineage_buckets
@@ -250,6 +262,16 @@ def _run_clean(
 
     if dedup == "exact":
         done = lineage.completed_buckets(stage)
+        if detect_changes and done:
+            cur_fp = src.groupBy(F.col("cbucket").alias("bucket")).agg(
+                _fingerprint("repo", "path", "content").alias("cur_fp")
+            )
+            changed = lineage.changed_buckets(stage, cur_fp)
+            if changed:
+                lineage.invalidate_buckets(stage, changed)
+                done = done - changed
+                log_event("changed_buckets_invalidated", stage=stage,
+                          buckets=sorted(changed))
         pending = (
             src.filter(~F.col("cbucket").isin(list(done))) if done else src
         )
@@ -263,9 +285,18 @@ def _run_clean(
                         clean_path, "cbucket", set(range(b)) - done
                     )
                 _write(kept, clean_path, ["cbucket"], buckets=b)
+            # input_fp recorded only under detect_changes, mirroring
+            # extract: fingerprint-less records read as "cannot prove
+            # unchanged" and are conservatively re-cleaned once by a
+            # later detect_changes rerun
+            in_stats = [F.count("*").alias("rows_in")]
+            if detect_changes:
+                in_stats.append(
+                    _fingerprint("repo", "path", "content").alias("input_fp")
+                )
             src_per_bucket = pending.groupBy(
                 F.col("cbucket").alias("bucket")
-            ).agg(F.count("*").alias("rows_in"))
+            ).agg(*in_stats)
             out_per_bucket = (
                 spark.read.parquet(clean_path)
                 .groupBy(F.col("cbucket").alias("bucket"))
@@ -281,6 +312,7 @@ def _run_clean(
                 "rows_in",
                 F.coalesce("rows_out", F.lit(0)).alias("rows_out"),
                 "content_sha_xor",
+                *(["input_fp"] if detect_changes else []),
             )
             lineage.invalidate_stages("extract", *_DOWNSTREAM_OF_EXTRACT)
             lineage.record_buckets(stage, per_bucket, t.ms)
@@ -288,7 +320,18 @@ def _run_clean(
         else:
             log_event("stage_skipped", stage=stage, done_buckets=len(done))
     else:  # minhash: atomic stage
-        if lineage.stage_done(stage) and os.path.exists(clean_path):
+        cur_fp = None
+        if detect_changes:
+            cur_fp = src.agg(
+                _fingerprint("repo", "path", "content").alias("fp")
+            ).first()["fp"]
+        recorded_ok = lineage.stage_done(stage) and os.path.exists(clean_path)
+        if recorded_ok and detect_changes:
+            rec_fp = lineage.stage_input_fp(stage)
+            if rec_fp is None or rec_fp != cur_fp:
+                recorded_ok = False
+                log_event("changed_input_invalidated", stage=stage)
+        if recorded_ok:
             log_event("stage_skipped", stage=stage)
         else:
             from kg.ops.dedup import minhash_duplicates
@@ -308,7 +351,7 @@ def _run_clean(
                 "extract", *_DOWNSTREAM_OF_EXTRACT
             )
             lineage.invalidate_stages(stage)
-            lineage.record_stage(stage, -1, -1, t.ms)
+            lineage.record_stage(stage, -1, -1, t.ms, input_fp=cur_fp)
             log_event("stage_done", stage=stage, duration_ms=t.ms)
     return spark.read.parquet(clean_path).drop("cbucket")
 
@@ -341,7 +384,8 @@ def run_pipeline(
     # ---- clean (optional dedup stage, VERDICT r3 next #5) -----------------
     if dedup is not None:
         source_files = _run_clean(
-            spark, source_files, cfg, lineage, dedup, dedup_threshold
+            spark, source_files, cfg, lineage, dedup, dedup_threshold,
+            detect_changes=detect_changes,
         )
 
     b = cfg.lineage_buckets

@@ -30,7 +30,10 @@ def get_spark(
     else:
         master = f"local[{cores}]"
     if shuffle_partitions is None:
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+        # same empty-string-is-unset contract as the master line above
+        # (and kg.conf._env_int): `SPARK_GRAFT_CPUS= cmd` must not raise
+        raw = os.environ.get("SPARK_GRAFT_CPUS")
+        shuffle_partitions = int(raw) if raw else 32
 
     builder = (
         SparkSession.builder.appName(app_name)

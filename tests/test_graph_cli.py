@@ -91,3 +91,18 @@ def test_cli_show_path_prints(spark, warehouse, tmp_path, capsys):
     )
     printed = capsys.readouterr().out
     assert "degree" in printed and "n_nodes" in printed
+
+
+def test_cli_rejects_misapplied_label_flags(spark, warehouse):
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--warehouse", warehouse, "--query", "pagerank",
+             "--label", "t"],
+            spark=spark,
+        )
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--warehouse", warehouse, "--query", "degrees",
+             "--first-label", "t"],
+            spark=spark,
+        )

@@ -453,3 +453,19 @@ def test_paragraph_dedup_hand_corpus(spark):
     assert got[4] == (0, 0, "")
     assert got[5] == (1, 1, "delta")
     assert len(got) == 5
+
+
+def test_tokenless_docs_are_not_near_duplicates(spark):
+    """Symbol-only / non-Latin docs tokenize to NOTHING; they must get an
+    empty shingle set (not [\"\"]) or minhash pairs them all at
+    jaccard 1.0 and clean mode deletes all but one."""
+    from kg.ops.dedup import minhash_duplicates, token_ngrams
+
+    docs = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "@@@ ###"), (3, "plain english words here")],
+        ["doc_id", "text"],
+    )
+    sh = docs.select(token_ngrams(F.col("text")).alias("s")).collect()
+    assert [len(r["s"]) for r in sh] == [0, 0, 2]  # 4 tokens -> two 3-grams
+    pairs = minhash_duplicates(docs, "doc_id", "text", threshold=0.1)
+    assert pairs.count() == 0

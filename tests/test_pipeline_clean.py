@@ -200,3 +200,58 @@ def test_clean_minhash_drops_near_duplicates(spark, tmp_path_factory):
         dedup="minhash", dedup_threshold=0.5,
     )
     assert _snapshot(out2) == golden
+
+
+def test_clean_exact_detect_changes_picks_up_grown_source(
+    spark, tmp_path_factory
+):
+    """New source files hash into already-done content buckets; a plain
+    rerun resumes past them (documented), but --detect-changes must
+    invalidate the grown buckets and re-clean so the new files reach
+    extract — the same contract the flag gives the extract stage."""
+    cfg = _cfg(tmp_path_factory, "clean_grow")
+    small = source_files_df(spark, N)
+    out1 = run_pipeline(
+        spark, small, cfg, restart=True, dedup="exact", detect_changes=True
+    )
+    n1 = out1["triples"].count()
+
+    grown = source_files_df(spark, N + 20)
+    # plain rerun: every content bucket reads done -> stale clean table
+    out2 = run_pipeline(spark, grown, cfg, dedup="exact")
+    assert out2["triples"].count() == n1
+
+    out3 = run_pipeline(
+        spark, grown, cfg, dedup="exact", detect_changes=True
+    )
+    n3 = out3["triples"].count()
+    # reference answer: a fresh restart run over the grown corpus
+    cfg_ref = _cfg(tmp_path_factory, "clean_grow_ref")
+    ref = run_pipeline(
+        spark, grown, cfg_ref, restart=True, dedup="exact"
+    )
+    assert n3 == ref["triples"].count() > n1
+
+
+def test_clean_minhash_detect_changes_picks_up_grown_source(
+    spark, tmp_path_factory
+):
+    cfg = _cfg(tmp_path_factory, "clean_grow_mh")
+    out1 = run_pipeline(
+        spark, source_files_df(spark, N), cfg, restart=True,
+        dedup="minhash", detect_changes=True,
+    )
+    assert out1["triples"].count() > 0
+    grown = source_files_df(spark, N + 20)
+    out2 = run_pipeline(
+        spark, grown, cfg, dedup="minhash", detect_changes=True
+    )
+    # convergence contract: the detect-changes rerun over the grown
+    # corpus equals a fresh restart run over it (the templated synthetic
+    # corpus may legitimately collapse the new files as near-dups, so
+    # equality-with-reference is the assertion, not growth)
+    cfg_ref = _cfg(tmp_path_factory, "clean_grow_mh_ref")
+    ref = run_pipeline(
+        spark, grown, cfg_ref, restart=True, dedup="minhash"
+    )
+    assert _snapshot(out2) == _snapshot(ref)

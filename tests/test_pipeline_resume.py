@@ -405,3 +405,30 @@ def test_lineage_metrics_recorded(spark, tmp_path_factory):
     ext = lin.filter("stage = 'extract'")
     assert ext.agg(F.sum("rows_out")).first()[0] == out["triples"].count()
     assert ext.filter("duration_ms >= 0").count() == ext.count()
+
+
+def test_restart_clears_rewrite_scratch_dirs(spark, tmp_path_factory):
+    """A crash after the rewrite's .tmp/_SUCCESS durability point
+    followed by --restart: reset() must remove .tmp/.old too, or the
+    next read's _recover() rolls the PRE-restart table forward over the
+    reset — every stage would then read 'done' lineage for outputs the
+    restart just truncated."""
+    import os
+
+    from kg.schemas import LINEAGE
+
+    store = _seeded_store(spark, tmp_path_factory)
+    keep = store.read().toPandas()
+    # simulate the post-durability crash window of _rewrite_keeping
+    spark.createDataFrame(keep, schema=LINEAGE).write.parquet(
+        store.path + ".tmp"
+    )
+    store.reset()
+    assert store.completed_buckets("extract") == set()
+    assert not os.path.exists(store.path + ".tmp")
+    # .old alone (pre-durability window): reset clears it as well
+    store2 = _seeded_store(spark, tmp_path_factory)
+    os.rename(store2.path, store2.path + ".old")
+    store2.reset()
+    assert store2.completed_buckets("extract") == set()
+    assert not os.path.exists(store2.path + ".old")
