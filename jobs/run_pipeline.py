@@ -49,8 +49,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--dedup-threshold", type=float, default=0.7,
                     help="Jaccard threshold for --dedup minhash")
     ap.add_argument("--detect-changes", action="store_true",
-                    help="fingerprint source buckets and re-extract any "
-                         "whose input changed since the recorded lineage")
+                    help="fingerprint source buckets and re-run any whose "
+                         "input changed since the recorded lineage — "
+                         "governs extract AND the --dedup clean stage "
+                         "(grown sources hash into already-done buckets; "
+                         "without this flag a rerun resumes past them)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--partition-key", default="repo")
     ap.add_argument("--extract-engine", choices=["arrow", "jvm"], default=None,
