@@ -30,13 +30,16 @@ def main() -> None:
 
     qs = e.queries()
     sf = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
-    budget = 120.0
     for name in names:
         qs[name](spark, "/root/testdata/sf0.001").write.format("noop").mode(
             "overwrite"
         ).save()
         best = float("inf")
         for _ in range(3):
+            # budget is PER TIMED RUN: a shared budget exhausted by the
+            # first noisy wait would leave every later run ungated — the
+            # exact weather-charging failure this script exists to avoid
+            budget = 120.0
             while budget > 0 and os.getloadavg()[0] > 4.0:
                 time.sleep(5)
                 budget -= 5

@@ -94,11 +94,13 @@ def _run_py(code: str, argv: list[str], timeout: int = 3600) -> str:
         f.write(code)
         path = f.name
     env = {**os.environ, "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
-    proc = subprocess.run(
-        [sys.executable, path, *argv],
-        cwd=REPO, capture_output=True, text=True, timeout=timeout, env=env,
-    )
-    os.unlink(path)
+    try:
+        proc = subprocess.run(
+            [sys.executable, path, *argv],
+            cwd=REPO, capture_output=True, text=True, timeout=timeout, env=env,
+        )
+    finally:
+        os.unlink(path)
     if proc.returncode != 0:
         raise RuntimeError(proc.stderr[-4000:])
     return proc.stdout
@@ -121,7 +123,11 @@ def main() -> None:
 
     os.makedirs(SHM, exist_ok=True)
     src_path = os.path.join(SHM, f"src_{args.files}")
-    if not os.path.exists(src_path):
+    # _SUCCESS gates reuse: a killed/timed-out generation leaves a
+    # PARTIAL parquet dir that a bare exists() would silently benchmark,
+    # appending a wrong-corpus record to the authoritative BASELINE file
+    if not os.path.exists(os.path.join(src_path, "_SUCCESS")):
+        shutil.rmtree(src_path, ignore_errors=True)
         print(f"generating {args.files} files → {src_path} (untimed)...")
         _run_py(_GEN, [str(args.files), src_path, SHM])
 

@@ -168,18 +168,27 @@ def run_level(n_shards: int, cores: int, src_path: str) -> dict:
     procs = [
         subprocess.Popen(
             [sys.executable, path, str(cores), src_path, SHM, str(i), str(n_shards)],
-            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.DEVNULL,
+            cwd=REPO, stdout=subprocess.PIPE, stderr=subprocess.PIPE,
             text=True, env=_env(),
         )
         for i in range(n_shards)
     ]
     results = []
-    for p in procs:
-        out, _ = p.communicate(timeout=3600)
-        if p.returncode != 0:
-            raise RuntimeError(f"shard failed rc={p.returncode}")
-        results.append(_parse(out))
-    os.unlink(path)
+    try:
+        for i, p in enumerate(procs):
+            out, err = p.communicate(timeout=3600)
+            if p.returncode != 0:
+                raise RuntimeError(
+                    f"shard {i} failed rc={p.returncode}: {err[-2000:]}"
+                )
+            results.append(_parse(out))
+    finally:
+        # a failed/hung shard must not leave sibling 20 GB pre-touched
+        # JVMs grinding the box — every benchmark after that is invalid
+        for p in procs:
+            if p.poll() is None:
+                p.kill()
+        os.unlink(path)
     return {
         "instances": n_shards,
         "cores_per_instance": cores,
@@ -200,7 +209,13 @@ def main() -> None:
 
     os.makedirs(SHM, exist_ok=True)
     src_path = os.path.join(SHM, f"src_{args.files}_sharded{args.shards}")
-    if not os.path.exists(src_path):
+    # gate reuse on the LAST shard dir's _SUCCESS: a killed generation
+    # leaves a partial layout a bare exists() would silently benchmark
+    last_marker = os.path.join(
+        src_path, f"shard={args.shards - 1}", "_SUCCESS"
+    )
+    if not os.path.exists(last_marker):
+        shutil.rmtree(src_path, ignore_errors=True)
         print(f"generating {args.files} files → {src_path} (untimed)...")
         path = _script(_GEN)
         subprocess.run(

@@ -29,7 +29,7 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 SHM = "/dev/shm/kg_bench" if os.path.isdir("/dev/shm") else tempfile.gettempdir()
 
 _RUN = r"""
-import json, sys, tempfile, time
+import json, sys, time
 from pyspark.sql import functions as F
 from kg.session import get_spark
 from kg.lineage import bucket_col
@@ -47,7 +47,6 @@ def stats(df, key):
             "straggler_factor": round(mx / (n / buckets), 2)}
 
 def timed_write(df, cols):
-    out = tempfile.mkdtemp(prefix="kg_skew_", dir=shm)
     t0 = time.monotonic()
     (df.repartition(buckets, *cols)
        .write.mode("overwrite").format("noop").save())
@@ -85,10 +84,13 @@ def main() -> None:
         path = f.name
     env = {**os.environ,
            "PYTHONPATH": REPO + os.pathsep + os.environ.get("PYTHONPATH", "")}
-    proc = subprocess.run([sys.executable, path, str(args.cores), src_path, SHM],
-                          cwd=REPO, capture_output=True, text=True, env=env,
-                          timeout=1800)
-    os.unlink(path)
+    try:
+        proc = subprocess.run(
+            [sys.executable, path, str(args.cores), src_path, SHM],
+            cwd=REPO, capture_output=True, text=True, env=env, timeout=1800,
+        )
+    finally:
+        os.unlink(path)
     if proc.returncode != 0:
         raise RuntimeError(proc.stderr[-3000:])
     res = json.loads([l for l in proc.stdout.splitlines() if l.startswith("{")][-1])

@@ -71,8 +71,9 @@ def main() -> None:
             if p:
                 lines.append(f"- pushed filters: {p}")
         lines.append("")
-        print(lines[-5] if len(lines) >= 5 else "")
         print(f"=== {name}: bhj={n_bhj} smj={n_smj} cart={n_cart} wsc={n_wsc}")
+        for s in scans:
+            print(f"- scan reads: {[c.split(':')[0] for c in s.split(',') if c]}")
 
     os.makedirs(os.path.join(REPO, "BENCH"), exist_ok=True)
     with open(os.path.join(REPO, "BENCH", "PLANS.md"), "w") as f:

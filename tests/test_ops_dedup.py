@@ -52,7 +52,8 @@ def test_minhash_near_duplicates(docs_with_dups):
     }
     assert ("1", "2") in pairs  # exact dup found
     assert ("1", "3") in pairs or ("2", "3") in pairs  # near dup found
-    assert not any({"4", "5"} == {a, b} for a, b in pairs) or True
+    # precision: the two dissimilar docs must NOT pair
+    assert not any({"4", "5"} == {a, b} for a, b in pairs)
 
 
 def test_ngram_jaccard_exact_dup_is_one(spark, docs_with_dups):

@@ -10,7 +10,7 @@ from pyspark.sql import functions as F
 
 from kg.conf import PipelineConfig
 from kg.datagen import source_files_df
-from kg.lineage import LineageStore
+from kg.lineage import LineageStore, bucket_col
 from kg.pipeline import run_pipeline
 
 N = 60
@@ -129,10 +129,18 @@ def test_resume_processes_only_missing_buckets(spark, tmp_path_factory):
 
     out = run_pipeline(spark, src, cfg)
     assert _snapshot(out) == golden
-    # all buckets now recorded
-    assert len(store.completed_buckets("extract")) >= cfg.lineage_buckets - len(
-        done_before
-    )
+    # every bucket with source rows is now recorded done (the previous
+    # `>= buckets - len(done_before)` bound was already true BEFORE the
+    # resume run, so it couldn't catch a skipped-recording regression)
+    all_buckets = {
+        r["b"]
+        for r in src.select(
+            bucket_col("repo", "path", n_buckets=cfg.lineage_buckets).alias("b")
+        )
+        .distinct()
+        .collect()
+    }
+    assert store.completed_buckets("extract") == all_buckets >= done_before
 
 
 def _with_modified_file(spark, src, n):
