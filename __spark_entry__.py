@@ -534,6 +534,79 @@ def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PQ_M, _PQ_CODES = 8, 8
+
+
+def q_ann_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """Product-quantization ADC top-k (``kg/ops/similarity.py::pq_topk``)
+    — the compressed-domain ANN family next to LSH (bucketing) and IVF
+    (cell probe): corpus vectors live as 8 small codes, queries score
+    them via a broadcast lookup table, and the 10^11-vector index fits
+    in memory where raw floats cannot.  Codebook = subvectors of the 8
+    lowest-id vectors (the ``q_ann_ivf`` deterministic stand-in
+    contract; a per-subspace k-means drops in unchanged).  ADC sums are
+    exact integer micro-units, so the ranking — and the DuckDB twin —
+    is bit-reproducible."""
+    from kg.ops import pq_topk, subvectors
+
+    emb = _read(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.posexplode(subvectors(F.col("v"), _PQ_M, _EMB_DIM)).alias(
+                "sub", "cv"
+            ),
+        )
+        .select("sub", "code", "cv")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return pq_topk(
+        queries, emb, cb, "vec_id", "vec_id", "v",
+        m=_PQ_M, dim=_EMB_DIM, k=5,
+    )
+
+
+def _ann_pq_sql() -> str:
+    """Twin of q_ann_pq: identical subspace slicing, 6dp-rounded argmin
+    with (dist, code) tie-break, integer micro-unit ADC sums."""
+    d = _EMB_DIM // _PQ_M
+    sq = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    return (
+        "WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"js AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub), "
+        "cs AS (SELECT vec_id, CAST(sub AS INT) AS sub, "
+        f"v[sub * {d} + 1 : sub * {d} + {d}] AS sv FROM e CROSS JOIN js), "
+        "cb AS (SELECT CAST(vec_id AS INT) AS code, sub, sv AS cv FROM cs "
+        f"WHERE vec_id < {_PQ_CODES}), "
+        "sd AS (SELECT cs.vec_id, cs.sub, cb.code, "
+        "round(" + sq.format(d=d, a="cs.sv", b="cb.cv") + ", 6) AS dd "
+        "FROM cs JOIN cb USING (sub)), "
+        "codes AS (SELECT vec_id, sub, code FROM (SELECT vec_id, sub, code, "
+        "row_number() OVER (PARTITION BY vec_id, sub ORDER BY dd ASC, code ASC) "
+        "AS rn FROM sd) WHERE rn = 1), "
+        "qs AS (SELECT vec_id AS query_id, sub, sv FROM cs WHERE vec_id < 5), "
+        "lut AS (SELECT qs.query_id, qs.sub, cb.code, "
+        "CAST(round(" + sq.format(d=d, a="qs.sv", b="cb.cv")
+        + " * 1000000) AS BIGINT) AS qd FROM qs JOIN cb USING (sub)), "
+        "sc AS (SELECT lut.query_id, codes.vec_id AS neighbor_id, "
+        "CAST(sum(lut.qd) AS BIGINT) AS adc_fp FROM codes "
+        "JOIN lut ON lut.sub = codes.sub AND lut.code = codes.code "
+        "WHERE lut.query_id <> codes.vec_id GROUP BY 1, 2), "
+        "r AS (SELECT query_id, neighbor_id, adc_fp, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id ASC) AS rk "
+        "FROM sc) "
+        "SELECT query_id, neighbor_id, adc_fp, CAST(rk AS INT) AS rk "
+        "FROM r WHERE rk <= 5"
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k via banded hyperplane buckets + exact re-rank
     (SQL twin replicates the banding, so this is oracle-checked)."""
@@ -813,6 +886,74 @@ def _cn_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
         F.concat(F.lit("r_"), F.col("n_regionkey").cast("string")).alias("in_id"),
     )
     return cust.unionByName(nat)
+
+
+_SSSP_ROUNDS = 3
+
+
+def q_graph_sssp(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted shortest paths (fixed-round Bellman-Ford,
+    ``kg/ops/graph.py::shortest_paths``) from the order seed set over the
+    UNDIRECTED tripartite graph with edge cost floor(l_quantity) — the
+    cheapest-path companion to ``graph_khop`` (Gremlin ``repeat(outE().
+    inV()).times(3)`` with a ``sack(sum)`` edge cost).  Integer-exact min
+    relaxation, so the iterative op carries a FULL unrolled-CTE twin."""
+    from kg.ops import shortest_paths
+
+    li = _read(spark, sf, "lineitem")
+    w = F.floor(F.col("l_quantity")).cast("long")
+    o = F.concat(F.lit("o_"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p_"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s_"), F.col("l_suppkey").cast("string"))
+    ew = (
+        li.select(o.alias("out_id"), p.alias("in_id"), w.alias("w"))
+        .unionByName(li.select(o.alias("out_id"), s.alias("in_id"), w.alias("w")))
+        .unionByName(li.select(p.alias("out_id"), s.alias("in_id"), w.alias("w")))
+    )
+    und = ew.unionByName(
+        ew.select(
+            F.col("in_id").alias("out_id"), F.col("out_id").alias("in_id"), "w"
+        )
+    )
+    src = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= _KHOP_SRC_MAX)
+        .select(F.concat(F.lit("o_"), F.col("o_orderkey").cast("string")).alias("id"))
+    )
+    return shortest_paths(und, src, rounds=_SSSP_ROUNDS, weight_col="w")
+
+
+def _sssp_sql(rounds: int, src_max: int) -> str:
+    """Twin of q_graph_sssp: the same integer min-relaxation per round as
+    unrolled CTEs (min over BIGINT sums — association-order-free, so the
+    two engines agree bit-for-bit)."""
+    parts = [
+        "t AS (SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS u, "
+        "'p_' || CAST(l_partkey AS VARCHAR) AS v, "
+        "CAST(floor(l_quantity) AS BIGINT) AS w FROM lineitem "
+        "UNION ALL SELECT 'o_' || CAST(l_orderkey AS VARCHAR), "
+        "'s_' || CAST(l_suppkey AS VARCHAR), "
+        "CAST(floor(l_quantity) AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT 'p_' || CAST(l_partkey AS VARCHAR), "
+        "'s_' || CAST(l_suppkey AS VARCHAR), "
+        "CAST(floor(l_quantity) AS BIGINT) FROM lineitem)",
+        "e AS (SELECT u AS src, v AS dst, w FROM t "
+        "UNION ALL SELECT v, u, w FROM t)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        "srcs AS (SELECT DISTINCT 'o_' || CAST(o_orderkey AS VARCHAR) AS id "
+        f"FROM orders WHERE o_orderkey <= {src_max})",
+        "d0 AS MATERIALIZED (SELECT v.id, CAST(0 AS BIGINT) AS dist "
+        "FROM verts v JOIN srcs USING (id))",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT id, min(dist) AS dist FROM "
+            f"(SELECT id, dist FROM d{i - 1} "
+            f"UNION ALL SELECT e.dst AS id, d.dist + e.w AS dist "
+            f"FROM e JOIN d{i - 1} d ON d.id = e.src) GROUP BY id)"
+        )
+    return "WITH " + ", ".join(parts) + f" SELECT id, dist FROM d{rounds}"
 
 
 def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
@@ -1209,6 +1350,155 @@ def q_sample_weighted(spark: SparkSession, sf: str) -> DataFrame:
     return weighted_sample(d, _MIX_RATES).select("doc_id", "lang")
 
 
+def _line_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Derived corpus with REAL line structure for the C4 cleaning rules:
+    each document's tokens are chunked into 6-token lines, then
+    deterministically decorated per (doc_id, idx) — some lines get a
+    javascript-boilerplate suffix (blocklist rule), some an opening
+    brace (code rule), ~2/3 a terminal period (punctuation rule), and
+    the natural tail chunk is often under 3 words (min-words rule) — so
+    every predicate of ``clean_lines`` fires on real rows.  Same
+    corpus-augmentation pattern as ``_para_corpus``."""
+    toks = tokens_col(F.col("text"))
+    d = _read_spread(spark, sf, "documents").select("doc_id", toks.alias("_t"))
+    n = F.size(F.col("_t"))
+    did = F.col("doc_id")
+
+    def _line(i):  # decorate chunk i deterministically (mirrored in SQL)
+        base = F.concat_ws(" ", F.slice(F.col("_t"), i * 6 + 1, 6))
+        key = did + i
+        return (
+            F.when(key % 11 == 7, F.concat(base, F.lit(" enable javascript here.")))
+            .when(key % 17 == 3, F.concat(base, F.lit(" {")))
+            .when(key % 3 != 0, F.concat(base, F.lit(".")))
+            .otherwise(base)
+        )
+
+    lines = F.when(
+        n >= 1,
+        F.transform(F.sequence(F.lit(0), F.floor((n - 1) / 6).cast("int")), _line),
+    ).otherwise(F.array().cast("array<string>"))
+    d = d.select("doc_id", lines.alias("_ls"))
+    return d.select("doc_id", F.array_join("_ls", "\n").alias("text"))
+
+
+def q_clean_lines(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line-level cleaning (``kg/ops/curate.py::clean_lines``):
+    per-document keep only ≥3-word lines ending in terminal punctuation
+    with no javascript/cookie boilerplate and no braces — the rule tier
+    of the C4 pipeline (Raffel et al. 2020 §2.2).  Pure per-row JVM
+    higher-order functions, zero shuffle, exact ``list_filter`` twin."""
+    from kg.ops import clean_lines
+
+    return clean_lines(_line_corpus(spark, sf))
+
+
+def _line_corpus_sql() -> str:
+    tk = (
+        "list_filter(regexp_split_to_array(lower(text), '[^a-z0-9]+'), "
+        "t -> t <> '')"
+    )
+    base = "array_to_string(t[i * 6 + 1 : i * 6 + 6], ' ')"
+    return (
+        f"tt AS (SELECT doc_id, {tk} AS t FROM documents), "
+        "lc AS (SELECT doc_id, CASE WHEN len(t) >= 1 THEN "
+        "list_transform(generate_series(0, CAST((len(t) - 1) // 6 AS INT)), "
+        "i -> CASE "
+        f"WHEN (doc_id + i) % 11 = 7 THEN {base} || ' enable javascript here.' "
+        f"WHEN (doc_id + i) % 17 = 3 THEN {base} || ' {{' "
+        f"WHEN (doc_id + i) % 3 <> 0 THEN {base} || '.' "
+        f"ELSE {base} END) "
+        "ELSE CAST([] AS VARCHAR[]) END AS ls FROM tt), "
+        "corpus AS (SELECT doc_id, array_to_string(ls, chr(10)) AS text FROM lc)"
+    )
+
+
+def _clean_lines_sql() -> str:
+    """Twin of q_clean_lines: identical line split + trim + per-line
+    predicate (word count / terminal char / blocklist / braces) via
+    ``list_filter`` lambdas."""
+    pred = (
+        "len(list_filter(regexp_split_to_array(s, ' +'), w -> w <> '')) >= 3"
+        " AND right(s, 1) IN ('.', '!', '?', '\"')"
+        " AND NOT contains(lower(s), 'javascript')"
+        " AND NOT contains(lower(s), 'lorem ipsum')"
+        " AND NOT contains(lower(s), 'cookie')"
+        " AND NOT contains(s, '{')"
+        " AND NOT contains(s, '}')"
+    )
+    return (
+        "WITH " + _line_corpus_sql() + ", "
+        "lt AS (SELECT doc_id, list_filter(list_transform("
+        "regexp_split_to_array(text, chr(10)), s -> trim(s)), s -> s <> '') "
+        "AS ls2 FROM corpus), "
+        f"kt AS (SELECT doc_id, ls2, list_filter(ls2, s -> {pred}) AS kept "
+        "FROM lt) "
+        "SELECT doc_id, CAST(len(ls2) AS INT) AS n_lines, "
+        "CAST(len(kept) AS INT) AS n_kept, "
+        # DuckDB's array_to_string of an EMPTY list is NULL, Spark's
+        # array_join is '' — coalesce to the Spark value
+        "coalesce(array_to_string(kept, chr(10)), '') AS text_clean FROM kt"
+    )
+
+
+def _pii_corpus(spark: SparkSession, sf: str) -> DataFrame:
+    """Documents with deterministic PII footers planted on 2/3 of docs
+    (the raw synthetic text has no emails/IPs/digit runs, so an
+    unaugmented redaction query is vacuous): two emails, one IPv4, one
+    ≥7-digit account number, all pure functions of doc_id so the DuckDB
+    twin rebuilds the identical corpus."""
+    d = _read_spread(spark, sf, "documents")
+    did = F.col("doc_id")
+    footer = F.concat(
+        F.lit(" contact user"), did.cast("string"), F.lit("@example.com"),
+        F.lit(" or admin"), did.cast("string"), F.lit("@test.org"),
+        F.lit(" from 10."), (did % 200).cast("string"),
+        F.lit(".0."), (did % 250).cast("string"),
+        F.lit(" acct "), (F.lit(1_000_000) + did * 37).cast("string"),
+    )
+    return d.select(
+        "doc_id",
+        F.when(did % 3 != 2, F.concat(F.col("text"), footer))
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+
+
+def q_redact_pii(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrubbing (``kg/ops/text.py::redact_pii``): staged regex
+    redaction of emails → IPv4s → long digit runs with per-stage counts
+    — the release gate every pretraining corpus passes.  Patterns stay
+    in the Java/RE2 common subset so the twin matches span-for-span."""
+    from kg.ops import redact_pii
+
+    return redact_pii(_pii_corpus(spark, sf))
+
+
+def _redact_pii_sql() -> str:
+    from kg.ops.text import PII_EMAIL, PII_IPV4, PII_LONG_DIGITS
+
+    return (
+        "WITH corpus AS (SELECT doc_id, CASE WHEN doc_id % 3 <> 2 THEN "
+        "text || ' contact user' || CAST(doc_id AS VARCHAR) || '@example.com'"
+        " || ' or admin' || CAST(doc_id AS VARCHAR) || '@test.org'"
+        " || ' from 10.' || CAST(doc_id % 200 AS VARCHAR)"
+        " || '.0.' || CAST(doc_id % 250 AS VARCHAR)"
+        " || ' acct ' || CAST(1000000 + doc_id * 37 AS VARCHAR) "
+        "ELSE text END AS text FROM documents), "
+        "s1 AS (SELECT doc_id, "
+        f"CAST(len(regexp_extract_all(text, '{PII_EMAIL}')) AS INT) AS n_emails, "
+        f"regexp_replace(text, '{PII_EMAIL}', '<EMAIL>', 'g') AS t1 FROM corpus), "
+        "s2 AS (SELECT doc_id, n_emails, "
+        f"CAST(len(regexp_extract_all(t1, '{PII_IPV4}')) AS INT) AS n_ips, "
+        f"regexp_replace(t1, '{PII_IPV4}', '<IP>', 'g') AS t2 FROM s1) "
+        "SELECT doc_id, n_emails, n_ips, "
+        f"CAST(len(regexp_extract_all(t2, '{PII_LONG_DIGITS}')) AS INT) "
+        "AS n_numbers, "
+        f"regexp_replace(t2, '{PII_LONG_DIGITS}', '<NUM>', 'g') "
+        "AS text_redacted FROM s2"
+    )
+
+
 _CURATE_MIN_QUALITY = 0.2
 
 
@@ -1340,6 +1630,7 @@ def queries() -> dict[str, _T]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "ann_pq": q_ann_pq,
         "graph_degree": q_graph_degree,
         "graph_two_hop": q_graph_two_hop,
         "graph_two_hop_typed": q_graph_two_hop_typed,
@@ -1350,6 +1641,7 @@ def queries() -> dict[str, _T]:
         "graph_jaccard": q_graph_jaccard,
         "graph_clustering": q_graph_clustering,
         "graph_khop": q_graph_khop,
+        "graph_sssp": q_graph_sssp,
         "graph_components": q_graph_components,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
@@ -1361,6 +1653,8 @@ def queries() -> dict[str, _T]:
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
+        "clean_lines": q_clean_lines,
+        "redact_pii": q_redact_pii,
         "repetition_stats": q_repetition_stats,
         "winnow_fingerprints": q_winnow_fingerprints,
         "dedup_winnow": q_dedup_winnow,
@@ -1899,6 +2193,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),
         "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
+        "graph_sssp": _sssp_sql(_SSSP_ROUNDS, _KHOP_SRC_MAX),
         "graph_components": _components_sql(_CN_EDGES_SQL),
         "repetition_stats": _repetition_sql(),
         "text_stats": (
@@ -2001,6 +2296,8 @@ def oracle_sql() -> dict[str, str]:
             "::UBIGINT % 1000000 < CASE lang WHEN 'en' THEN 1000000 "
             "WHEN 'de' THEN 500000 WHEN 'fr' THEN 250000 ELSE 0 END"
         ),
+        "clean_lines": _clean_lines_sql(),
+        "redact_pii": _redact_pii_sql(),
         "ann_brute_force": (
             "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
             "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
@@ -2021,6 +2318,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_lsh": _ann_lsh_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
+        "ann_pq": _ann_pq_sql(),
         # kg_* twins: golden-backed. kg_triples reads the CLOSED-FORM
         # analytic golden (kg.datagen.golden_triples — derived from the
         # corpus spec, not from the extractor), so it is a true oracle;

@@ -55,6 +55,14 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="'exact' keeps the lowest-id copy of each "
                          "normalized text; 'paragraph' removes later "
                          "occurrences of exact paragraphs corpus-wide")
+    ap.add_argument("--clean-lines", action="store_true",
+                    help="C4-style line filter BEFORE curation: keep "
+                         "lines with >=3 words, terminal punctuation, "
+                         "no javascript/cookie boilerplate, no braces; "
+                         "docs losing every line are dropped")
+    ap.add_argument("--redact-pii", action="store_true",
+                    help="redact emails/IPv4s/long digit runs to typed "
+                         "placeholders BEFORE curation")
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
     ap.add_argument("--seed", default="kg-split-v1")
@@ -92,6 +100,27 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     weights = _parse_weights(args.split)
 
     t0 = time.monotonic()
+    # pre-curation text rewrites: line cleaning first (drop boilerplate
+    # lines, and docs that lose every line), then PII redaction on the
+    # surviving text — both pure map-side column passes
+    if args.clean_lines:
+        from pyspark.sql import functions as F
+
+        from kg.ops.curate import clean_lines
+
+        cleaned = clean_lines(docs, id_col=args.id_col, text_col=args.text_col)
+        kept = cleaned.where(F.col("n_kept") > 0).select(
+            args.id_col, F.col("text_clean").alias(args.text_col)
+        )
+        docs = docs.drop(args.text_col).join(kept, args.id_col)
+    if args.redact_pii:
+        from kg.ops.text import redact_pii
+
+        red = redact_pii(docs, id_col=args.id_col, text_col=args.text_col)
+        docs = docs.drop(args.text_col).join(
+            red.selectExpr(args.id_col, f"text_redacted AS {args.text_col}"),
+            args.id_col,
+        )
     curated = curate_corpus(
         docs,
         benchmark=bench,

@@ -37,6 +37,7 @@ QUERIES = (
     "clustering",
     "jaccard",
     "khop",
+    "sssp",
     "components",
 )
 
@@ -65,8 +66,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--iters", type=int, default=3,
                     help="rank rounds (pagerank/ppr)")
     ap.add_argument("--sources", default=None,
-                    help="comma-separated vertex ids (ppr/khop)")
+                    help="comma-separated vertex ids (ppr/khop/sssp)")
     ap.add_argument("--k", type=int, default=2, help="BFS depth (khop)")
+    ap.add_argument("--rounds", type=int, default=3,
+                    help="relaxation rounds = max path edges (sssp)")
+    ap.add_argument("--weight-col", default=None,
+                    help="edge weight column (sssp; default unit weights)")
     ap.add_argument("--max-fanout", type=int, default=None,
                     help="drop mid/shared vertices above this degree "
                          "(two-hop/jaccard super-node cap)")
@@ -144,6 +149,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             if not args.sources:
                 raise SystemExit("--query khop requires --sources")
             out = g.k_hop(edges, _sources_df(spark, args.sources), k=args.k)
+        elif args.query == "sssp":
+            if not args.sources:
+                raise SystemExit("--query sssp requires --sources")
+            out = g.shortest_paths(
+                edges,
+                _sources_df(spark, args.sources),
+                rounds=args.rounds,
+                weight_col=args.weight_col,
+            )
         else:  # components
             out = g.components(edges)
         if args.output:

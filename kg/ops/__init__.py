@@ -8,6 +8,7 @@ queries over the materialized vertex/edge output (degrees, 2-hop, k-hop).
 """
 
 from kg.ops.curate import (  # noqa: F401
+    clean_lines,
     decontaminate,
     pack_sequences,
     split_assign,
@@ -35,6 +36,7 @@ from kg.ops.graph import (  # noqa: F401
     neighbor_jaccard,
     pagerank,
     personalized_pagerank,
+    shortest_paths,
     triangles,
     two_hop,
 )
@@ -47,11 +49,15 @@ from kg.ops.similarity import (  # noqa: F401
     ivf_assign,
     ivf_topk,
     lsh_ann_topk,
+    pq_encode,
+    pq_topk,
+    subvectors,
 )
 from kg.ops.text import (  # noqa: F401
     doc_fingerprint,
     language_id,
     quality_score,
+    redact_pii,
     repetition_stats,
     token_count,
     tokens_col,

@@ -462,6 +462,68 @@ def pack_sequences(
     )
 
 
+def clean_lines(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 3,
+    terminal: tuple[str, ...] = (".", "!", "?", '"'),
+    blocklist: tuple[str, ...] = ("javascript", "lorem ipsum", "cookie"),
+    drop_braces: bool = True,
+) -> DataFrame:
+    """C4-style line-level cleaning (Raffel et al. 2020 §2.2): per
+    document, keep only lines that
+
+    * contain at least ``min_words`` whitespace-separated words,
+    * end in a terminal punctuation mark (``terminal``; pass ``()`` to
+      disable),
+    * contain no ``blocklist`` phrase (case-insensitive — the C4 rules
+      drop "javascript" / "lorem ipsum" / cookie-notice boilerplate),
+    * contain no curly brace (``drop_braces`` — code leaking into a
+      natural-language corpus).
+
+    Returns ``(id_col, n_lines, n_kept, text_clean)`` for every input
+    document (documents whose every line fails come back with
+    ``n_kept = 0`` and an empty ``text_clean``) — same shape as
+    :func:`kg.ops.dedup.paragraph_dedup`, so the two compose.
+
+    Scale shape: pure per-row JVM higher-order functions — zero shuffle,
+    zero Python, no explode; the line array is BOUND AS AN ATTRIBUTE in
+    its own projection before any lambda touches it (the O(L) vs O(L²)
+    winnowing discipline).  The per-line word count splits the LINE
+    (the lambda element, already materialized), not the document, so
+    total work stays O(document length).  Exact DuckDB twin:
+    ``list_filter`` with the identical predicate.
+    """
+    if min_words < 0:
+        raise ValueError(f"min_words must be >= 0, got {min_words}")
+    lines = F.filter(
+        F.transform(F.split(F.col(text_col), r"\n"), lambda s: F.trim(s)),
+        lambda s: s != "",
+    )
+    d = docs.select(F.col(id_col), lines.alias("_ls"))
+
+    def _keep(s: Column) -> Column:
+        words = F.size(F.filter(F.split(s, " +"), lambda w: w != ""))
+        cond = words >= F.lit(min_words)
+        if terminal:
+            cond = cond & F.right(s, F.lit(1)).isin(*terminal)
+        low = F.lower(s)
+        for phrase in blocklist:
+            cond = cond & ~low.contains(phrase.lower())
+        if drop_braces:
+            cond = cond & ~s.contains("{") & ~s.contains("}")
+        return cond
+
+    d = d.select(id_col, "_ls", F.filter(F.col("_ls"), _keep).alias("_k"))
+    return d.select(
+        id_col,
+        F.size("_ls").alias("n_lines"),
+        F.size("_k").alias("n_kept"),
+        F.array_join("_k", "\n").alias("text_clean"),
+    )
+
+
 def corpus_profile(
     docs: DataFrame,
     by: str = "lang",

@@ -750,6 +750,102 @@ def k_hop(
     return visited
 
 
+def shortest_paths(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    weight_col: str | None = None,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Weighted single-source(-set) shortest paths, fixed-round
+    Bellman-Ford: (id, dist) for every graph vertex whose cheapest
+    directed path from ``sources`` uses at most ``rounds`` edges; dist is
+    the min total ``weight_col`` along such paths (BIGINT-exact;
+    ``weight_col=None`` = unit weights, i.e. BFS hop distance weighted by
+    edge multiplicity rules).  The weighted companion to :func:`k_hop`
+    (Gremlin ``g.V(xs).repeat(outE().inV()).times(k)`` with ``sack(sum)``
+    over an edge cost).
+
+    Per round: one equi-join of the tentative-distance frame onto the
+    edge table + one min hash-aggregation — the same
+    join-plus-uniform-agg shape as a PageRank round, and like
+    :func:`pagerank` the FIXED round count means the loop UNROLLS INTO
+    ONE JOB with no per-round convergence probe, which is also exactly
+    what makes the op SQL-twinnable as unrolled CTEs (``graph_sssp``):
+    min over BIGINT sums is association-order-free, so results are
+    bit-identical across engines and partitionings.  The distance frame
+    is vertex-bounded (one row per reached vertex) and broadcast-gated
+    into each round's join; the edge frame is checkpointed once and
+    never re-shuffles.
+
+    Sources not present in the edge set are ignored (distance is defined
+    over the graph's vertices — the :func:`personalized_pagerank`
+    contract).  Negative weights are accepted (Bellman-Ford semantics:
+    cheapest ≤ ``rounds``-edge walk) but the fixed round count means no
+    negative-cycle detection — at 100 TB you bound rounds, not iterate
+    to a fixpoint that may not exist.  String vertex ids run
+    dictionary-encoded as xxhash64 longs like every iterative op here.
+    """
+    if rounds < 0:
+        raise ValueError(f"rounds must be >= 0, got {rounds}")
+    src = sources.select(F.col(id_col).alias("id")).distinct()
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        src_enc = src.select(
+            F.xxhash64(F.col("id").cast("string")).alias("id")
+        )
+        seed = vocab.select(F.col("enc").alias("id")).join(src_enc, "id")
+        dist = _sssp_loop(encoded, seed, rounds, weight_col, out_col, in_col)
+        return _decode_ids(dist, vocab, ["id"])
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+    )
+    seed = verts.join(src, "id", "left_semi")
+    return _sssp_loop(edges, seed, rounds, weight_col, out_col, in_col)
+
+
+def _sssp_loop(
+    edges: DataFrame,
+    seed: DataFrame,
+    rounds: int,
+    weight_col: str | None,
+    out_col: str,
+    in_col: str,
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    w = (
+        F.col(weight_col).cast("long")
+        if weight_col is not None
+        else F.lit(1).cast("long")
+    )
+    # referenced once per round; without a checkpoint the unrolled plan
+    # re-executes the scan+projection per reference (pagerank's
+    # ranked_edges discipline)
+    e = edges.select(
+        F.col(out_col).alias("src"), F.col(in_col).alias("dst"), w.alias("w")
+    ).localCheckpoint()
+    dist = seed.select("id", F.lit(0).cast("long").alias("dist")).localCheckpoint()
+    for i in range(rounds):
+        relax = e.join(
+            maybe_broadcast(dist.select(F.col("id").alias("src"), "dist")),
+            "src",
+        ).select(F.col("dst").alias("id"), (F.col("dist") + F.col("w")).alias("dist"))
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % 8 == 0 and (i + 1) < rounds:
+            dist = dist.localCheckpoint()
+    return dist.select("id", "dist")
+
+
 def components(
     edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
 ) -> DataFrame:

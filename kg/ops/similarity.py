@@ -457,3 +457,149 @@ def lsh_ann_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "cosine", "rk")
     )
+
+
+def _sqdist(a: Column, b: Column) -> Column:
+    """Squared L2 distance, left-to-right fold (the same IEEE operation
+    sequence as the zip_with cosine above)."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, v: acc + v,
+    )
+
+
+def subvectors(vec: Column, m: int, dim: int) -> Column:
+    """``vec`` split into ``m`` contiguous subvectors of ``dim/m`` dims
+    (the PQ decomposition).  Pure array slicing — shared by the encode
+    and query paths so both sides of every distance see identical
+    subspace boundaries."""
+    d = dim // m
+    return F.transform(
+        F.sequence(F.lit(0), F.lit(m - 1)),
+        lambda j: F.slice(vec, j * d + 1, d),
+    )
+
+
+def pq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    codebook: DataFrame,
+    m: int,
+    dim: int,
+) -> DataFrame:
+    """Product-quantization encoding (Jégou et al., TPAMI 2011): each
+    vector is compressed to ``m`` small integers — per subspace, the id
+    of the nearest codebook entry.  → ``(id, sub, code)`` rows.
+
+    ``codebook`` columns: ``(sub, code, cv)`` with ``cv`` an
+    ``array<double>`` of ``dim/m`` dims — caller-supplied, so a trained
+    (k-means-per-subspace) codebook drops in without touching the plan,
+    exactly the :func:`ivf_topk` centroid contract.
+
+    This is THE memory lever for corpus-scale ANN: at ``m=8`` one byte
+    per code stores a 64-dim float vector in 8 bytes instead of 256 —
+    the difference between an in-memory index and a disk-bound one at
+    10^11 vectors.
+
+    Plan shape: one m-wise explode of the corpus (rows × m — the
+    encode's inherent cost), one broadcast-gated join of the m·k-row
+    codebook dim, one hash aggregation for the argmin (``min(struct(
+    dist, code))`` — lexicographic min = nearest distance with lowest
+    code on ties, deterministic and SQL-twinnable; no window shuffle).
+    Distances are 6dp-rounded before comparison (the repo-wide
+    cross-engine float contract).  Zero-norm or otherwise degenerate
+    subvectors still encode (squared L2 is total, unlike cosine).
+    """
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    from kg.hints import maybe_broadcast
+
+    d = df.select(
+        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+    ).select(
+        id_col,
+        F.posexplode(subvectors(F.col("_v"), m, dim)).alias("sub", "_sv"),
+    )
+    scored = d.join(maybe_broadcast(codebook), "sub").select(
+        id_col,
+        "sub",
+        "code",
+        F.round(_sqdist(F.col("_sv"), F.col("cv")), 6).alias("_d"),
+    )
+    best = scored.groupBy(id_col, "sub").agg(
+        F.min(F.struct(F.col("_d"), F.col("code"))).alias("_b")
+    )
+    return best.select(id_col, "sub", F.col("_b.code").alias("code"))
+
+
+def pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    codebook: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    k: int = 5,
+) -> DataFrame:
+    """PQ asymmetric-distance (ADC) approximate top-k: corpus vectors are
+    scored in the COMPRESSED domain — each query precomputes a lookup
+    table of distances to every codebook entry, and a corpus vector's
+    approximate distance is the sum of ``m`` table lookups over its
+    codes; no corpus float vector is touched at query time.
+
+    → ``(query_id, neighbor_id, adc_fp, rk)``: ``adc_fp`` is the ADC
+    distance in integer micro-units (per-subspace distances are
+    converted via ``round(d·10^6)`` BEFORE summing, so the sum is exact
+    BIGINT arithmetic — association-order-free, bit-reproducible, and
+    SQL-twinnable; a float sum of per-subspace distances would be
+    order-sensitive across partitionings).  Rank ascending by
+    ``(adc_fp, neighbor_id)``.  Self-pairs excluded.
+
+    Plan shape (100 TB): the LUT is |queries|·m·k rows → broadcast-gated
+    join onto the corpus code table (an equi-join on (sub, code) — never
+    all-pairs in the FLOAT domain; the scan is |corpus|·m compact rows),
+    one hash aggregation summing the m lookups, one top-k window.
+    Composition: feed ``pq_topk``'s candidates into an exact re-rank
+    (``brute_force_topk`` over the candidate set) when final-stage
+    precision matters, or restrict the corpus side to an IVF cell list —
+    IVF-PQ — for sublinear scan; both compose as DataFrame ops.
+    """
+    from kg.hints import maybe_broadcast
+
+    codes = pq_encode(corpus, corpus_id, vec_col, codebook, m, dim)
+    codes = codes.select(
+        F.col(corpus_id).alias("neighbor_id"), "sub", "code"
+    )
+    qsub = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    ).select(
+        "query_id",
+        F.posexplode(subvectors(F.col("_v"), m, dim)).alias("sub", "_sv"),
+    )
+    lut = qsub.join(maybe_broadcast(codebook), "sub").select(
+        "query_id",
+        "sub",
+        "code",
+        F.round(_sqdist(F.col("_sv"), F.col("cv")) * 1_000_000, 0)
+        .cast("long")
+        .alias("_qd"),
+    )
+    scored = (
+        codes.join(maybe_broadcast(lut), ["sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_qd").alias("adc_fp"))
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_fp", "rk")
+    )

@@ -147,6 +147,62 @@ def repetition_stats(df, id_col: str, text_col: str):
     )
 
 
+# PII patterns: the Java-regex / RE2 COMMON SUBSET only (no lookaround,
+# no backrefs), so Spark and the DuckDB oracle match identical spans.
+PII_EMAIL = r"[A-Za-z0-9._%+\-]+@[A-Za-z0-9.\-]+\.[A-Za-z][A-Za-z]+"
+PII_IPV4 = r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b"
+PII_LONG_DIGITS = r"\b\d{7,}\b"
+
+
+def redact_pii(df, id_col: str = "doc_id", text_col: str = "text"):
+    """PII scrubbing — the redaction pass every pretraining corpus gets
+    before release (emails / IPv4 addresses / long digit runs → typed
+    placeholder tokens, the C4/CCNet-style regex tier; NER-grade PII
+    detection is a model, not a regex, and out of scope).
+
+    Returns ``(id_col, n_emails, n_ips, n_numbers, text_redacted)`` for
+    every input row.  Replacement is STAGED — emails first, then IPs on
+    the email-redacted text, then ≥7-digit runs on the IP-redacted text
+    — and each count is measured on the stage input it was replaced in,
+    so counts and text agree exactly and the whole op is a deterministic
+    function of the input (the same staging mirrored in the SQL twin).
+    ``PII_LONG_DIGITS`` runs last so it cannot eat the digits inside an
+    address the earlier stages own.
+
+    Scale shape: pure per-row JVM regex expressions (whole-stage
+    codegen), zero shuffle, zero Python; each intermediate text is bound
+    as an attribute so no regex pass re-evaluates.  Patterns stay inside
+    the Java/RE2 common subset so the DuckDB oracle computes identical
+    spans.
+    """
+    d = df.select(F.col(id_col), F.col(text_col).alias("_t0"))
+    d = d.select(
+        id_col,
+        "_t0",
+        F.size(F.regexp_extract_all(F.col("_t0"), F.lit(PII_EMAIL), F.lit(0)))
+        .alias("n_emails"),
+        F.regexp_replace("_t0", PII_EMAIL, "<EMAIL>").alias("_t1"),
+    )
+    d = d.select(
+        id_col,
+        "n_emails",
+        F.size(F.regexp_extract_all(F.col("_t1"), F.lit(PII_IPV4), F.lit(0)))
+        .alias("n_ips"),
+        F.regexp_replace("_t1", PII_IPV4, "<IP>").alias("_t2"),
+    )
+    return d.select(
+        id_col,
+        "n_emails",
+        "n_ips",
+        F.size(
+            F.regexp_extract_all(F.col("_t2"), F.lit(PII_LONG_DIGITS), F.lit(0))
+        ).alias("n_numbers"),
+        F.regexp_replace("_t2", PII_LONG_DIGITS, "<NUM>").alias(
+            "text_redacted"
+        ),
+    )
+
+
 def winnow_fingerprints(
     df, id_col: str, text_col: str, k: int = 5, window: int = 4
 ):

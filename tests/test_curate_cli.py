@@ -170,3 +170,39 @@ def test_cli_mix_rejects_missing_group_column(spark, tmp_path):
             ["--input", docs, "--output", out, "--mix", "en=1.0"],
             spark=spark,
         )
+
+
+def test_cli_clean_lines_and_redact_pii(spark, tmp_path, capsys):
+    docs = str(tmp_path / "pdocs")
+    keep = (
+        "this line has enough words to survive the filter.\n"
+        "mail me at alice@example.com with acct 123456789."
+    )
+    _write_docs(
+        spark,
+        docs,
+        [
+            (1, keep),
+            (2, "no terminal punctuation so every line dies"),
+        ],
+    )
+    out = str(tmp_path / "pout")
+    cli.main(
+        [
+            "--input", docs,
+            "--output", out,
+            "--clean-lines",
+            "--redact-pii",
+            "--split", "train=1.0",
+        ],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    # doc 2 lost every line -> dropped before curation
+    assert report["rows_out"] == 1
+    row = spark.read.parquet(out).first()
+    assert row["doc_id"] == 1
+    assert "<EMAIL>" in row["text"] and "<NUM>" in row["text"]
+    assert "alice@example.com" not in row["text"]
+    # both original lines survived the C4 rules
+    assert row["text"].count("\n") == 1

@@ -106,3 +106,19 @@ def test_cli_rejects_misapplied_label_flags(spark, warehouse):
              "--first-label", "t"],
             spark=spark,
         )
+
+
+def test_cli_sssp_runs_and_requires_sources(spark, warehouse, tmp_path):
+    got = {
+        r["id"]: r["dist"]
+        for r in _run(
+            spark, warehouse, tmp_path,
+            "--query", "sssp", "--sources", "a", "--rounds", "2",
+        ).collect()
+    }
+    # unit weights over a→b→c: hop distances
+    assert got == {"a": 0, "b": 1, "c": 2}
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--warehouse", warehouse, "--query", "sssp"], spark=spark
+        )

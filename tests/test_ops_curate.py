@@ -419,3 +419,49 @@ def test_lm_score_hand_check(spark):
     # the filter's point: common-token boilerplate scores LOWER than
     # rare-token soup
     assert rows[1]["bits_per_token"] < rows[2]["bits_per_token"]
+
+
+# ---------------------------------------------------------------- clean lines
+def test_clean_lines_hand_doc(spark):
+    from kg.ops.curate import clean_lines
+
+    text = "\n".join(
+        [
+            "this line is long enough and ends well.",   # kept
+            "too short.",                                 # < 3 words
+            "no terminal punctuation on this line",       # no terminal
+            "enable JavaScript to view this content.",    # blocklist
+            "We use cookie banners on this site.",        # blocklist
+            "function f() { return 1; }",                 # braces
+            "",                                           # empty, not counted
+            "  another good line survives here!  ",       # kept (trimmed)
+        ]
+    )
+    docs = _df(spark, [(1, text)], ["doc_id", "text"])
+    row = clean_lines(docs).first()
+    assert row["n_lines"] == 7  # empties dropped before counting
+    assert row["n_kept"] == 2
+    assert row["text_clean"] == (
+        "this line is long enough and ends well.\n"
+        "another good line survives here!"
+    )
+
+
+def test_clean_lines_all_dropped_and_params(spark):
+    import pytest
+
+    from kg.ops.curate import clean_lines
+
+    docs = _df(spark, [(1, "no punct here\nx."), (2, "")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in clean_lines(docs).collect()}
+    assert rows[1]["n_kept"] == 0 and rows[1]["text_clean"] == ""
+    assert rows[2]["n_lines"] == 0 and rows[2]["text_clean"] == ""
+    # disabling the terminal rule keeps the 3-word unpunctuated line
+    relaxed = {
+        r["doc_id"]: r
+        for r in clean_lines(docs, terminal=()).collect()
+    }
+    assert relaxed[1]["n_kept"] == 1
+    assert relaxed[1]["text_clean"] == "no punct here"
+    with pytest.raises(ValueError):
+        clean_lines(docs, min_words=-1)

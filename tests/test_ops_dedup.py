@@ -470,3 +470,85 @@ def test_tokenless_docs_are_not_near_duplicates(spark):
     assert [len(r["s"]) for r in sh] == [0, 0, 2]  # 4 tokens -> two 3-grams
     pairs = minhash_duplicates(docs, "doc_id", "text", threshold=0.1)
     assert pairs.count() == 0
+
+
+def test_pq_encode_and_adc_hand_vectors(spark):
+    from kg.ops import pq_encode, pq_topk
+
+    # dim=4, m=2 subspaces of 2 dims; codebook per subspace: code 0 at
+    # origin-ish, code 1 offset — hand-checkable argmins and ADC sums
+    cb = spark.createDataFrame(
+        [
+            (0, 0, [0.0, 0.0]), (0, 1, [10.0, 0.0]),
+            (1, 0, [0.0, 0.0]), (1, 1, [0.0, 10.0]),
+        ],
+        "sub int, code int, cv array<double>",
+    )
+    vecs = spark.createDataFrame(
+        [
+            (1, [0.1, 0.0, 0.0, 0.1]),   # codes (0, 0)
+            (2, [9.0, 0.0, 0.0, 9.5]),   # codes (1, 1)
+            (3, [5.0, 0.0, 0.0, 0.0]),   # sub0 equidistant -> tie -> code 0
+        ],
+        "vid long, v array<double>",
+    )
+    codes = {
+        (r["vid"], r["sub"]): r["code"]
+        for r in pq_encode(vecs, "vid", "v", cb, m=2, dim=4).collect()
+    }
+    assert codes == {
+        (1, 0): 0, (1, 1): 0,
+        (2, 0): 1, (2, 1): 1,
+        (3, 0): 0, (3, 1): 0,
+    }
+    # ADC for query 1 against neighbor 2: codes (1,1) ->
+    # d(sub0=[0.1,0], [10,0]) = 9.9^2 = 98.01 ; d(sub1=[0,0.1],[0,10]) =
+    # 9.9^2 -> adc_fp = 2 * 98_010_000
+    top = {
+        (r["query_id"], r["neighbor_id"]): (r["adc_fp"], r["rk"])
+        for r in pq_topk(
+            vecs, vecs, cb, "vid", "vid", "v", m=2, dim=4, k=2
+        ).collect()
+    }
+    assert top[(1, 2)][0] == 196_020_000
+    # neighbor 3 shares query 1's codes -> adc = d to code(0,0) twice
+    # = 0.01 + 0.01 -> 20_000
+    assert top[(1, 3)][0] == 20_000
+    assert top[(1, 3)][1] == 1 and top[(1, 2)][1] == 2
+
+
+def test_pq_rejects_indivisible_dim(spark):
+    import pytest
+
+    from kg.ops import pq_encode
+
+    cb = spark.createDataFrame([(0, 0, [0.0])], "sub int, code int, cv array<double>")
+    vecs = spark.createDataFrame([(1, [0.0, 0.0, 0.0])], "vid long, v array<double>")
+    with pytest.raises(ValueError):
+        pq_encode(vecs, "vid", "v", cb, m=2, dim=3)
+
+
+def test_pq_adc_ranks_track_true_neighbors(spark, sf_dir):
+    """With a codebook spanning the data (first 8 vectors), ADC ranking
+    must put a planted near-duplicate at rank 1 for its twin."""
+    from pyspark.sql import functions as F
+
+    from kg.ops import pq_topk, subvectors
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1000000).cast("long").alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.01) * x).alias("v"),
+    )
+    corpus = emb.unionByName(twin)
+    cb = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("code"),
+        F.posexplode(subvectors(F.col("v"), 8, 64)).alias("sub", "cv"),
+    ).select("sub", "code", "cv")
+    queries = corpus.filter(F.col("vec_id") == 1000000)
+    top = pq_topk(
+        queries, corpus, cb, "vec_id", "vec_id", "v", m=8, dim=64, k=1
+    ).first()
+    assert top["neighbor_id"] == 0  # the twin's source wins rank 1

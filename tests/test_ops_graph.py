@@ -410,3 +410,83 @@ def test_half_specified_label_filter_raises(edges):
         two_hop(labeled, first_label="t")  # label_col forgotten
     # fully-specified still works
     assert two_hop(labeled, label_col="label", first_label="t").count() >= 0
+
+
+def test_shortest_paths_weighted_hand_graph(spark):
+    from kg.ops import shortest_paths
+
+    # a -1-> b -1-> c, plus a -5-> c direct: relaxation must prefer the
+    # 2-edge path (dist 2) over the direct heavy edge (dist 5)
+    e = spark.createDataFrame(
+        [("a", "b", 1), ("b", "c", 1), ("a", "c", 5), ("c", "d", 2)],
+        "out_id string, in_id string, w long",
+    )
+    src = spark.createDataFrame([("a",)], "id string")
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(e, src, rounds=3, weight_col="w").collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 2, "d": 4}
+    # rounds=1 can only see the direct edges
+    one = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(e, src, rounds=1, weight_col="w").collect()
+    }
+    assert one == {"a": 0, "b": 1, "c": 5}
+
+
+def test_shortest_paths_unit_weights_match_bfs(spark, edges):
+    from kg.ops import k_hop, shortest_paths
+
+    src = spark.createDataFrame([("a",)], "id string")
+    bfs = {r["id"]: r["hops"] for r in k_hop(edges, src, k=3).collect()}
+    ssp = {
+        r["id"]: r["dist"] for r in shortest_paths(edges, src, rounds=3).collect()
+    }
+    assert ssp == bfs
+
+
+def test_shortest_paths_multi_source_and_foreign_source(spark):
+    from kg.ops import shortest_paths
+
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("z", "b", 1)], "out_id string, in_id string, w long"
+    )
+    # "ghost" is not a graph vertex -> ignored (the PPR contract); the
+    # multi-source min wins at b
+    src = spark.createDataFrame([("a",), ("z",), ("ghost",)], "id string")
+    got = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(e, src, rounds=2, weight_col="w").collect()
+    }
+    assert got == {"a": 0, "z": 0, "b": 1}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        shortest_paths(e, src, rounds=-1)
+
+
+def test_shortest_paths_long_ids_match_raw_path(spark):
+    from kg.ops import shortest_paths
+
+    # integral ids skip the encoding; string twin of the same graph must
+    # produce the same distances (output-invariance of the encoding)
+    e_raw = spark.createDataFrame(
+        [(1, 2, 4), (2, 3, 4), (1, 3, 9)], "out_id long, in_id long, w long"
+    )
+    e_str = e_raw.select(
+        F.col("out_id").cast("string").alias("out_id"),
+        F.col("in_id").cast("string").alias("in_id"),
+        "w",
+    )
+    s_raw = spark.createDataFrame([(1,)], "id long")
+    s_str = spark.createDataFrame([("1",)], "id string")
+    raw = {
+        r["id"]: r["dist"]
+        for r in shortest_paths(e_raw, s_raw, rounds=2, weight_col="w").collect()
+    }
+    enc = {
+        int(r["id"]): r["dist"]
+        for r in shortest_paths(e_str, s_str, rounds=2, weight_col="w").collect()
+    }
+    assert raw == enc == {1: 0, 2: 4, 3: 8}

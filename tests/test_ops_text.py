@@ -127,3 +127,40 @@ def test_repetition_stats_hand_docs(spark):
     assert got["d3"] == (0.0, 0.0, 0.0)
     assert got["d4"] == (0.0, 0.0, 0.0)
     assert len(got) == 4
+
+
+def test_redact_pii_hand_doc(spark):
+    from kg.ops.text import redact_pii
+
+    text = (
+        "mail alice.smith+x@example.co.uk or bob@test.org, "
+        "server 10.0.255.7 fallback 192.168.1.1, "
+        "acct 12345678 ref 999999 card 4111111111111111"
+    )
+    docs = spark.createDataFrame([(1, text), (2, "clean text")], ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in redact_pii(docs).collect()}
+    r = rows[1]
+    assert r["n_emails"] == 2
+    assert r["n_ips"] == 2
+    # 999999 is only 6 digits -> NOT redacted
+    assert r["n_numbers"] == 2
+    assert r["text_redacted"] == (
+        "mail <EMAIL> or <EMAIL>, "
+        "server <IP> fallback <IP>, "
+        "acct <NUM> ref 999999 card <NUM>"
+    )
+    assert rows[2]["n_emails"] == 0 and rows[2]["text_redacted"] == "clean text"
+
+
+def test_redact_pii_staging_order(spark):
+    from kg.ops.text import redact_pii
+
+    # the digits inside an email / IP belong to those stages: the
+    # long-digit pass must not double-count or eat them
+    docs = spark.createDataFrame(
+        [(1, "u1234567@host.com at 12.34.56.78 then 7654321")],
+        ["doc_id", "text"],
+    )
+    r = redact_pii(docs).first()
+    assert (r["n_emails"], r["n_ips"], r["n_numbers"]) == (1, 1, 1)
+    assert r["text_redacted"] == "<EMAIL> at <IP> then <NUM>"
