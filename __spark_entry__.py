@@ -794,6 +794,51 @@ def _pagerank_sql(
     return "WITH " + ", ".join(parts) + f" SELECT id, rank_fp FROM r{iters}"
 
 
+_HITS_ITERS = 2
+
+
+def q_graph_hits(spark: SparkSession, sf: str) -> DataFrame:
+    """HITS hubs/authorities (``kg/ops/graph.py::hits``) over the
+    customer→order→part graph: customers/orders score as hubs, orders/
+    parts as authorities.  Exact integer max-normalization per round, so
+    the iterative op carries a FULL unrolled-CTE twin like pagerank."""
+    from kg.ops import hits
+
+    return hits(_star_graph_edges(spark, sf), iters=_HITS_ITERS)
+
+
+def _hits_sql(iters: int = _HITS_ITERS) -> str:
+    """Twin of q_graph_hits: the same integer max-norm update per round
+    (split-identity floor(s·10^6/m), greatest(m,1) zero guard) as
+    unrolled CTEs."""
+    norm = "CAST((s // m) * 1000000 + ((s % m) * 1000000) // m AS BIGINT)"
+    parts = [
+        "e0 AS (" + _GRAPH_EDGES_SQL + ")",
+        "e AS (SELECT out_id AS src, in_id AS dst FROM e0)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        "h0 AS (SELECT id, CAST(1000000 AS BIGINT) AS v FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"a{i}r AS (SELECT e.dst AS id, sum(h.v) AS s FROM e "
+            f"JOIN h{i - 1} h ON h.id = e.src GROUP BY e.dst)",
+            f"a{i}m AS (SELECT greatest(max(s), 1) AS m FROM a{i}r)",
+            f"a{i} AS (SELECT id, {norm} AS v FROM a{i}r, a{i}m)",
+            f"h{i}r AS (SELECT e.src AS id, sum(a.v) AS s FROM e "
+            f"JOIN a{i} a ON a.id = e.dst GROUP BY e.src)",
+            f"h{i}m AS (SELECT greatest(max(s), 1) AS m FROM h{i}r)",
+            f"h{i} AS (SELECT id, {norm} AS v FROM h{i}r, h{i}m)",
+        ]
+    return (
+        "WITH " + ", ".join(parts) + " "
+        f"SELECT v.id, coalesce(h{iters}.v, 0) AS hub_fp, "
+        f"coalesce(a{iters}.v, 0) AS auth_fp FROM verts v "
+        f"LEFT JOIN h{iters} ON h{iters}.id = v.id "
+        f"LEFT JOIN a{iters} ON a{iters}.id = v.id"
+    )
+
+
 def _tri_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Tripartite edge set with real 3-cycles: each lineitem links its
     order↔part, order↔supplier and part↔supplier, so every (order, part,
@@ -1642,6 +1687,7 @@ def queries() -> dict[str, _T]:
         "graph_clustering": q_graph_clustering,
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
+        "graph_hits": q_graph_hits,
         "graph_components": q_graph_components,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
@@ -2194,6 +2240,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),
         "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
         "graph_sssp": _sssp_sql(_SSSP_ROUNDS, _KHOP_SRC_MAX),
+        "graph_hits": _hits_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),
         "repetition_stats": _repetition_sql(),
         "text_stats": (

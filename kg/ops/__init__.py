@@ -32,6 +32,7 @@ from kg.ops.graph import (  # noqa: F401
     components,
     degree_distribution,
     degrees,
+    hits,
     k_hop,
     neighbor_jaccard,
     pagerank,

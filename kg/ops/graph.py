@@ -428,6 +428,105 @@ def personalized_pagerank(
     )
 
 
+def hits(
+    edges: DataFrame,
+    iters: int = 2,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """HITS hubs-and-authorities (Kleinberg 1999) in EXACT integer
+    micro-units: (id, hub_fp, auth_fp) for every vertex, 10^6 = the
+    round's maximum score.
+
+    Per round: authority = Σ hub over in-neighbors, then hub = Σ
+    authority over out-neighbors, each max-normalized in integer
+    arithmetic — ``norm = (s div m)·10^6 + ((s mod m)·10^6) div m``
+    (exact floor(s·10^6/m) by the split identity, no intermediate
+    overflow until in-degree ≈ 9·10^6; the same overflow-safe split as
+    :func:`pagerank`'s damping product, mirrored in the SQL twin).
+    Max-normalization instead of L2: it keeps every update in BIGINT,
+    which is what makes the fixed-``iters`` run bit-reproducible across
+    engines and partitionings — the determinism-buys-an-oracle design
+    of the pagerank/k-means twins (an L2-normalized float HITS is
+    order-sensitive and cross-engine unstable).  The round maximum is a
+    lazy 1-row cross-joined broadcast scalar (no driver action), and
+    ``greatest(m, 1)`` guards the all-zero degenerate round.
+
+    Plan shape: per round two equi-joins of vertex-sized score frames
+    onto the edge table + two hash aggs + two 1-row max aggs; rounds
+    unroll into one job (no convergence probe).  Vertices with no
+    in-edges (resp. out-edges) get authority (resp. hub) 0 via the
+    final left joins.  String ids run long-encoded like every iterative
+    op here."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        verts = vocab.select(F.col("enc").alias("id"))
+        scores = _hits_loop(encoded, verts, iters, out_col, in_col)
+        return _decode_ids(scores, vocab, ["id"])
+    e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return _hits_loop(edges, verts, iters, out_col, in_col)
+
+
+def _hits_loop(
+    edges: DataFrame,
+    verts: DataFrame,
+    iters: int,
+    out_col: str,
+    in_col: str,
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    e = edges.select(
+        F.col(out_col).alias("src"), F.col(in_col).alias("dst")
+    ).localCheckpoint()
+    norm = (
+        "cast((s div m) * 1000000 + ((s % m) * 1000000) div m as long)"
+    )
+
+    def _propagate(scores: DataFrame, from_col: str, to_col: str) -> DataFrame:
+        raw = (
+            e.join(
+                maybe_broadcast(
+                    scores.select(F.col("id").alias(from_col), "v")
+                ),
+                from_col,
+            )
+            .select(F.col(to_col).alias("id"), "v")
+            .groupBy("id")
+            .agg(F.sum("v").alias("s"))
+        )
+        m = raw.agg(F.greatest(F.max("s"), F.lit(1)).alias("m"))
+        return raw.crossJoin(F.broadcast(m)).select(
+            "id", F.expr(norm).alias("v")
+        )
+
+    hub = verts.withColumn("v", F.lit(1_000_000).cast("long"))
+    auth = None
+    for i in range(iters):
+        auth = _propagate(hub, "src", "dst")
+        hub = _propagate(auth, "dst", "src")
+        if (i + 1) % 4 == 0 and (i + 1) < iters:
+            hub, auth = hub.localCheckpoint(), auth.localCheckpoint()
+    return (
+        verts.join(hub.withColumnRenamed("v", "hub_fp"), "id", "left")
+        .join(auth.withColumnRenamed("v", "auth_fp"), "id", "left")
+        .select(
+            "id",
+            F.coalesce("hub_fp", F.lit(0)).cast("long").alias("hub_fp"),
+            F.coalesce("auth_fp", F.lit(0)).cast("long").alias("auth_fp"),
+        )
+    )
+
+
 def _undirected(edges: DataFrame, out_col: str, in_col: str) -> DataFrame:
     """Distinct undirected simple edges as (u, v) with u < v (self-loops
     dropped): the canonical form every undirected graph op here starts

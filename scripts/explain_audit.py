@@ -42,6 +42,7 @@ def main() -> None:
         "graph_clustering", "graph_khop", "graph_components",
         "dedup_cluster_keepers", "curate_corpus",
         "corpus_profile", "sample_weighted", "lm_score",
+        "clean_lines", "redact_pii", "graph_sssp", "ann_pq",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

@@ -490,3 +490,44 @@ def test_shortest_paths_long_ids_match_raw_path(spark):
         for r in shortest_paths(e_str, s_str, rounds=2, weight_col="w").collect()
     }
     assert raw == enc == {1: 0, 2: 4, 3: 8}
+
+
+def test_hits_hand_graph(spark):
+    from kg.ops import hits
+
+    # a→c, b→c, c→d: c is the authority (two hubs point at it), a/b the
+    # hubs; hand-unrolled integer max-norm rounds
+    e = spark.createDataFrame(
+        [("a", "c"), ("b", "c"), ("c", "d")], "out_id string, in_id string"
+    )
+    got = {
+        r["id"]: (r["hub_fp"], r["auth_fp"]) for r in hits(e, iters=2).collect()
+    }
+    assert got == {
+        "a": (1_000_000, 0),
+        "b": (1_000_000, 0),
+        "c": (250_000, 1_000_000),
+        "d": (0, 250_000),
+    }
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        hits(e, iters=0)
+
+
+def test_hits_long_ids_match_raw_path(spark):
+    from kg.ops import hits
+
+    e_raw = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "out_id long, in_id long"
+    )
+    e_str = e_raw.select(
+        F.col("out_id").cast("string").alias("out_id"),
+        F.col("in_id").cast("string").alias("in_id"),
+    )
+    raw = {r["id"]: (r["hub_fp"], r["auth_fp"]) for r in hits(e_raw).collect()}
+    enc = {
+        int(r["id"]): (r["hub_fp"], r["auth_fp"])
+        for r in hits(e_str).collect()
+    }
+    assert raw == enc
