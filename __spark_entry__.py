@@ -839,6 +839,50 @@ def _hits_sql(iters: int = _HITS_ITERS) -> str:
     )
 
 
+_LPA_ROUNDS = 2
+
+
+def q_graph_lpa(spark: SparkSession, sf: str) -> DataFrame:
+    """Synchronous label-propagation communities
+    (``kg/ops/graph.py::label_propagation``) over the customer→order→part
+    graph — plurality-of-neighbor-labels with min-label tie-break, fixed
+    rounds, so the iterative community detector is bit-deterministic and
+    carries a FULL unrolled-CTE twin."""
+    from kg.ops import label_propagation
+
+    return label_propagation(_star_graph_edges(spark, sf), rounds=_LPA_ROUNDS)
+
+
+def _lpa_sql(iters: int = _LPA_ROUNDS) -> str:
+    """Twin of q_graph_lpa: the same synchronous plurality/min-tie update
+    per round as unrolled CTEs; the argmax is expressed independently (a
+    max-count window + min filter, vs the engine's min(struct(-cnt,
+    lbl)) pure agg), so agreement checks the update rule itself."""
+    parts = [
+        "e AS (" + _GRAPH_EDGES_SQL + ")",
+        "und AS (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM e WHERE out_id <> in_id)",
+        "adj AS MATERIALIZED (SELECT u AS id, v AS nbr FROM und "
+        "UNION ALL SELECT v, u FROM und)",
+        "l0 AS (SELECT id, id AS lbl FROM (SELECT DISTINCT id FROM adj))",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"c{i} AS (SELECT a.id, l.lbl, count(*) AS cnt FROM adj a "
+            f"JOIN l{i - 1} l ON l.id = a.nbr GROUP BY a.id, l.lbl)",
+            f"l{i} AS MATERIALIZED (SELECT id, min(lbl) AS lbl FROM "
+            f"(SELECT id, lbl, cnt, max(cnt) OVER (PARTITION BY id) AS m "
+            f"FROM c{i}) WHERE cnt = m GROUP BY id)",
+        ]
+    return (
+        "WITH " + ", ".join(parts) + ", "
+        "verts AS (SELECT DISTINCT out_id AS id FROM e "
+        "UNION SELECT in_id FROM e) "
+        f"SELECT v.id, coalesce(l{iters}.lbl, v.id) AS community "
+        f"FROM verts v LEFT JOIN l{iters} ON l{iters}.id = v.id"
+    )
+
+
 def _tri_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
     """Tripartite edge set with real 3-cycles: each lineitem links its
     order↔part, order↔supplier and part↔supplier, so every (order, part,
@@ -1688,6 +1732,7 @@ def queries() -> dict[str, _T]:
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
         "graph_hits": q_graph_hits,
+        "graph_lpa": q_graph_lpa,
         "graph_components": q_graph_components,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
@@ -2241,6 +2286,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
         "graph_sssp": _sssp_sql(_SSSP_ROUNDS, _KHOP_SRC_MAX),
         "graph_hits": _hits_sql(),
+        "graph_lpa": _lpa_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),
         "repetition_stats": _repetition_sql(),
         "text_stats": (

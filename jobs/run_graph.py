@@ -38,6 +38,8 @@ QUERIES = (
     "jaccard",
     "khop",
     "sssp",
+    "hits",
+    "lpa",
     "components",
 )
 
@@ -69,7 +71,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="comma-separated vertex ids (ppr/khop/sssp)")
     ap.add_argument("--k", type=int, default=2, help="BFS depth (khop)")
     ap.add_argument("--rounds", type=int, default=3,
-                    help="relaxation rounds = max path edges (sssp)")
+                    help="relaxation rounds = max path edges (sssp); "
+                         "synchronous update rounds (lpa)")
     ap.add_argument("--weight-col", default=None,
                     help="edge weight column (sssp; default unit weights)")
     ap.add_argument("--max-fanout", type=int, default=None,
@@ -158,6 +161,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 rounds=args.rounds,
                 weight_col=args.weight_col,
             )
+        elif args.query == "hits":
+            out = g.hits(edges, iters=args.iters)
+        elif args.query == "lpa":
+            out = g.label_propagation(edges, rounds=args.rounds)
         else:  # components
             out = g.components(edges)
         if args.output:

@@ -34,6 +34,7 @@ from kg.ops.graph import (  # noqa: F401
     degrees,
     hits,
     k_hop,
+    label_propagation,
     neighbor_jaccard,
     pagerank,
     personalized_pagerank,

@@ -984,3 +984,82 @@ def components(
         verts.join(cc, "id", "left")
         .select("id", F.coalesce("component", "id").alias("component"))
     )
+
+
+def label_propagation(
+    edges: DataFrame,
+    rounds: int = 2,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Community detection by synchronous label propagation (Raghavan,
+    Albert & Kumara 2007) with a deterministic tie-break: (id,
+    community) for every vertex after ``rounds`` synchronous updates
+    over the undirected simple graph.
+
+    Every vertex starts labeled with its own id; per round each vertex
+    adopts the label held by the PLURALITY of its neighbors, ties broken
+    by the MINIMUM label (the standard deterministic variant — the
+    paper's random tie-break would make the op non-reproducible, and
+    determinism is what buys the DuckDB twin, the design rule of
+    :func:`pagerank` / :func:`hits`).  Fixed synchronous rounds rather
+    than iterate-to-stability: synchronous LPA can 2-cycle on bipartite
+    structures, so a convergence probe may never fire — at 100 TB you
+    bound rounds (each is a full edge-table pass) exactly like
+    :func:`shortest_paths` bounds relaxations.  Isolated vertices (and
+    self-loop-only ones — :func:`_undirected` drops loops) keep their
+    own id as the community.
+
+    Plan shape per round: one equi-join of the vertex-sized label frame
+    (broadcast-gated) onto the bidirectional adjacency + TWO hash aggs —
+    a count by (vertex, label), then the plurality argmax as
+    ``min(struct(-count, label))``, a pure aggregation with no window
+    (per-vertex vote lists never materialize as arrays).  The adjacency
+    is checkpointed once so the unrolled multi-round plan re-reads it,
+    not the upstream scan.
+
+    Deliberately NOT xxhash64-long-encoded (unlike the other iterative
+    ops here): labels ARE vertex ids and the tie-break compares them, so
+    a non-order-preserving encoding would change which label wins ties —
+    the raw-id path is what matches any external replica of the rule
+    (the ``graph_lpa`` twin compares ids as strings on both engines).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    from kg.hints import maybe_broadcast
+
+    und = _undirected(edges, out_col, in_col)
+    adj = (
+        und.select(F.col("u").alias("id"), F.col("v").alias("nbr"))
+        .unionAll(und.select(F.col("v").alias("id"), F.col("u").alias("nbr")))
+        .localCheckpoint()
+    )
+    lbl = adj.select("id").distinct().withColumn("lbl", F.col("id"))
+    for i in range(rounds):
+        votes = (
+            adj.join(
+                maybe_broadcast(lbl.select(F.col("id").alias("nbr"), "lbl")),
+                "nbr",
+            )
+            .groupBy("id", "lbl")
+            .agg(F.count("*").alias("cnt"))
+        )
+        lbl = (
+            votes.groupBy("id")
+            .agg(
+                F.min(
+                    F.struct((-F.col("cnt")).alias("nc"), F.col("lbl").alias("l"))
+                ).alias("w")
+            )
+            .select("id", F.col("w.l").alias("lbl"))
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < rounds:
+            lbl = lbl.localCheckpoint()
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+    )
+    return verts.join(lbl, "id", "left").select(
+        "id", F.coalesce("lbl", F.col("id")).alias("community")
+    )

@@ -42,7 +42,8 @@ def main() -> None:
         "graph_clustering", "graph_khop", "graph_components",
         "dedup_cluster_keepers", "curate_corpus",
         "corpus_profile", "sample_weighted", "lm_score",
-        "clean_lines", "redact_pii", "graph_sssp", "ann_pq",
+        "clean_lines", "redact_pii", "graph_sssp", "ann_pq", "graph_hits",
+        "graph_lpa",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

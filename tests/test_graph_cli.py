@@ -122,3 +122,22 @@ def test_cli_sssp_runs_and_requires_sources(spark, warehouse, tmp_path):
         cli.main(
             ["--warehouse", warehouse, "--query", "sssp"], spark=spark
         )
+
+
+def test_cli_hits_and_lpa(spark, warehouse, tmp_path):
+    # a→b→c chain + d→c: b and d are hubs into c, c the top authority
+    h = {
+        r["id"]: (r["hub_fp"], r["auth_fp"])
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "hits", "--iters", "2"
+        ).collect()
+    }
+    assert set(h) == {"a", "b", "c", "d"}
+    assert h["c"][1] == max(v[1] for v in h.values())
+    lpa = {
+        r["id"]: r["community"]
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "lpa", "--rounds", "2"
+        ).collect()
+    }
+    assert set(lpa) == {"a", "b", "c", "d"}

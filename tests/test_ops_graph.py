@@ -531,3 +531,44 @@ def test_hits_long_ids_match_raw_path(spark):
         for r in hits(e_str).collect()
     }
     assert raw == enc
+
+
+def test_label_propagation_hand_graph(spark):
+    from kg.ops import label_propagation
+
+    # triangle a-b-c converges to community a by round 2; the d-e pair
+    # 2-cycles under synchronous updates (documented) so at rounds=2
+    # each holds its own label again; self-loop-only vertex s is
+    # isolated and keeps itself
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("d", "e"), ("s", "s")],
+        "out_id string, in_id string",
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(e, rounds=2).collect()
+    }
+    assert got == {"a": "a", "b": "a", "c": "a", "d": "d", "e": "e", "s": "s"}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        label_propagation(e, rounds=0)
+
+
+def test_label_propagation_plurality_beats_min(spark):
+    from kg.ops import label_propagation
+
+    # round 1: p,q adopt m (min of {x,m}); r adopts a (min of {x,a}).
+    # round 2: x's neighbor labels are {m:2, a:1} — the PLURALITY label
+    # m must win even though label a sorts lower, separating the rule
+    # from a min-of-neighbors fixpoint
+    e = spark.createDataFrame(
+        [("x", "p"), ("x", "q"), ("x", "r"), ("p", "m"), ("q", "m"),
+         ("r", "a")],
+        "out_id string, in_id string",
+    )
+    got = {
+        r["id"]: r["community"]
+        for r in label_propagation(e, rounds=2).collect()
+    }
+    assert got["x"] == "m"
