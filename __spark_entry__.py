@@ -607,6 +607,99 @@ def _ann_pq_sql() -> str:
     )
 
 
+def q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-PQ composite ANN (``kg/ops/similarity.py::ivf_pq_topk``) —
+    the FAISS-style pairing of the two approximate families: the
+    inverted file bounds WHICH vectors a query scans (cell probe,
+    sublinear) and residual product quantization bounds HOW they are
+    scored (compressed-domain ADC).  Stand-in centroids/codebook follow
+    the q_ann_ivf / q_ann_pq deterministic lowest-id contract (trained
+    k-means drops into either slot unchanged); ADC sums are exact BIGINT
+    micro-units over the RESIDual v − centroid, so the whole composite —
+    assignment, residuals, codes, ranks — carries a full DuckDB twin."""
+    from kg.ops import ivf_pq_topk, subvectors
+
+    emb = _read(spark, sf, "embeddings").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    centroids = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("cv")
+    )
+    cb = (
+        emb.filter(F.col("vec_id") < _PQ_CODES)
+        .select(
+            F.col("vec_id").cast("int").alias("code"),
+            F.posexplode(subvectors(F.col("v"), _PQ_M, _EMB_DIM)).alias(
+                "sub", "cv"
+            ),
+        )
+        .select("sub", "code", "cv")
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_pq_topk(
+        queries, emb, centroids, cb, "vec_id", "vec_id", "v",
+        m=_PQ_M, dim=_EMB_DIM, k=5, nprobe=_IVF_NPROBE,
+    )
+
+
+def _ann_ivf_pq_sql() -> str:
+    """Twin of q_ann_ivf_pq: the _ivf_body_sql assignment (same cosine
+    tie-break, corpus nprobe=1, query nprobe=_IVF_NPROBE) feeding the
+    _ann_pq_sql encode/ADC machinery over elementwise RESIDUALS."""
+    d = _EMB_DIM // _PQ_M
+    sq = (
+        "list_sum(list_transform(generate_series(1, {d}), "
+        "i -> ({a}[i] - {b}[i]) * ({a}[i] - {b}[i])))"
+    )
+    res = (
+        "list_transform(generate_series(1, {dim}), "
+        "i -> b.v[i] - c.cv[i])"
+    ).format(dim=_EMB_DIM)
+    sl = f"rv[sub * {d} + 1 : sub * {d} + {d}]"
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_IVF_CELLS}), "
+        "assign AS (SELECT b.vec_id, c.cid, row_number() OVER "
+        f"(PARTITION BY b.vec_id ORDER BY {_COS_CENT} DESC, c.cid ASC) AS rk "
+        f"FROM base b CROSS JOIN cent c WHERE NOT isnan({_COS_CENT})), "
+        "cells AS (SELECT vec_id, cid FROM assign WHERE rk = 1), "
+        f"qcells AS (SELECT vec_id, cid FROM assign WHERE rk <= {_IVF_NPROBE} "
+        "AND vec_id < 5), "
+        f"js AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub), "
+        "cb AS (SELECT CAST(vec_id AS INT) AS code, CAST(sub AS INT) AS sub, "
+        f"v[sub * {d} + 1 : sub * {d} + {d}] AS cv FROM base CROSS JOIN js "
+        f"WHERE vec_id < {_PQ_CODES}), "
+        f"cres AS (SELECT cl.vec_id, cl.cid, {res} AS rv FROM cells cl "
+        "JOIN base b USING (vec_id) JOIN cent c USING (cid)), "
+        f"qres AS (SELECT qc.vec_id, qc.cid, {res} AS rv FROM qcells qc "
+        "JOIN base b USING (vec_id) JOIN cent c USING (cid)), "
+        f"csub AS (SELECT vec_id, cid, CAST(sub AS INT) AS sub, {sl} AS sv "
+        "FROM cres CROSS JOIN js), "
+        "qsub AS (SELECT vec_id AS query_id, cid, CAST(sub AS INT) AS sub, "
+        f"{sl} AS sv FROM qres CROSS JOIN js), "
+        "sd AS (SELECT csub.vec_id, csub.cid, csub.sub, cb.code, "
+        "round(" + sq.format(d=d, a="csub.sv", b="cb.cv") + ", 6) AS dd "
+        "FROM csub JOIN cb USING (sub)), "
+        "codes AS (SELECT vec_id, cid, sub, code FROM (SELECT vec_id, cid, "
+        "sub, code, row_number() OVER (PARTITION BY vec_id, sub "
+        "ORDER BY dd ASC, code ASC) AS rn FROM sd) WHERE rn = 1), "
+        "lut AS (SELECT qsub.query_id, qsub.cid, qsub.sub, cb.code, "
+        "CAST(round(" + sq.format(d=d, a="qsub.sv", b="cb.cv")
+        + " * 1000000) AS BIGINT) AS qd FROM qsub JOIN cb USING (sub)), "
+        "sc AS (SELECT lut.query_id, codes.vec_id AS neighbor_id, "
+        "CAST(sum(lut.qd) AS BIGINT) AS adc_fp FROM codes "
+        "JOIN lut ON lut.cid = codes.cid AND lut.sub = codes.sub "
+        "AND lut.code = codes.code "
+        "WHERE lut.query_id <> codes.vec_id GROUP BY 1, 2), "
+        "r AS (SELECT query_id, neighbor_id, adc_fp, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY adc_fp ASC, neighbor_id ASC) AS rk "
+        "FROM sc) "
+        "SELECT query_id, neighbor_id, adc_fp, CAST(rk AS INT) AS rk "
+        "FROM r WHERE rk <= 5"
+    )
+
+
 def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     """Approximate top-k via banded hyperplane buckets + exact re-rank
     (SQL twin replicates the banding, so this is oracle-checked)."""
@@ -1720,6 +1813,7 @@ def queries() -> dict[str, _T]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_pq": q_ann_pq,
+        "ann_ivf_pq": q_ann_ivf_pq,
         "graph_degree": q_graph_degree,
         "graph_two_hop": q_graph_two_hop,
         "graph_two_hop_typed": q_graph_two_hop_typed,
@@ -2412,6 +2506,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "ann_pq": _ann_pq_sql(),
+        "ann_ivf_pq": _ann_ivf_pq_sql(),
         # kg_* twins: golden-backed. kg_triples reads the CLOSED-FORM
         # analytic golden (kg.datagen.golden_triples — derived from the
         # corpus spec, not from the extractor), so it is a true oracle;

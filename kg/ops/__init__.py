@@ -49,6 +49,7 @@ from kg.ops.similarity import (  # noqa: F401
     banded_signatures,
     brute_force_topk,
     ivf_assign,
+    ivf_pq_topk,
     ivf_topk,
     lsh_ann_topk,
     pq_encode,

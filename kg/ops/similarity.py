@@ -488,6 +488,7 @@ def pq_encode(
     codebook: DataFrame,
     m: int,
     dim: int,
+    carry: tuple[str, ...] = (),
 ) -> DataFrame:
     """Product-quantization encoding (Jégou et al., TPAMI 2011): each
     vector is compressed to ``m`` small integers — per subspace, the id
@@ -511,27 +512,37 @@ def pq_encode(
     Distances are 6dp-rounded before comparison (the repo-wide
     cross-engine float contract).  Zero-norm or otherwise degenerate
     subvectors still encode (squared L2 is total, unlike cosine).
+
+    ``carry`` names extra columns to thread through the explode and
+    argmin unchanged (each must be functionally dependent on ``id_col``
+    — e.g. the IVF cell id in :func:`ivf_pq_topk`); carrying them
+    through costs nothing, where re-attaching them afterwards would be
+    an extra corpus × m shuffle.
     """
     if dim % m != 0:
         raise ValueError(f"dim={dim} not divisible by m={m}")
     from kg.hints import maybe_broadcast
 
     d = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        F.col(id_col),
+        *[F.col(c) for c in carry],
+        F.col(vec_col).cast("array<double>").alias("_v"),
     ).select(
         id_col,
+        *carry,
         F.posexplode(subvectors(F.col("_v"), m, dim)).alias("sub", "_sv"),
     )
     scored = d.join(maybe_broadcast(codebook), "sub").select(
         id_col,
+        *carry,
         "sub",
         "code",
         F.round(_sqdist(F.col("_sv"), F.col("cv")), 6).alias("_d"),
     )
-    best = scored.groupBy(id_col, "sub").agg(
+    best = scored.groupBy(id_col, *carry, "sub").agg(
         F.min(F.struct(F.col("_d"), F.col("code"))).alias("_b")
     )
-    return best.select(id_col, "sub", F.col("_b.code").alias("code"))
+    return best.select(id_col, *carry, "sub", F.col("_b.code").alias("code"))
 
 
 def pq_topk(
@@ -597,6 +608,121 @@ def pq_topk(
     )
     from pyspark.sql import Window as W
 
+    w = W.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "adc_fp", "rk")
+    )
+
+
+def ivf_pq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    codebook: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    m: int,
+    dim: int,
+    k: int = 5,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-PQ approximate top-k (Jégou et al., TPAMI 2011 §V — the
+    FAISS ``IVFPQ`` design): the coarse inverted file restricts WHICH
+    corpus vectors a query scores (sublinear probe, :func:`ivf_topk`),
+    and product quantization of the RESIDUAL ``v − centroid(cell)``
+    compresses HOW they are scored (compressed-domain ADC,
+    :func:`pq_topk`).  Together they are the standard shape for 10^9+
+    vector indexes: cells bound the scan, residual codes bound the
+    memory.  Residuals — not raw vectors — are what PQ quantizes here:
+    within a cell they are centered near zero, so a shared codebook
+    spends its codes on local structure instead of re-encoding the cell
+    offset (the paper's stated reason residual IVFPQ beats plain PQ).
+
+    → ``(query_id, neighbor_id, adc_fp, rk)``; ``adc_fp`` is the exact
+    BIGINT micro-unit ADC sum of ``||(q − c) − decode(codes)||²`` within
+    the probed cell (per-subspace distances rounded to micro-units
+    BEFORE summing — association-order-free, bit-reproducible, and
+    SQL-twinnable like :func:`pq_topk`).  Rank ascending by
+    ``(adc_fp, neighbor_id)``; self-pairs excluded.
+
+    Plan shape (100 TB): corpus assignment is one broadcast-NL pass over
+    the K centroids + a per-vector window (``ivf_assign``), residuals a
+    map-side ``zip_with``, the encode one m-wise explode + broadcast
+    codebook join + argmin hash agg with the cell id CARRIED through
+    (``pq_encode(carry=("cid",))`` — no re-attach shuffle).  The query
+    LUT is |queries|·nprobe·m·k_codes rows, broadcast-gated into ONE
+    equi-join on (cid, sub, code) — the cid key is what makes the scan
+    sublinear: a corpus code row only meets queries that probed its
+    cell.  One hash agg sums the m lookups, one top-k window.  No
+    all-pairs float path exists.  Zero-norm vectors are unindexable
+    (NaN cosine to every centroid, the :func:`ivf_assign` contract) and
+    drop out of both sides.
+
+    ``centroids`` (cid, cv) and ``codebook`` (sub, code, cv over
+    ``dim/m`` dims) are caller-supplied: :func:`kg.ops.kmeans.kmeans_fit`
+    output drops in for the former, a per-subspace k-means over
+    residuals for the latter, without touching the plan."""
+    if dim % m != 0:
+        raise ValueError(f"dim={dim} not divisible by m={m}")
+    from pyspark.sql import Window as W
+
+    from kg.hints import maybe_broadcast
+
+    cvdf = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    ccells = ivf_assign(cvdf, "neighbor_id", "_cv", centroids, nprobe=1)
+    resid = (
+        cvdf.join(ccells, "neighbor_id")
+        .join(maybe_broadcast(centroids), "cid")
+        .select(
+            "neighbor_id",
+            "cid",
+            F.zip_with("_cv", "cv", lambda x, y: x - y).alias("_rv"),
+        )
+    )
+    codes = pq_encode(
+        resid, "neighbor_id", "_rv", codebook, m, dim, carry=("cid",)
+    )
+
+    qvdf = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    qcells = ivf_assign(qvdf, "query_id", "_qv", centroids, nprobe=nprobe)
+    qres = (
+        qvdf.join(qcells, "query_id")
+        .join(maybe_broadcast(centroids), "cid")
+        .select(
+            "query_id",
+            "cid",
+            F.zip_with("_qv", "cv", lambda x, y: x - y).alias("_rv"),
+        )
+    )
+    qsub = qres.select(
+        "query_id",
+        "cid",
+        F.posexplode(subvectors(F.col("_rv"), m, dim)).alias("sub", "_sv"),
+    )
+    lut = qsub.join(maybe_broadcast(codebook), "sub").select(
+        "query_id",
+        "cid",
+        "sub",
+        "code",
+        F.round(_sqdist(F.col("_sv"), F.col("cv")) * 1_000_000, 0)
+        .cast("long")
+        .alias("_qd"),
+    )
+    scored = (
+        codes.join(maybe_broadcast(lut), ["cid", "sub", "code"])
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .groupBy("query_id", "neighbor_id")
+        .agg(F.sum("_qd").alias("adc_fp"))
+    )
     w = W.partitionBy("query_id").orderBy(F.asc("adc_fp"), F.asc("neighbor_id"))
     return (
         scored.withColumn("rk", F.row_number().over(w))

@@ -552,3 +552,54 @@ def test_pq_adc_ranks_track_true_neighbors(spark, sf_dir):
         queries, corpus, cb, "vec_id", "vec_id", "v", m=8, dim=64, k=1
     ).first()
     assert top["neighbor_id"] == 0  # the twin's source wins rank 1
+
+
+def test_ivf_pq_residual_adc_hand_vectors(spark):
+    """Hand-checkable IVF-PQ: 2 cells on axis 0/2, residual codebook with
+    codes at [0,0] and [0,0.1] per subspace; every cell assignment,
+    residual code and ADC sum below is computed by hand."""
+    from kg.ops import ivf_pq_topk
+
+    cent = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0, 0.0]), (1, [0.0, 0.0, 1.0, 0.0])],
+        "cid int, cv array<double>",
+    )
+    cb = spark.createDataFrame(
+        [(s, c, [0.0, 0.1 * c]) for s in (0, 1) for c in (0, 1)],
+        "sub int, code int, cv array<double>",
+    )
+    corpus = spark.createDataFrame(
+        [
+            (1, [1.0, 0.1, 0.0, 0.0]),   # cell 0, resid [0,.1|0,0] → codes (1,0)
+            (2, [1.0, -0.1, 0.0, 0.0]),  # cell 0, resid [0,-.1|0,0] → codes (0,0)
+            (3, [0.0, 0.0, 1.0, 0.1]),   # cell 1, resid [0,0|0,.1] → codes (0,1)
+        ],
+        "vec_id int, v array<double>",
+    )
+    q = spark.createDataFrame(
+        [(100, [1.0, 0.05, 0.0, 0.0])], "vec_id int, v array<double>"
+    )
+    # nprobe=1: only cell 0 scanned; q resid [0,.05|0,0] → LUT sub0:
+    # {code0: 2500, code1: 2500}, sub1: {code0: 0, code1: 10000}
+    got = {
+        (r["query_id"], r["neighbor_id"]): (r["adc_fp"], r["rk"])
+        for r in ivf_pq_topk(
+            q, corpus, cent, cb, "vec_id", "vec_id", "v",
+            m=2, dim=4, k=5, nprobe=1,
+        ).collect()
+    }
+    assert got == {(100, 1): (2500, 1), (100, 2): (2500, 2)}
+    # nprobe=2 adds cell 1: q resid there [1,.05|-1,0] → v3 adc =
+    # 1002500 + 1010000
+    got2 = {
+        r["neighbor_id"]: (r["adc_fp"], r["rk"])
+        for r in ivf_pq_topk(
+            q, corpus, cent, cb, "vec_id", "vec_id", "v",
+            m=2, dim=4, k=5, nprobe=2,
+        ).collect()
+    }
+    assert got2 == {1: (2500, 1), 2: (2500, 2), 3: (2012500, 3)}
+    import pytest as _pt
+
+    with _pt.raises(ValueError):
+        ivf_pq_topk(q, corpus, cent, cb, "vec_id", "vec_id", "v", m=3, dim=4)
