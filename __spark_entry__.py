@@ -660,12 +660,7 @@ def _ann_ivf_pq_sql() -> str:
         "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
         "FROM embeddings), "
         f"cent AS (SELECT vec_id AS cid, v AS cv FROM base WHERE vec_id < {_IVF_CELLS}), "
-        "assign AS (SELECT b.vec_id, c.cid, row_number() OVER "
-        f"(PARTITION BY b.vec_id ORDER BY {_COS_CENT} DESC, c.cid ASC) AS rk "
-        f"FROM base b CROSS JOIN cent c WHERE NOT isnan({_COS_CENT})), "
-        "cells AS (SELECT vec_id, cid FROM assign WHERE rk = 1), "
-        f"qcells AS (SELECT vec_id, cid FROM assign WHERE rk <= {_IVF_NPROBE} "
-        "AND vec_id < 5), "
+        + _ivf_assign_ctes() + ", "
         f"js AS (SELECT unnest(generate_series(0, {_PQ_M - 1})) AS sub), "
         "cb AS (SELECT CAST(vec_id AS INT) AS code, CAST(sub AS INT) AS sub, "
         f"v[sub * {d} + 1 : sub * {d} + {d}] AS cv FROM base CROSS JOIN js "
@@ -1998,17 +1993,28 @@ _COS_CENT = (
 )
 
 
-def _ivf_body_sql() -> str:
-    """Assign/probe/re-rank tail shared by the stand-in and trained IVF
-    twins; expects CTEs ``base`` (vec_id, v) and ``cent`` (cid, cv).
-    Same total-order tie-break (cosine desc, cid asc), corpus nprobe=1,
-    query nprobe=_IVF_NPROBE."""
+def _ivf_assign_ctes() -> str:
+    """Cell-assignment CTE block shared by ALL IVF-family twins
+    (stand-in, trained, and IVF-PQ): expects CTEs ``base`` (vec_id, v)
+    and ``cent`` (cid, cv); defines ``cells`` (corpus nprobe=1) and
+    ``qcells`` (query nprobe=_IVF_NPROBE) with the same total-order
+    tie-break (cosine desc, cid asc) and NaN (zero-norm) exclusion as
+    ``kg.ops.similarity.ivf_assign``.  ONE definition so the
+    assignment contract cannot desynchronize across the three twins."""
     return (
         "assign AS (SELECT b.vec_id, c.cid, row_number() OVER "
         f"          (PARTITION BY b.vec_id ORDER BY {_COS_CENT} DESC, c.cid ASC) AS rk "
         f"           FROM base b CROSS JOIN cent c WHERE NOT isnan({_COS_CENT})), "
         "cells AS (SELECT vec_id, cid FROM assign WHERE rk = 1), "
-        f"qcells AS (SELECT vec_id, cid FROM assign WHERE rk <= {_IVF_NPROBE} AND vec_id < 5), "
+        f"qcells AS (SELECT vec_id, cid FROM assign WHERE rk <= {_IVF_NPROBE} AND vec_id < 5)"
+    )
+
+
+def _ivf_body_sql() -> str:
+    """Assign/probe/re-rank tail shared by the stand-in and trained IVF
+    twins; expects CTEs ``base`` (vec_id, v) and ``cent`` (cid, cv)."""
+    return (
+        _ivf_assign_ctes() + ", "
         "cand AS (SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id "
         "         FROM qcells q JOIN cells c ON q.cid = c.cid AND q.vec_id <> c.vec_id), "
         "scored AS (SELECT query_id, neighbor_id, round(" + _COS_SQL + ", 6) AS cosine "

@@ -66,7 +66,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--second-label", default=None,
                     help="type the second hop (two-hop)")
     ap.add_argument("--iters", type=int, default=3,
-                    help="rank rounds (pagerank/ppr)")
+                    help="rank rounds (pagerank/ppr/hits)")
     ap.add_argument("--sources", default=None,
                     help="comma-separated vertex ids (ppr/khop/sssp)")
     ap.add_argument("--k", type=int, default=2, help="BFS depth (khop)")

@@ -514,8 +514,11 @@ def _hits_loop(
     for i in range(iters):
         auth = _propagate(hub, "src", "dst")
         hub = _propagate(auth, "dst", "src")
+        # only hub feeds the next round (auth is rebound from it), so
+        # only hub's lineage needs periodic truncation; the final auth
+        # is read once in the output join below
         if (i + 1) % 4 == 0 and (i + 1) < iters:
-            hub, auth = hub.localCheckpoint(), auth.localCheckpoint()
+            hub = hub.localCheckpoint()
     return (
         verts.join(hub.withColumnRenamed("v", "hub_fp"), "id", "left")
         .join(auth.withColumnRenamed("v", "auth_fp"), "id", "left")

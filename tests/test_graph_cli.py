@@ -134,10 +134,14 @@ def test_cli_hits_and_lpa(spark, warehouse, tmp_path):
     }
     assert set(h) == {"a", "b", "c", "d"}
     assert h["c"][1] == max(v[1] for v in h.values())
+    # --rounds 1 (NOT the operator default) proves the flag is wired
+    # through AND pins the exact one-round labels: undirected nbrs are
+    # a:{b}, b:{a,c}, c:{b,d}, d:{c}, so each vertex takes its
+    # neighbors' min initial label
     lpa = {
         r["id"]: r["community"]
         for r in _run(
-            spark, warehouse, tmp_path, "--query", "lpa", "--rounds", "2"
+            spark, warehouse, tmp_path, "--query", "lpa", "--rounds", "1"
         ).collect()
     }
-    assert set(lpa) == {"a", "b", "c", "d"}
+    assert lpa == {"a": "b", "b": "a", "c": "b", "d": "c"}
