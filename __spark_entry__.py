@@ -1485,6 +1485,25 @@ def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     return lm_score(d)
 
 
+_DSIR_BUCKETS = 4096
+
+
+def q_dsir(spark: SparkSession, sf: str) -> DataFrame:
+    """DSIR importance weights (``kg/ops/curate.py::dsir_weights``):
+    English docs act as the target domain, the full corpus as raw —
+    per-doc average log-likelihood ratio of hashed unigram features
+    between the two distributions, the data-selection score of Xie et
+    al. 2023.  Two bucket-space hash aggs + one broadcast ratio dim +
+    one per-doc agg; md5-bucket features and 6dp rounding keep the
+    whole op exactly DuckDB-twinnable."""
+    from kg.ops import dsir_weights
+
+    d = _read_spread(spark, sf, "documents")
+    return dsir_weights(
+        d, d.filter(F.col("lang") == "en"), buckets=_DSIR_BUCKETS
+    )
+
+
 _PACK_MAX_TOKENS = 512
 
 
@@ -1829,6 +1848,7 @@ def queries() -> dict[str, _T]:
         "sample_stratified": q_sample_stratified,
         "tfidf_topk": q_tfidf_topk,
         "lm_score": q_lm_score,
+        "dsir": q_dsir,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
@@ -2454,6 +2474,30 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.doc_id, CAST(coalesce(s.n_tokens, 0) AS BIGINT) "
             "AS n_tokens, coalesce(s.bits_per_token, 0.0) AS bits_per_token "
             "FROM documents d LEFT JOIN s USING (doc_id)"
+        ),
+        "dsir": (
+            f"WITH d AS (SELECT doc_id, unnest({tok}) AS t FROM documents), "
+            "db AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15))"
+            f"::UBIGINT % {_DSIR_BUCKETS} AS BIGINT) AS b FROM d), "
+            "rawd AS (SELECT b, count(*) AS cr FROM db GROUP BY b), "
+            "nr AS (SELECT sum(cr) AS nr FROM rawd), "
+            f"tg AS (SELECT unnest({tok}) AS t FROM documents "
+            "WHERE lang = 'en'), "
+            "tb AS (SELECT CAST(('0x' || substring(md5(t), 1, 15))"
+            f"::UBIGINT % {_DSIR_BUCKETS} AS BIGINT) AS b, count(*) AS ct "
+            "FROM tg GROUP BY 1), "
+            "dim AS (SELECT rawd.b, "
+            f"ln((COALESCE(tb.ct, 0) + 1) / (COALESCE(nt.nt, 0) + {_DSIR_BUCKETS})) - "
+            f"ln((rawd.cr + 1) / (nr.nr + {_DSIR_BUCKETS})) AS lr "
+            "FROM rawd LEFT JOIN tb USING (b) CROSS JOIN nr "
+            "CROSS JOIN (SELECT COALESCE(sum(ct), 0) AS nt FROM tb) nt), "
+            "sc AS (SELECT db.doc_id, CAST(count(*) AS BIGINT) AS n_tokens, "
+            "round(avg(dim.lr), 6) AS log_ratio FROM db JOIN dim USING (b) "
+            "GROUP BY 1) "
+            "SELECT d0.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) "
+            "AS n_tokens, COALESCE(sc.log_ratio, 0.0) AS log_ratio "
+            "FROM (SELECT doc_id FROM documents) d0 LEFT JOIN sc "
+            "USING (doc_id)"
         ),
         "pack_sequences": (
             f"WITH t AS (SELECT doc_id, len({tok}) AS n FROM documents), "

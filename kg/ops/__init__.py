@@ -10,6 +10,7 @@ queries over the materialized vertex/edge output (degrees, 2-hop, k-hop).
 from kg.ops.curate import (  # noqa: F401
     clean_lines,
     decontaminate,
+    dsir_weights,
     pack_sequences,
     split_assign,
     stratified_sample,

@@ -621,3 +621,83 @@ def weighted_sample(
             F.col(by) == F.lit(g), F.lit(int(round(r * 1_000_000)))
         ).otherwise(thresh)
     return docs.where(bucket < thresh)
+
+
+def dsir_weights(
+    docs: DataFrame,
+    target: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    buckets: int = 4096,
+) -> DataFrame:
+    """DSIR data-selection importance weights (Xie et al., NeurIPS
+    2023): per document, the average log-likelihood ratio of its hashed
+    unigram features under the TARGET-domain distribution vs the RAW
+    corpus distribution — the signal "does this raw document look like
+    the domain I want to train on".  A recipe keeps the top-weighted
+    slice (or samples proportionally); pairing with
+    :func:`split_assign`-style thresholds makes the selection
+    deterministic.
+
+    Output ``(id_col, n_tokens, log_ratio)`` for every input doc;
+    positive = target-like, negative = raw-corpus-like, zero-token docs
+    get 0.0.  Hashed features: token → ``md5_60 % buckets`` (the
+    engine-portable hash family every twin here uses — the paper's
+    hashed n-gram trick, n=1, exists exactly so the feature space stays
+    fixed-size at any corpus scale).  Laplace-smoothed (add-one over
+    ``buckets``) so unseen-in-target features score finitely; the
+    per-token AVERAGE (not the paper's raw sum) keeps the score
+    length-invariant — otherwise long documents dominate any threshold
+    — and is 6dp-rounded like :func:`lm_score` (the repo float
+    contract; both choices documented, the sum is one ``F.sum`` away).
+
+    Plan shape (100 TB): one explode per corpus into bucket ids (pure
+    map-side hash), TWO bucket-space hash aggs (≤ ``buckets`` rows
+    each — map-side combine collapses everything), totals as lazy 1-row
+    broadcast scalars, the ≤ ``buckets``-row ratio dim broadcast-gated
+    onto the doc token stream, one per-doc hash agg.  The target corpus
+    is read once; no self-join, no Python, no window."""
+    if buckets < 1:
+        raise ValueError(f"buckets must be >= 1, got {buckets}")
+    b = F.pmod(md5_60(F.col("token")), F.lit(buckets)).alias("b")
+    toks = docs.select(
+        F.col(id_col), F.explode(tokens_col(F.col(text_col))).alias("token")
+    ).select(id_col, b)
+    rawd = toks.groupBy("b").agg(F.count("*").alias("cr"))
+    n_raw = rawd.agg(F.sum("cr").alias("nr"))
+    tgt = (
+        target.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .select(b)
+        .groupBy("b")
+        .agg(F.count("*").alias("ct"))
+    )
+    n_tgt = tgt.agg(F.coalesce(F.sum("ct"), F.lit(0)).alias("nt"))
+    dim = (
+        rawd.join(maybe_broadcast(tgt), "b", "left")
+        .crossJoin(F.broadcast(n_raw))
+        .crossJoin(F.broadcast(n_tgt))
+        .select(
+            "b",
+            (
+                F.log((F.coalesce("ct", F.lit(0)) + 1) / (F.col("nt") + buckets))
+                - F.log((F.col("cr") + 1) / (F.col("nr") + buckets))
+            ).alias("lr"),
+        )
+    )
+    scored = (
+        toks.join(maybe_broadcast(dim), "b")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.round(F.avg("lr"), 6).alias("log_ratio"),
+        )
+    )
+    return (
+        docs.select(F.col(id_col))
+        .join(scored, id_col, "left")
+        .select(
+            id_col,
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio"),
+        )
+    )

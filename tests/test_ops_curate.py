@@ -465,3 +465,33 @@ def test_clean_lines_all_dropped_and_params(spark):
     assert relaxed[1]["text_clean"] == "no punct here"
     with pytest.raises(ValueError):
         clean_lines(docs, min_words=-1)
+
+
+def test_dsir_weights_hand_counts(spark):
+    """Hand-derived distributions: raw corpus {alpha:2, beta:2}, target
+    {alpha:3} — alpha-docs must score positive (target-like), beta-docs
+    negative, with the exact add-one-smoothed log ratio."""
+    import pytest
+
+    from kg.ops import dsir_weights
+
+    docs = spark.createDataFrame(
+        [(1, "alpha alpha"), (2, "beta beta"), (3, "")],
+        ["doc_id", "text"],
+    )
+    target = spark.createDataFrame(
+        [(9, "alpha alpha alpha")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_tokens"], r["log_ratio"])
+        for r in dsir_weights(docs, target, buckets=4096).collect()
+    }
+    lr_a = math.log(4 / 4099) - math.log(3 / 4100)
+    lr_b = math.log(1 / 4099) - math.log(3 / 4100)
+    assert {k: v[0] for k, v in got.items()} == {1: 2, 2: 2, 3: 0}
+    assert got[1][1] == pytest.approx(lr_a, abs=2e-6)
+    assert got[2][1] == pytest.approx(lr_b, abs=2e-6)
+    assert got[1][1] > 0 > got[2][1]
+    assert got[3][1] == 0.0
+    with pytest.raises(ValueError):
+        dsir_weights(docs, target, buckets=0)
