@@ -1485,6 +1485,63 @@ def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     return lm_score(d)
 
 
+def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher quality-rule bundle (``kg/ops/text.py::gopher_quality``):
+    the Rae et al. 2021 A1.1 document filters as one map-side pass —
+    word-count/mean-word-length bounds, symbol ratio, bullet/ellipsis
+    line fractions, alphabetic-word fraction, stopword presence, and
+    the combined ``keep`` verdict over 6dp-rounded signals (bit-stable
+    across engines).  min_words/mean-length/stopword floors are lowered
+    for the short synthetic-vocabulary docs so the verdict actually
+    discriminates (paper defaults would drop every doc on the stopword
+    rule alone)."""
+    from kg.ops.text import gopher_quality
+
+    d = _read_spread(spark, sf, "documents")
+    return gopher_quality(
+        d, min_words=5, min_mean_word_len=2.0, min_stopwords=1
+    ).withColumn("keep", F.col("keep").cast("int"))
+
+
+def _gopher_sql(tok: str) -> str:
+    """Twin of q_gopher_quality: same whitespace words, literal-newline
+    lines, 6dp rounds, and threshold comparisons on the ROUNDED values."""
+    stops = ", ".join(f"'{s}'" for s in
+                      ("the", "be", "to", "of", "and", "that", "have", "with"))
+    bullet = ("starts_with(ltrim(x), '•') OR starts_with(ltrim(x), '- ') "
+              "OR starts_with(ltrim(x), '* ')")
+    ell = "ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')"
+    return (
+        "WITH b AS (SELECT doc_id, text, "
+        "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS w, "
+        "string_split(text, chr(10)) AS l FROM documents), "
+        "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, "
+        "round(CASE WHEN len(w) > 0 THEN "
+        "list_sum(list_transform(w, x -> length(x))) / len(w) "
+        "ELSE 0.0 END, 6) AS mean_word_len, "
+        "round(CASE WHEN len(w) > 0 THEN ("
+        "(length(text) - length(replace(text, '#', ''))) + "
+        "(length(text) - length(replace(text, '...', ''))) // 3"
+        ") / len(w) ELSE 0.0 END, 6) AS symbol_ratio, "
+        f"round(CASE WHEN len(l) > 0 THEN len(list_filter(l, x -> {bullet})) "
+        "/ len(l) ELSE 0.0 END, 6) AS bullet_frac, "
+        f"round(CASE WHEN len(l) > 0 THEN len(list_filter(l, x -> {ell})) "
+        "/ len(l) ELSE 0.0 END, 6) AS ellipsis_frac, "
+        "round(CASE WHEN len(w) > 0 THEN "
+        "len(list_filter(w, x -> regexp_matches(x, '[A-Za-z]'))) / len(w) "
+        "ELSE 0.0 END, 6) AS alpha_frac, "
+        f"CAST(len(list_intersect(list_distinct({tok}), [{stops}])) AS INT) "
+        "AS n_stop FROM b) "
+        "SELECT doc_id, n_words, mean_word_len, symbol_ratio, bullet_frac, "
+        "ellipsis_frac, alpha_frac, n_stop, "
+        "CAST((n_words >= 5 AND n_words <= 100000 AND "
+        "mean_word_len >= 2.0 AND mean_word_len <= 10.0 AND "
+        "symbol_ratio <= 0.1 AND bullet_frac < 0.9 AND "
+        "ellipsis_frac <= 0.3 AND alpha_frac >= 0.8 AND n_stop >= 1) "
+        "AS INT) AS keep FROM m"
+    )
+
+
 _DSIR_BUCKETS = 4096
 
 
@@ -1849,6 +1906,7 @@ def queries() -> dict[str, _T]:
         "tfidf_topk": q_tfidf_topk,
         "lm_score": q_lm_score,
         "dsir": q_dsir,
+        "gopher_quality": q_gopher_quality,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
@@ -2475,6 +2533,7 @@ def oracle_sql() -> dict[str, str]:
             "AS n_tokens, coalesce(s.bits_per_token, 0.0) AS bits_per_token "
             "FROM documents d LEFT JOIN s USING (doc_id)"
         ),
+        "gopher_quality": _gopher_sql(tok),
         "dsir": (
             f"WITH d AS (SELECT doc_id, unnest({tok}) AS t FROM documents), "
             "db AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15))"

@@ -254,3 +254,103 @@ def winnow_fingerprints(
         F.col(id_col),
         F.explode(F.array_sort(F.array_distinct(minima))).alias("fingerprint"),
     )
+
+
+GOPHER_STOPWORDS = ("the", "be", "to", "of", "and", "that", "have", "with")
+
+
+def gopher_quality(
+    df,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    min_words: int = 50,
+    max_words: int = 100_000,
+    min_mean_word_len: float = 3.0,
+    max_mean_word_len: float = 10.0,
+    max_symbol_ratio: float = 0.1,
+    max_bullet_frac: float = 0.9,
+    max_ellipsis_frac: float = 0.3,
+    min_alpha_frac: float = 0.8,
+    min_stopwords: int = 2,
+):
+    """Gopher document-quality rule bundle (Rae et al. 2021, A1.1 —
+    the repetition half lives in :func:`repetition_stats`): per doc the
+    measured signals plus one ``keep`` verdict over the paper's
+    thresholds (all caller-overridable).  Rules: word count in
+    [min, max]; mean word length in [min, max]; symbol-to-word ratio
+    (``#`` and ``...``) ≤ max; < max fraction of lines starting with a
+    bullet (• - *) and ≤ max ending in an ellipsis (... …); ≥ min
+    fraction of words containing an alphabetic character; ≥ min of the
+    eight Gopher stopwords present.
+
+    Output ``(id_col, n_words, mean_word_len, symbol_ratio,
+    bullet_frac, ellipsis_frac, alpha_frac, n_stop, keep)``; ratio
+    columns are 6dp-rounded and the verdict compares the ROUNDED values
+    so ``keep`` is bit-identical across engines (the repo float
+    contract).  Words are whitespace-split (the paper's notion — NOT
+    :func:`tokens_col`'s alnum tokens, which would erase the
+    symbol/alpha signals); the stopword rule alone uses alnum tokens so
+    punctuation can't hide ``the,``.
+
+    Plan shape (100 TB): one pure map-side pass — word/line arrays
+    bound as attributes once (the repo HOF discipline), every signal a
+    Column expression over them, zero shuffle, zero Python."""
+    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    lines = F.split(F.col(text_col), "\n")
+    b = (
+        df.select(F.col(id_col), F.col(text_col))
+        .withColumn("_w", words)
+        .withColumn("_l", lines)
+        .withColumn("_nw", F.size("_w"))
+        .withColumn("_nl", F.size("_l"))
+    )
+    nw, nl = F.col("_nw"), F.col("_nl")
+    tlen = F.length(F.col(text_col))
+    n_sym = (tlen - F.length(F.replace(F.col(text_col), F.lit("#")))) + (
+        (tlen - F.length(F.replace(F.col(text_col), F.lit("...")))) / 3
+    ).cast("long")
+    is_bullet = lambda l: (  # noqa: E731
+        F.ltrim(l).startswith("•")
+        | F.ltrim(l).startswith("- ")
+        | F.ltrim(l).startswith("* ")
+    )
+    is_ell = lambda l: (  # noqa: E731
+        F.rtrim(l).endswith("...") | F.rtrim(l).endswith("…")
+    )
+    ratio = lambda num, den: F.round(  # noqa: E731
+        F.when(den > 0, num / den).otherwise(F.lit(0.0)), 6
+    )
+    m = b.select(
+        id_col,
+        nw.cast("long").alias("n_words"),
+        ratio(
+            F.aggregate(
+                "_w", F.lit(0).cast("long"), lambda a, w: a + F.length(w)
+            ),
+            nw,
+        ).alias("mean_word_len"),
+        ratio(n_sym, nw).alias("symbol_ratio"),
+        ratio(F.size(F.filter("_l", is_bullet)), nl).alias("bullet_frac"),
+        ratio(F.size(F.filter("_l", is_ell)), nl).alias("ellipsis_frac"),
+        ratio(
+            F.size(F.filter("_w", lambda w: w.rlike("[A-Za-z]"))), nw
+        ).alias("alpha_frac"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct(tokens_col(F.col(text_col))),
+                F.array(*[F.lit(s) for s in GOPHER_STOPWORDS]),
+            )
+        ).alias("n_stop"),
+    )
+    keep = (
+        (F.col("n_words") >= min_words)
+        & (F.col("n_words") <= max_words)
+        & (F.col("mean_word_len") >= min_mean_word_len)
+        & (F.col("mean_word_len") <= max_mean_word_len)
+        & (F.col("symbol_ratio") <= max_symbol_ratio)
+        & (F.col("bullet_frac") < max_bullet_frac)
+        & (F.col("ellipsis_frac") <= max_ellipsis_frac)
+        & (F.col("alpha_frac") >= min_alpha_frac)
+        & (F.col("n_stop") >= min_stopwords)
+    )
+    return m.withColumn("keep", keep)

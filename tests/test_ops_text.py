@@ -164,3 +164,40 @@ def test_redact_pii_staging_order(spark):
     r = redact_pii(docs).first()
     assert (r["n_emails"], r["n_ips"], r["n_numbers"]) == (1, 1, 1)
     assert r["text_redacted"] == "<EMAIL> at <IP> then <NUM>"
+
+
+def test_gopher_quality_hand_docs(spark):
+    """Each Gopher rule exercised by a doc built to trip exactly it."""
+    import pytest
+
+    from kg.ops.text import gopher_quality
+
+    docs = spark.createDataFrame(
+        [
+            # 15 words, all 8 stopwords, mean len 44/15, clean → keep
+            (1, "the cat sat with a hat and that dog have fun to be of note"),
+            # every line bullet-led (and alpha_frac 6/9) → drop
+            (2, "• item one\n• item two\n• item three"),
+            # 12 '#' over 3 words → symbol_ratio 4.0 → drop
+            (3, "#### #### ####"),
+            # both lines ellipsis-terminated → drop
+            (4, "to be continued... \nmaybe..."),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r
+        for r in gopher_quality(
+            docs, min_words=5, min_mean_word_len=2.0
+        ).collect()
+    }
+    assert {k: v["keep"] for k, v in got.items()} == {
+        1: True, 2: False, 3: False, 4: False,
+    }
+    d1 = got[1]
+    assert d1["n_words"] == 15
+    assert d1["mean_word_len"] == pytest.approx(round(44 / 15, 6))
+    assert d1["n_stop"] == 8 and d1["alpha_frac"] == 1.0
+    assert got[2]["bullet_frac"] == 1.0
+    assert got[3]["symbol_ratio"] == 4.0
+    assert got[4]["ellipsis_frac"] == 1.0
