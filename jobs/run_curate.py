@@ -5,7 +5,9 @@
         [--benchmark /path/to/eval_docs] [--min-quality 0.1] \
         [--dedup exact|paragraph] [--ngram 13] \
         [--split train=0.98,val=0.01,test=0.01] [--seed kg-split-v1] \
-        [--mix en=1.0,de=0.5 --mix-by lang] [--profile] [--pack 2048]
+        [--mix en=1.0,de=0.5 --mix-by lang] [--profile] [--pack 2048] \
+        [--clean-lines] [--redact-pii] [--gopher] \
+        [--dsir-target /path/to/target_docs --min-dsir 0.0]
 
 Runs quality filter → corpus dedup → benchmark decontamination →
 deterministic split over a documents table and writes the curated
@@ -63,6 +65,19 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--redact-pii", action="store_true",
                     help="redact emails/IPv4s/long digit runs to typed "
                          "placeholders BEFORE curation")
+    ap.add_argument("--gopher", action="store_true",
+                    help="drop docs failing the Gopher A1.1 rule bundle "
+                         "(word/length bounds, symbol ratio, bullet/"
+                         "ellipsis lines, alpha fraction, stopwords) "
+                         "BEFORE curation")
+    ap.add_argument("--dsir-target", default=None, metavar="DIR",
+                    help="target-domain documents parquet: keep docs "
+                         "whose DSIR log-likelihood ratio vs this "
+                         "target is >= --min-dsir")
+    ap.add_argument("--min-dsir", type=float, default=0.0,
+                    help="DSIR log-ratio keep threshold "
+                         "(with --dsir-target; default 0.0 = "
+                         "more-target-like-than-raw)")
     ap.add_argument("--ngram", type=int, default=13)
     ap.add_argument("--split", default="train=0.98,val=0.01,test=0.01")
     ap.add_argument("--seed", default="kg-split-v1")
@@ -120,6 +135,32 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         docs = docs.drop(args.text_col).join(
             red.selectExpr(args.id_col, f"text_redacted AS {args.text_col}"),
             args.id_col,
+        )
+    # selection filters on the (possibly rewritten) text: Gopher rule
+    # verdict, then DSIR target-domain threshold — each a semi-join on
+    # the op's keep set, so no op output column leaks into the corpus
+    if args.gopher:
+        from pyspark.sql import functions as F
+
+        from kg.ops.text import gopher_quality
+
+        g = gopher_quality(docs, id_col=args.id_col, text_col=args.text_col)
+        docs = docs.join(
+            g.where(F.col("keep")).select(args.id_col), args.id_col, "left_semi"
+        )
+    if args.dsir_target:
+        from pyspark.sql import functions as F
+
+        from kg.ops.curate import dsir_weights
+
+        target = spark.read.parquet(args.dsir_target)
+        w = dsir_weights(
+            docs, target, id_col=args.id_col, text_col=args.text_col
+        )
+        docs = docs.join(
+            w.where(F.col("log_ratio") >= args.min_dsir).select(args.id_col),
+            args.id_col,
+            "left_semi",
         )
     curated = curate_corpus(
         docs,

@@ -206,3 +206,42 @@ def test_cli_clean_lines_and_redact_pii(spark, tmp_path, capsys):
     assert "alice@example.com" not in row["text"]
     # both original lines survived the C4 rules
     assert row["text"].count("\n") == 1
+
+
+def test_cli_gopher_and_dsir(spark, tmp_path, capsys):
+    # --gopher with paper defaults: 56-word stopword-bearing doc passes,
+    # the bullet list fails (word count + bullet_frac + alpha_frac)
+    base = "the cat and dog have fun with that toy to be sure of it"
+    gdocs = str(tmp_path / "gdocs")
+    _write_docs(
+        spark, gdocs,
+        [(1, " ".join([base] * 4)), (2, "• one\n• two\n• three")],
+    )
+    gout = str(tmp_path / "gout")
+    cli.main(
+        ["--input", gdocs, "--output", gout, "--gopher",
+         "--split", "train=1.0"],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_out"] == 1
+    assert spark.read.parquet(gout).first()["doc_id"] == 1
+
+    # --dsir-target: disjoint vocabularies make the signs certain —
+    # every doc-1 token is IN the target (ratio ln((Nr+B)/(Nt+B)) > 0),
+    # every doc-3 token is absent from it (ratio < 0)
+    ddocs, dtgt = str(tmp_path / "ddocs"), str(tmp_path / "dtgt")
+    on_domain = "cat dog toy play fetch ball park walk"
+    off_domain = "zebra lion tiger panda bear wolf deer elk"
+    _write_docs(spark, ddocs, [(1, on_domain), (3, off_domain)])
+    _write_docs(spark, dtgt, [(9, on_domain)])
+    dout = str(tmp_path / "dout")
+    cli.main(
+        ["--input", ddocs, "--output", dout,
+         "--dsir-target", dtgt, "--min-dsir", "0.0",
+         "--split", "train=1.0"],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert report["rows_out"] == 1
+    assert spark.read.parquet(dout).first()["doc_id"] == 1
