@@ -572,3 +572,83 @@ def test_label_propagation_plurality_beats_min(spark):
         for r in label_propagation(e, rounds=2).collect()
     }
     assert got["x"] == "m"
+
+
+def _rand_edges(seed: str, n_verts: int, n_edges: int):
+    """Deterministic pseudo-random directed edge list (sha256-derived —
+    the repo's no-RNG-state rule) including multi-edges and self-loops."""
+    import hashlib
+
+    out = []
+    for i in range(n_edges):
+        h = hashlib.sha256(f"{seed}:{i}".encode()).digest()
+        out.append((f"v{h[0] % n_verts}", f"v{h[1] % n_verts}"))
+    return out
+
+
+def _naive_lpa(edges, rounds):
+    from collections import Counter, defaultdict
+
+    und = {tuple(sorted((u, v))) for u, v in edges if u != v}
+    adj = defaultdict(set)
+    for u, v in und:
+        adj[u].add(v)
+        adj[v].add(u)
+    verts = {x for e in edges for x in e}
+    lbl = {v: v for v in adj}
+    for _ in range(rounds):
+        lbl = {
+            v: min(
+                Counter(lbl[n] for n in adj[v]).items(),
+                key=lambda kv: (-kv[1], kv[0]),
+            )[0]
+            for v in adj
+        }
+    return {v: lbl.get(v, v) for v in verts}
+
+
+def _naive_hits(edges, iters):
+    from collections import defaultdict
+
+    verts = {x for e in edges for x in e}
+
+    def norm(s, m):
+        return (s // m) * 10**6 + ((s % m) * 10**6) // m
+
+    hub = {v: 10**6 for v in verts}
+    auth = {}
+    for _ in range(iters):
+        raw = defaultdict(int)
+        for s, d in edges:
+            if s in hub:
+                raw[d] += hub[s]
+        m = max(max(raw.values(), default=0), 1)
+        auth = {v: norm(x, m) for v, x in raw.items()}
+        raw = defaultdict(int)
+        for s, d in edges:
+            if d in auth:
+                raw[s] += auth[d]
+        m = max(max(raw.values(), default=0), 1)
+        hub = {v: norm(x, m) for v, x in raw.items()}
+    return {v: (hub.get(v, 0), auth.get(v, 0)) for v in verts}
+
+
+def test_lpa_and_hits_match_naive_on_random_graphs(spark):
+    """Seeded-random battery (multi-edges, self-loops, isolated
+    subgraphs): the distributed ops must agree with independent naive
+    Python implementations of the same update rules on every graph."""
+    from kg.ops import hits, label_propagation
+
+    for seed in ("g1", "g2", "g3", "g4"):
+        edges = _rand_edges(seed, n_verts=9, n_edges=16)
+        e = spark.createDataFrame(edges, "out_id string, in_id string")
+        got_lpa = {
+            r["id"]: r["community"]
+            for r in label_propagation(e, rounds=3).collect()
+        }
+        assert got_lpa == _naive_lpa(edges, 3), f"lpa diverged on {seed}"
+        got_hits = {
+            r["id"]: (r["hub_fp"], r["auth_fp"])
+            for r in hits(e, iters=3).collect()
+        }
+        assert got_hits == _naive_hits(edges, 3), f"hits diverged on {seed}"
