@@ -1504,7 +1504,8 @@ def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
 
 
 def _gopher_sql(tok: str) -> str:
-    """Twin of q_gopher_quality: same whitespace words, literal-newline
+    """Twin of q_gopher_quality: same whitespace words (EXPLICIT char
+    class — Java ``\\s`` includes \\x0B, RE2's does not), literal-newline
     lines, 6dp rounds, and threshold comparisons on the ROUNDED values."""
     stops = ", ".join(f"'{s}'" for s in
                       ("the", "be", "to", "of", "and", "that", "have", "with"))
@@ -1513,7 +1514,8 @@ def _gopher_sql(tok: str) -> str:
     ell = "ends_with(rtrim(x), '...') OR ends_with(rtrim(x), '…')"
     return (
         "WITH b AS (SELECT doc_id, text, "
-        "list_filter(regexp_split_to_array(text, '\\s+'), w -> w <> '') AS w, "
+        "list_filter(regexp_split_to_array(text, '[ \\t\\n\\x0B\\f\\r]+'), "
+        "w -> w <> '') AS w, "
         "string_split(text, chr(10)) AS l FROM documents), "
         "m AS (SELECT doc_id, CAST(len(w) AS BIGINT) AS n_words, "
         "round(CASE WHEN len(w) > 0 THEN "

@@ -136,9 +136,19 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             red.selectExpr(args.id_col, f"text_redacted AS {args.text_col}"),
             args.id_col,
         )
+    if args.min_dsir != 0.0 and not args.dsir_target:
+        raise SystemExit("--min-dsir requires --dsir-target")
     # selection filters on the (possibly rewritten) text: Gopher rule
     # verdict, then DSIR target-domain threshold — each a semi-join on
-    # the op's keep set, so no op output column leaks into the corpus
+    # the op's keep set, so no op output column leaks into the corpus.
+    # Checkpoint the rewrite chain first: each selection op traverses
+    # `docs` 2-4x, and without this every traversal re-runs the
+    # clean_lines/redact_pii joins from the scan (the --pack branch
+    # below guards the same re-execution class, ADVICE r4).
+    if (args.gopher or args.dsir_target) and (
+        args.clean_lines or args.redact_pii
+    ):
+        docs = docs.localCheckpoint()
     if args.gopher:
         from pyspark.sql import functions as F
 
@@ -157,8 +167,14 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         w = dsir_weights(
             docs, target, id_col=args.id_col, text_col=args.text_col
         )
+        # n_tokens > 0: zero-token docs carry the 0.0 SENTINEL ratio,
+        # which any min-dsir <= 0 would otherwise admit — an empty doc
+        # is never "target-like"
         docs = docs.join(
-            w.where(F.col("log_ratio") >= args.min_dsir).select(args.id_col),
+            w.where(
+                (F.col("n_tokens") > 0)
+                & (F.col("log_ratio") >= args.min_dsir)
+            ).select(args.id_col),
             args.id_col,
             "left_semi",
         )

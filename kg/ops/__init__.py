@@ -59,6 +59,7 @@ from kg.ops.similarity import (  # noqa: F401
 )
 from kg.ops.text import (  # noqa: F401
     doc_fingerprint,
+    gopher_quality,
     language_id,
     quality_score,
     redact_pii,

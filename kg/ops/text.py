@@ -294,8 +294,16 @@ def gopher_quality(
 
     Plan shape (100 TB): one pure map-side pass — word/line arrays
     bound as attributes once (the repo HOF discipline), every signal a
-    Column expression over them, zero shuffle, zero Python."""
-    words = F.filter(F.split(F.col(text_col), r"\s+"), lambda w: w != "")
+    Column expression over them, zero shuffle, zero Python.
+
+    The word split uses an EXPLICIT whitespace class instead of ``\\s``:
+    Java's ``\\s`` includes vertical tab, DuckDB's RE2 ``\\s`` does not,
+    so the shorthand would silently break the bit-identical contract on
+    ``\\x0B``-bearing text; the literal class below parses to the same
+    set in both engines (mirrored in the SQL twin)."""
+    words = F.filter(
+        F.split(F.col(text_col), r"[ \t\n\x0B\f\r]+"), lambda w: w != ""
+    )
     lines = F.split(F.col(text_col), "\n")
     b = (
         df.select(F.col(id_col), F.col(text_col))

@@ -233,7 +233,11 @@ def test_cli_gopher_and_dsir(spark, tmp_path, capsys):
     ddocs, dtgt = str(tmp_path / "ddocs"), str(tmp_path / "dtgt")
     on_domain = "cat dog toy play fetch ball park walk"
     off_domain = "zebra lion tiger panda bear wolf deer elk"
-    _write_docs(spark, ddocs, [(1, on_domain), (3, off_domain)])
+    # doc 5 has zero alnum tokens: its 0.0 SENTINEL ratio must not
+    # slip past the default >= 0.0 threshold
+    _write_docs(
+        spark, ddocs, [(1, on_domain), (3, off_domain), (5, "!!! ???")]
+    )
     _write_docs(spark, dtgt, [(9, on_domain)])
     dout = str(tmp_path / "dout")
     cli.main(

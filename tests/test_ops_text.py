@@ -201,3 +201,12 @@ def test_gopher_quality_hand_docs(spark):
     assert got[2]["bullet_frac"] == 1.0
     assert got[3]["symbol_ratio"] == 4.0
     assert got[4]["ellipsis_frac"] == 1.0
+
+
+def test_gopher_quality_vertical_tab_is_a_separator(spark):
+    """The word split uses an explicit whitespace class because Java \\s
+    includes \\x0B while RE2's does not — the class must split on it."""
+    from kg.ops.text import gopher_quality
+
+    docs = spark.createDataFrame([(1, "aa\x0bbb cc")], ["doc_id", "text"])
+    assert gopher_quality(docs).first()["n_words"] == 3
