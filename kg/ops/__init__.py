@@ -1,10 +1,16 @@
 """Large-scale training-data operators over document / embedding tables.
 
 First-class components alongside the KG pipeline: deduplication (exact,
-MinHash-LSH, SimHash, n-gram Jaccard, embedding-cosine), similarity search
-(brute-force + LSH-bucketed ANN), text analysis (language-ID, quality,
-token counting, fingerprinting), multimodal column plumbing, and graph
-queries over the materialized vertex/edge output (degrees, 2-hop, k-hop).
+paragraph, MinHash-LSH, SimHash, n-gram Jaccard, winnowing,
+embedding-cosine), similarity search (brute-force, banded-LSH, IVF with
+a k-means trainer, PQ ADC, IVF-PQ residual composite), text analysis
+(language-ID, quality, Gopher rules, repetition signals, token counting,
+fingerprinting, PII redaction), curation (decontamination, splits,
+sampling, domain mixing, TF-IDF, LM scoring, DSIR selection, C4 line
+cleaning, sequence packing, profiling), multimodal column plumbing, and
+graph queries over the materialized vertex/edge output (degrees, typed
+2-hop, k-hop, shortest paths, PageRank/PPR, HITS, triangles, clustering
+coefficient, neighbor Jaccard, label propagation, components).
 """
 
 from kg.ops.curate import (  # noqa: F401
