@@ -1485,6 +1485,21 @@ def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     return lm_score(d)
 
 
+def q_bpe_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """BPE-ish token counting (``kg/ops/text.py::bpe_token_count``): the
+    GPT-2 pre-tokenizer split (space-attached letter/digit/punctuation
+    runs) restricted to the Java/RE2 common subset, counting the pieces
+    a BPE tokenizer would merge — the cheap token-budget estimator next
+    to the alnum `token_count` in text_stats.  One map-side
+    regexp_extract_all, zero shuffle."""
+    from kg.ops.text import bpe_token_count
+
+    d = _read_spread(spark, sf, "documents")
+    return d.select(
+        "doc_id", bpe_token_count(F.col("text")).alias("n_bpe_tokens")
+    )
+
+
 def q_gopher_quality(spark: SparkSession, sf: str) -> DataFrame:
     """Gopher quality-rule bundle (``kg/ops/text.py::gopher_quality``):
     the Rae et al. 2021 A1.1 document filters as one map-side pass —
@@ -1909,6 +1924,7 @@ def queries() -> dict[str, _T]:
         "lm_score": q_lm_score,
         "dsir": q_dsir,
         "gopher_quality": q_gopher_quality,
+        "bpe_tokens": q_bpe_tokens,
         "pack_sequences": q_pack_sequences,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
@@ -2536,6 +2552,11 @@ def oracle_sql() -> dict[str, str]:
             "FROM documents d LEFT JOIN s USING (doc_id)"
         ),
         "gopher_quality": _gopher_sql(tok),
+        "bpe_tokens": (
+            "SELECT doc_id, CAST(len(regexp_extract_all(text, "
+            "' ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+'"
+            ")) AS INT) AS n_bpe_tokens FROM documents"
+        ),
         "dsir": (
             f"WITH d AS (SELECT doc_id, unnest({tok}) AS t FROM documents), "
             "db AS (SELECT doc_id, CAST(('0x' || substring(md5(t), 1, 15))"

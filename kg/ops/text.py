@@ -362,3 +362,29 @@ def gopher_quality(
         & (F.col("n_stop") >= min_stopwords)
     )
     return m.withColumn("keep", keep)
+
+
+# GPT-2-style pre-tokenizer split (Radford et al. 2019), simplified to
+# the Java-regex/RE2 COMMON SUBSET: the original's contraction
+# alternates ('s|'t|...) and trailing-space lookahead (?!\S) are dropped
+# — RE2 (DuckDB) has no lookahead — and whitespace is the EXPLICIT class
+# (Java \s includes \x0B, RE2's does not; the gopher_quality rule).
+# Space-prefixed letter/digit/punctuation runs are the GPT-2 signature:
+# "hello world 123!" → ["hello", " world", " 123", "!"].
+BPE_SPLIT_PATTERN = (
+    " ?\\p{L}+| ?\\p{N}+| ?[^ \\t\\n\\x0B\\f\\r\\p{L}\\p{N}]+"
+)
+
+
+def bpe_token_count(text: Column) -> Column:
+    """BPE-ish token count: how many pre-tokenizer pieces a GPT-2-family
+    tokenizer would split ``text`` into BEFORE byte-pair merges — the
+    standard cheap upper-bound estimate for token budgets (packing,
+    pricing, context-window fits) when the real tokenizer isn't on the
+    cluster.  Whitespace-separated words, digit runs and punctuation
+    runs each count once (with their GPT-2 leading-space attachment);
+    pure whitespace between pieces counts zero.  One map-side
+    ``regexp_extract_all`` + ``size`` — zero shuffle, exact RE2 twin."""
+    return F.size(
+        F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
+    )

@@ -43,7 +43,7 @@ def main() -> None:
         "dedup_cluster_keepers", "curate_corpus",
         "corpus_profile", "sample_weighted", "lm_score",
         "clean_lines", "redact_pii", "graph_sssp", "ann_pq", "graph_hits",
-        "graph_lpa", "ann_ivf_pq", "dsir", "gopher_quality",
+        "graph_lpa", "ann_ivf_pq", "dsir", "gopher_quality", "bpe_tokens",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

@@ -210,3 +210,28 @@ def test_gopher_quality_vertical_tab_is_a_separator(spark):
 
     docs = spark.createDataFrame([(1, "aa\x0bbb cc")], ["doc_id", "text"])
     assert gopher_quality(docs).first()["n_words"] == 3
+
+
+def test_bpe_token_count_hand_pieces(spark):
+    """GPT-2 pre-tokenizer pieces counted by hand: space-attached
+    letter/digit/punct runs; contractions split (simplified pattern,
+    documented); pure whitespace counts zero."""
+    from kg.ops.text import bpe_token_count
+
+    docs = spark.createDataFrame(
+        [
+            (1, "hello world 123!"),   # hello | " world" | " 123" | "!"
+            (2, "don't"),              # don | ' | t
+            (3, ""),                   # nothing
+            (4, "你好 世界"),           # 你好 | " 世界"
+            (5, "   "),                # whitespace only
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["doc_id"]: r["n"]
+        for r in docs.select(
+            "doc_id", bpe_token_count(F.col("text")).alias("n")
+        ).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 0, 4: 2, 5: 0}
