@@ -1147,6 +1147,34 @@ def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     return components(_cn_graph_edges(spark, sf))
 
 
+_KCORE_K = 5
+_KCORE_ROUNDS = 3
+
+
+def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-core peeling over the tripartite lineitem graph
+    (``kg/ops/graph.py::k_core``): vertices surviving 3 synchronous
+    removals of degree-<5 vertices, with residual degree — the standard
+    density filter separating a KG's cohesive core from its periphery
+    (small orders and their exclusive parts/suppliers shed first).  The
+    FIXED, data-independent round count is what buys the full
+    unrolled-CTE twin, the :func:`q_graph_pagerank` design."""
+    from kg.ops import k_core
+
+    return k_core(_tri_graph_edges(spark, sf), k=_KCORE_K, rounds=_KCORE_ROUNDS)
+
+
+def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
+    """Degree assortativity (Newman 2002) of the tripartite lineitem
+    graph: ONE row (n_edges, assortativity) — Pearson correlation of
+    endpoint degrees, exact decimal sums with only the final division in
+    float (6dp).  The one-number structural diagnostic run right after
+    the degree histogram."""
+    from kg.ops import assortativity
+
+    return assortativity(_tri_graph_edges(spark, sf))
+
+
 _TRI_EDGES_SQL = (
     "SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS out_id, "
     "'p_' || CAST(l_partkey AS VARCHAR) AS in_id FROM lineitem "
@@ -1157,6 +1185,60 @@ _TRI_EDGES_SQL = (
     "SELECT 'p_' || CAST(l_partkey AS VARCHAR), "
     "'s_' || CAST(l_suppkey AS VARCHAR) FROM lineitem"
 )
+
+
+def _kcore_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Twin of kg.ops.graph.k_core: the same synchronous peel unrolled —
+    per round one degree aggregation over the surviving undirected
+    simple edge set and a survivor join on both endpoints.  Edge CTEs
+    MATERIALIZED (each is referenced by the next round's degree agg AND
+    join — the ``_triangles_sql`` inlining lesson)."""
+    parts = [
+        "t AS (" + edges_sql + ")",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM t WHERE out_id <> in_id)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"k{i} AS MATERIALIZED (SELECT id FROM "
+            f"(SELECT id, count(*) AS c FROM "
+            f"(SELECT u AS id FROM e{i - 1} UNION ALL SELECT v FROM e{i - 1}) "
+            f"GROUP BY id) WHERE c >= {k})"
+        )
+        parts.append(
+            f"e{i} AS MATERIALIZED (SELECT e.u, e.v FROM e{i - 1} e "
+            f"JOIN k{i} a ON e.u = a.id JOIN k{i} b ON e.v = b.id)"
+        )
+    return (
+        "WITH " + ", ".join(parts) + " SELECT id, "
+        "CAST(count(*) AS BIGINT) AS core_degree FROM "
+        f"(SELECT u AS id FROM e{rounds} UNION ALL SELECT v FROM e{rounds}) "
+        "GROUP BY id"
+    )
+
+
+def _assortativity_sql(edges_sql: str) -> str:
+    """Twin of kg.ops.graph.assortativity: identical Newman 2002 terms —
+    exact HUGEINT sums over the symmetrized endpoint-degree pairs
+    (mirroring Spark's decimal(38,0)), one final double division, 6dp."""
+    return (
+        "WITH t AS (" + edges_sql + "), "
+        "e AS MATERIALIZED (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM t WHERE out_id <> in_id), "
+        "d AS MATERIALIZED (SELECT id, count(*) AS dg FROM "
+        "(SELECT u AS id FROM e UNION ALL SELECT v FROM e) GROUP BY id), "
+        "p AS (SELECT u, v FROM e UNION ALL SELECT v AS u, u AS v FROM e), "
+        "j AS (SELECT du.dg AS dj, dv.dg AS dk FROM p "
+        "JOIN d du ON p.u = du.id JOIN d dv ON p.v = dv.id), "
+        "a AS (SELECT CAST(count(*) AS HUGEINT) AS m2, "
+        "sum(CAST(dj AS HUGEINT) * dk) AS sjk, "
+        "CAST(sum(dj) AS HUGEINT) AS sj, "
+        "sum(CAST(dj AS HUGEINT) * dj) AS sjj FROM j) "
+        "SELECT CAST(m2 // 2 AS BIGINT) AS n_edges, "
+        "round(CASE WHEN m2 * sjj - sj * sj <> 0 THEN "
+        "CAST(m2 * sjk - sj * sj AS DOUBLE) / "
+        "CAST(m2 * sjj - sj * sj AS DOUBLE) END, 6) AS assortativity FROM a"
+    )
 
 
 def _triangles_sql(edges_sql: str) -> str:
@@ -1916,6 +1998,8 @@ def queries() -> dict[str, _T]:
         "graph_hits": q_graph_hits,
         "graph_lpa": q_graph_lpa,
         "graph_components": q_graph_components,
+        "graph_kcore": q_graph_kcore,
+        "graph_assortativity": q_graph_assortativity,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
         "split_assign": q_split_assign,
@@ -2484,6 +2568,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _hits_sql(),
         "graph_lpa": _lpa_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),
+        "graph_kcore": _kcore_sql(_TRI_EDGES_SQL, _KCORE_K, _KCORE_ROUNDS),
+        "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),
         "repetition_stats": _repetition_sql(),
         "text_stats": (
             "SELECT doc_id, CAST(len(" + tok + ") AS INT) AS n_tokens, "

@@ -10,7 +10,8 @@ sampling, domain mixing, TF-IDF, LM scoring, DSIR selection, C4 line
 cleaning, sequence packing, profiling), multimodal column plumbing, and
 graph queries over the materialized vertex/edge output (degrees, typed
 2-hop, k-hop, shortest paths, PageRank/PPR, HITS, triangles, clustering
-coefficient, neighbor Jaccard, label propagation, components).
+coefficient, neighbor Jaccard, label propagation, components, bounded
+k-core peeling, degree assortativity).
 """
 
 from kg.ops.curate import (  # noqa: F401
@@ -35,11 +36,13 @@ from kg.ops.dedup import (  # noqa: F401
     winnow_duplicates,
 )
 from kg.ops.graph import (  # noqa: F401
+    assortativity,
     clustering_coefficient,
     components,
     degree_distribution,
     degrees,
     hits,
+    k_core,
     k_hop,
     label_propagation,
     neighbor_jaccard,

@@ -21,7 +21,11 @@ consumer of that output runs:
 * ``neighbor_jaccard`` — shared-neighbor similarity for link prediction
   / entity-merge candidate pairs;
 * ``components`` — weakly connected components (min-member-id labels),
-  delegating to the canonicalization CC engine.
+  delegating to the canonicalization CC engine;
+* ``k_core`` — bounded synchronous k-core peeling (density filter over
+  the built graph, residual degrees);
+* ``assortativity`` — Newman degree-assortativity coefficient, the
+  one-number structural diagnostic after the degree histogram.
 
 Scale shape (100 TB): everything is equi-joins + hash aggregations on the
 flat edge table — no cartesian anywhere.  Edge endpoints in the pipeline's
@@ -1065,4 +1069,162 @@ def label_propagation(
     )
     return verts.join(lbl, "id", "left").select(
         "id", F.coalesce("lbl", F.col("id")).alias("community")
+    )
+
+
+def k_core(
+    edges: DataFrame,
+    k: int = 2,
+    rounds: int = 3,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Bounded k-core peeling over the undirected simple graph:
+    (id, core_degree) for every vertex still carrying an edge after
+    ``rounds`` synchronous removals of vertices with degree < ``k``,
+    with its residual degree in the surviving subgraph.
+
+    The k-core (Seidman 1983) is the standard density/cohesion filter a
+    KG consumer runs to separate the connected "core" of an extracted
+    graph from its peeled periphery (spam/noise vertices shed first —
+    the graph analogue of the corpus quality gates in ``kg/ops/text.py``).
+    Peeling is run for a FIXED round count rather than to the fixpoint:
+    each round is a full pass over the surviving edge set, so at 100 TB
+    you bound rounds exactly like :func:`pagerank` bounds its power
+    iterations and :func:`shortest_paths` its relaxations — and the
+    fixed, data-independent count is what buys the full unrolled-CTE
+    DuckDB twin (``graph_kcore``).  The sequence converges from above
+    (each round's survivor set shrinks monotonically toward the true
+    k-core; a round that removes nothing has reached it), so bounded
+    output is a deterministic over-approximation, identical on any
+    engine that applies the same rule.
+
+    Plan shape per round: ONE hash aggregation for degrees (map-side
+    combine over the endpoint union) + the survivor semi-join applied to
+    both endpoints — the survivor frame is vertex-bounded and
+    broadcast-gated, so at cluster scale each round is one agg shuffle
+    plus two broadcast semi-joins, never an edge×edge join.  Each
+    round's survivor frame is localCheckpointed (the :func:`k_hop`
+    per-round discipline — see the in-loop comment for why a fully lazy
+    unroll is 3^rounds here) and the edge frame every 4 rounds, so the
+    plan stays a linear semi-join chain.  String vertex ids run
+    dictionary-encoded as xxhash64 longs (:func:`_encode_vertex_ids`):
+    degree thresholds only compare COUNTS, never id values, so the
+    encoding is output-invariant by construction.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        core = _k_core_impl(encoded, k, rounds, out_col, in_col)
+        return _decode_ids(core, vocab, ["id"])
+    return _k_core_impl(edges, k, rounds, out_col, in_col)
+
+
+def _k_core_impl(
+    edges: DataFrame, k: int, rounds: int, out_col: str, in_col: str
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    def deg(e: DataFrame) -> DataFrame:
+        ends = e.select(F.col("u").alias("id")).unionAll(
+            e.select(F.col("v").alias("id"))
+        )
+        return ends.groupBy("id").agg(F.count("*").alias("core_degree"))
+
+    e = _undirected(edges, out_col, in_col).localCheckpoint()
+    for i in range(rounds):
+        # the survivor frame is localCheckpointed EVERY round (the k_hop
+        # per-round discipline, not the sssp unroll): a round references
+        # the prior edge frame three times (degree union ×2 + the filter
+        # join), so a fully lazy loop re-inlines it 3^rounds times —
+        # materializing the vertex-bounded survivor set keeps the plan a
+        # LINEAR chain of broadcast semi-joins over the checkpointed
+        # edge base, at the cost of one small job per round.
+        keep = (
+            deg(e)
+            .filter(F.col("core_degree") >= k)
+            .select("id")
+            .localCheckpoint()
+        )
+        kd = maybe_broadcast(keep)
+        e = e.join(
+            kd.select(F.col("id").alias("u")), "u", "left_semi"
+        ).join(kd.select(F.col("id").alias("v")), "v", "left_semi")
+        if (i + 1) % 4 == 0 and (i + 1) < rounds:
+            e = e.localCheckpoint()
+    return deg(e)
+
+
+def assortativity(
+    edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
+) -> DataFrame:
+    """Degree assortativity coefficient (Newman 2002) over the undirected
+    simple graph: ONE row (n_edges, assortativity) — the Pearson
+    correlation of endpoint degrees across edges, in [-1, 1].  Positive
+    = hubs attach to hubs (social-network shape), negative = hubs attach
+    to leaves (star/infrastructure shape) — the one-number structural
+    diagnostic a consumer runs right after :func:`degree_distribution`
+    to see WHICH power-law graph the KG build produced.
+
+    Computed from the symmetrized edge list (each undirected edge
+    contributes both ordered endpoint pairs, the standard convention —
+    makes the two sum terms equal by construction):
+
+        r = (M·Σjk − (Σj)²/1) / (M·Σj² − (Σj)²),  over 2m ordered pairs
+
+    with all sums over exact BIGINT degree products (degrees are bounded
+    by vertex count, so j·k fits comfortably) and ONLY the final
+    division in floating point, rounded to 6dp — the same
+    integer-exact-then-round contract every twinned float op here uses
+    (:func:`pagerank` micro-units, ``clustering_coefficient`` 6dp).
+
+    Plan shape: one degree hash agg, the vertex-bounded degree dim
+    broadcast-gated onto each endpoint, then ONE global aggregation —
+    no per-vertex state survives, so the op is a constant-size reduce at
+    any scale.  Degenerate graphs (every vertex the same degree, e.g. a
+    clean cycle: zero variance) return NULL assortativity rather than a
+    division blow-up, matching SQL semantics on both engines.
+    """
+    from kg.hints import maybe_broadcast
+
+    und = _undirected(edges, out_col, in_col)
+    degs = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    dim = maybe_broadcast(degs)
+    pairs = und.select("u", "v").unionAll(
+        und.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
+    jk = (
+        pairs.join(dim.select(F.col("id").alias("u"), F.col("d").alias("dj")), "u")
+        .join(dim.select(F.col("id").alias("v"), F.col("d").alias("dk")), "v")
+    )
+    # sums and cross products as exact decimal(38,0): per-pair dj·dk fits
+    # a BIGINT, but the corpus-wide Σdj·dk and the M·Σ cross terms do not
+    # at 10^11 edges — ANSI mode would raise on the long overflow, and
+    # silently widening to double would break the exact-then-round twin
+    # contract.  10^38 bounds every term for any graph below ~10^12
+    # edges; DuckDB's HUGEINT sums mirror it exactly.
+    dec = "decimal(38,0)"
+    agg = jk.agg(
+        F.count("*").cast(dec).alias("m2"),
+        F.sum((F.col("dj") * F.col("dk")).cast(dec)).alias("sjk"),
+        F.sum(F.col("dj").cast(dec)).alias("sj"),
+        F.sum((F.col("dj") * F.col("dj")).cast(dec)).alias("sjj"),
+    )
+    num = F.col("m2") * F.col("sjk") - F.col("sj") * F.col("sj")
+    den = F.col("m2") * F.col("sjj") - F.col("sj") * F.col("sj")
+    return agg.select(
+        (F.col("m2") / F.lit(2)).cast("long").alias("n_edges"),
+        F.round(
+            F.when(den != F.lit(0), num.cast("double") / den.cast("double")),
+            6,
+        ).alias("assortativity"),
     )

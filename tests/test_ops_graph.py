@@ -652,3 +652,106 @@ def test_lpa_and_hits_match_naive_on_random_graphs(spark):
             for r in hits(e, iters=3).collect()
         }
         assert got_hits == _naive_hits(edges, 3), f"hits diverged on {seed}"
+
+
+# ---------------------------------------------------------------------------
+# k-core peeling
+# ---------------------------------------------------------------------------
+_CLIQUE_TAIL = [
+    # 4-clique a-b-c-d plus a tail d-e-f: peeling at k=2 sheds f, then e
+    ("a", "b"), ("a", "c"), ("a", "d"),
+    ("b", "c"), ("b", "d"), ("c", "d"),
+    ("d", "e"), ("e", "f"),
+]
+
+
+def test_k_core_peels_tail_round_by_round(spark):
+    from kg.ops import k_core
+
+    edges = spark.createDataFrame(_CLIQUE_TAIL, "out_id string, in_id string")
+    # round 1 removes only f (degree 1); e survives with residual degree 1
+    r1 = {r.id: r.core_degree for r in k_core(edges, k=2, rounds=1).collect()}
+    assert r1 == {"a": 3, "b": 3, "c": 3, "d": 4, "e": 1}
+    # round 2 removes e; the clique is the fixpoint, every degree = 3
+    for rounds in (2, 3, 5):
+        got = {
+            r.id: r.core_degree
+            for r in k_core(edges, k=2, rounds=rounds).collect()
+        }
+        assert got == {"a": 3, "b": 3, "c": 3, "d": 3}
+    # k above the clique degree empties the graph
+    assert k_core(edges, k=4, rounds=3).count() == 0
+
+
+def test_k_core_direction_and_duplicate_invariant(spark):
+    from kg.ops import k_core
+
+    fwd = spark.createDataFrame(_CLIQUE_TAIL, "out_id string, in_id string")
+    # reversed + duplicated edges and a self-loop: same undirected simple graph
+    rows = (
+        [(b, a) for a, b in _CLIQUE_TAIL]
+        + _CLIQUE_TAIL
+        + [("a", "a")]
+    )
+    messy = spark.createDataFrame(rows, "out_id string, in_id string")
+    want = sorted(map(tuple, k_core(fwd, k=2, rounds=3).collect()))
+    got = sorted(map(tuple, k_core(messy, k=2, rounds=3).collect()))
+    assert got == want
+
+
+def test_k_core_long_ids_match_raw_path(spark):
+    from kg.ops.graph import _k_core_impl
+    from kg.ops import k_core
+
+    edges = spark.createDataFrame(_CLIQUE_TAIL, "out_id string, in_id string")
+    enc = k_core(edges, k=2, rounds=2).collect()
+    raw = _k_core_impl(edges, 2, 2, "out_id", "in_id").collect()
+    assert sorted(map(tuple, enc)) == sorted(map(tuple, raw))
+
+
+def test_k_core_validates_args(spark):
+    from kg.ops import k_core
+
+    edges = spark.createDataFrame(_CLIQUE_TAIL, "out_id string, in_id string")
+    with pytest.raises(ValueError):
+        k_core(edges, k=0)
+    with pytest.raises(ValueError):
+        k_core(edges, k=2, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# degree assortativity
+# ---------------------------------------------------------------------------
+def test_assortativity_hand_value(spark):
+    from kg.ops import assortativity
+
+    edges = spark.createDataFrame(_CLIQUE_TAIL, "out_id string, in_id string")
+    # hand Newman 2002 over 16 ordered pairs: m2=16, Σjk=146, Σj=48,
+    # Σj²=154 → r = (16·146−48²)/(16·154−48²) = 32/160 = 0.2
+    row = assortativity(edges).collect()[0]
+    assert row.n_edges == 8
+    assert row.assortativity == pytest.approx(0.2, abs=1e-9)
+
+
+def test_assortativity_regular_graph_is_null(spark):
+    from kg.ops import assortativity
+
+    # a 4-cycle: every degree 2 → zero variance → NULL, not a crash
+    cyc = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")],
+        "out_id string, in_id string",
+    )
+    row = assortativity(cyc).collect()[0]
+    assert row.n_edges == 4
+    assert row.assortativity is None
+
+
+def test_assortativity_star_is_disassortative(spark):
+    from kg.ops import assortativity
+
+    # star: hub attaches only to leaves → r = -1 exactly
+    star = spark.createDataFrame(
+        [("h", f"l{i}") for i in range(5)], "out_id string, in_id string"
+    )
+    row = assortativity(star).collect()[0]
+    assert row.assortativity == pytest.approx(-1.0, abs=1e-9)
