@@ -41,6 +41,8 @@ QUERIES = (
     "hits",
     "lpa",
     "components",
+    "kcore",
+    "assortativity",
 )
 
 
@@ -69,10 +71,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="rank rounds (pagerank/ppr/hits)")
     ap.add_argument("--sources", default=None,
                     help="comma-separated vertex ids (ppr/khop/sssp)")
-    ap.add_argument("--k", type=int, default=2, help="BFS depth (khop)")
+    ap.add_argument("--k", type=int, default=2,
+                    help="BFS depth (khop); degree threshold (kcore)")
     ap.add_argument("--rounds", type=int, default=3,
                     help="relaxation rounds = max path edges (sssp); "
-                         "synchronous update rounds (lpa)")
+                         "synchronous update rounds (lpa); peel rounds "
+                         "(kcore)")
     ap.add_argument("--weight-col", default=None,
                     help="edge weight column (sssp; default unit weights)")
     ap.add_argument("--max-fanout", type=int, default=None,
@@ -165,6 +169,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             out = g.hits(edges, iters=args.iters)
         elif args.query == "lpa":
             out = g.label_propagation(edges, rounds=args.rounds)
+        elif args.query == "kcore":
+            out = g.k_core(edges, k=args.k, rounds=args.rounds)
+        elif args.query == "assortativity":
+            out = g.assortativity(edges)
         else:  # components
             out = g.components(edges)
         if args.output:

@@ -145,3 +145,21 @@ def test_cli_hits_and_lpa(spark, warehouse, tmp_path):
         ).collect()
     }
     assert lpa == {"a": "b", "b": "a", "c": "b", "d": "c"}
+
+
+def test_cli_kcore_and_assortativity(spark, warehouse, tmp_path):
+    # k=1, 1 round: only vertices with an edge survive (all four here);
+    # --k/--rounds NOT at operator defaults proves both flags are wired
+    got = {
+        r["id"]: r["core_degree"]
+        for r in _run(
+            spark, warehouse, tmp_path,
+            "--query", "kcore", "--k", "2", "--rounds", "1",
+        ).collect()
+    }
+    # undirected degrees: a1 b2 c2 d1 → a,d peel; b-c edge survives
+    assert got == {"b": 1, "c": 1}
+    rows = _run(
+        spark, warehouse, tmp_path, "--query", "assortativity"
+    ).collect()
+    assert len(rows) == 1 and rows[0]["n_edges"] == 3
