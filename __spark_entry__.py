@@ -1175,6 +1175,117 @@ def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     return assortativity(_tri_graph_edges(spark, sf))
 
 
+def q_graph_transitivity(spark: SparkSession, sf: str) -> DataFrame:
+    """Global transitivity (Newman's C) of the tripartite lineitem graph
+    (``kg/ops/graph.py::transitivity``): ONE row (n_wedges, n_closed,
+    transitivity) — the fraction of length-2 paths that close into
+    triangles, the whole-graph companion to ``graph_clustering``.
+    Exact BIGINT wedge/closure counts (decimal(38,0) sums internally),
+    only the final ratio in float at 6dp, so the op carries a full twin
+    composed from the already-verified triangles CTE."""
+    from kg.ops import transitivity
+
+    return transitivity(_tri_graph_edges(spark, sf))
+
+
+def _scc_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-nation hub star with a bidirectional core — planted CYCLIC
+    directed structure for the SCC entry (every other test graph here is
+    a DAG or used undirected, useless for exercising a directed-cycle
+    detector): every customer points at its nation's hub (min custkey),
+    the hub points back at the even custkeys.  True SCCs: one
+    {hub} ∪ evens cluster per nation (2-cycles through the hub), every
+    odd non-hub customer a trim-peeled singleton."""
+    cust = _read(spark, sf, "customer").select("c_custkey", "c_nationkey")
+    hubs = cust.groupBy("c_nationkey").agg(F.min("c_custkey").alias("hk"))
+    j = cust.join(hubs, "c_nationkey").filter(F.col("c_custkey") != F.col("hk"))
+    cid = F.concat(F.lit("c_"), F.col("c_custkey").cast("string"))
+    hid = F.concat(F.lit("c_"), F.col("hk").cast("string"))
+    to_hub = j.select(cid.alias("out_id"), hid.alias("in_id"))
+    from_hub = j.filter(F.col("c_custkey") % 2 == 0).select(
+        hid.alias("out_id"), cid.alias("in_id")
+    )
+    return to_hub.unionByName(from_hub)
+
+
+_SCC_TRIPS = 2
+_SCC_ROUNDS = 6
+
+
+def q_graph_scc(spark: SparkSession, sf: str) -> DataFrame:
+    """Strongly connected components over the planted hub graph
+    (``kg/ops/graph.py::strongly_connected_components``, trim +
+    forward/backward min-label coloring): (id, scc) for every vertex —
+    mutual-recursion clusters in a code KG, the directed refinement of
+    ``graph_components``.  The DuckDB twin computes TRUE SCCs from a
+    recursive transitive-closure CTE (min mutually-reachable id) — a
+    fully independent scheme, so agreement checks the labeling itself,
+    the ``graph_components`` twin design."""
+    from kg.ops import strongly_connected_components
+
+    return strongly_connected_components(
+        _scc_graph_edges(spark, sf), trips=_SCC_TRIPS, rounds=_SCC_ROUNDS
+    )
+
+
+_SCC_EDGES_SQL = (
+    "WITH h AS (SELECT c_nationkey AS nk, min(c_custkey) AS hk "
+    "FROM customer GROUP BY c_nationkey) "
+    "SELECT 'c_' || CAST(c.c_custkey AS VARCHAR) AS out_id, "
+    "'c_' || CAST(h.hk AS VARCHAR) AS in_id "
+    "FROM customer c JOIN h ON h.nk = c.c_nationkey "
+    "WHERE c.c_custkey <> h.hk "
+    "UNION ALL "
+    "SELECT 'c_' || CAST(h.hk AS VARCHAR), "
+    "'c_' || CAST(c.c_custkey AS VARCHAR) "
+    "FROM customer c JOIN h ON h.nk = c.c_nationkey "
+    "WHERE c.c_custkey <> h.hk AND c.c_custkey % 2 = 0"
+)
+
+
+def _scc_sql(edges_sql: str) -> str:
+    """Twin of kg.ops.graph.strongly_connected_components: TRUE SCCs via
+    recursive transitive closure — scc(v) = min id mutually reachable
+    with v (self included).  DuckDB's own recursion is the fixpoint
+    scheme, fully independent of the engine's trim + FW/BW coloring."""
+    return (
+        "WITH RECURSIVE ed AS (SELECT DISTINCT out_id AS src, in_id AS dst "
+        "FROM (" + edges_sql + ") WHERE out_id <> in_id), "
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)), "
+        "reach(a, b) AS (SELECT src, dst FROM ed "
+        "UNION SELECT r.a, e.dst FROM reach r JOIN ed e ON e.src = r.b), "
+        "mutual AS (SELECT r1.a AS id, r1.b AS m FROM reach r1 "
+        "JOIN reach r2 ON r1.a = r2.b AND r1.b = r2.a) "
+        "SELECT v.id, least(v.id, coalesce(min(m.m), v.id)) AS scc "
+        "FROM verts v LEFT JOIN mutual m ON m.id = v.id GROUP BY v.id"
+    )
+
+
+def _transitivity_sql(edges_sql: str) -> str:
+    """Twin of kg.ops.graph.transitivity: wedge count from the degree
+    aggregation (per-vertex exact integer halving, HUGEINT sum — the
+    Spark side's decimal(38,0)), closure count summed from the verified
+    triangles CTE, one final double division at 6dp."""
+    return (
+        "WITH tri AS MATERIALIZED (" + _triangles_sql(edges_sql) + "), "
+        "t AS (" + edges_sql + "), "
+        "und AS (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM t WHERE out_id <> in_id), "
+        "d AS (SELECT id, count(*) AS dg FROM "
+        "(SELECT u AS id FROM und UNION ALL SELECT v FROM und) GROUP BY id), "
+        "wg AS (SELECT sum(CAST(dg AS HUGEINT) * (dg - 1) // 2) "
+        "AS n_wedges FROM d), "
+        "cl AS (SELECT coalesce(sum(CAST(n_triangles AS HUGEINT)), 0) "
+        "AS n_closed FROM tri) "
+        "SELECT CAST(wg.n_wedges AS BIGINT) AS n_wedges, "
+        "CAST(cl.n_closed AS BIGINT) AS n_closed, "
+        "round(CASE WHEN wg.n_wedges <> 0 THEN "
+        "CAST(cl.n_closed AS DOUBLE) / CAST(wg.n_wedges AS DOUBLE) END, 6) "
+        "AS transitivity FROM wg, cl"
+    )
+
+
 _TRI_EDGES_SQL = (
     "SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS out_id, "
     "'p_' || CAST(l_partkey AS VARCHAR) AS in_id FROM lineitem "
@@ -2000,6 +2111,8 @@ def queries() -> dict[str, _T]:
         "graph_components": q_graph_components,
         "graph_kcore": q_graph_kcore,
         "graph_assortativity": q_graph_assortativity,
+        "graph_transitivity": q_graph_transitivity,
+        "graph_scc": q_graph_scc,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
         "split_assign": q_split_assign,
@@ -2570,6 +2683,8 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": _components_sql(_CN_EDGES_SQL),
         "graph_kcore": _kcore_sql(_TRI_EDGES_SQL, _KCORE_K, _KCORE_ROUNDS),
         "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),
+        "graph_transitivity": _transitivity_sql(_TRI_EDGES_SQL),
+        "graph_scc": _scc_sql(_SCC_EDGES_SQL),
         "repetition_stats": _repetition_sql(),
         "text_stats": (
             "SELECT doc_id, CAST(len(" + tok + ") AS INT) AS n_tokens, "

@@ -41,8 +41,10 @@ QUERIES = (
     "hits",
     "lpa",
     "components",
+    "scc",
     "kcore",
     "assortativity",
+    "transitivity",
 )
 
 
@@ -76,7 +78,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--rounds", type=int, default=3,
                     help="relaxation rounds = max path edges (sssp); "
                          "synchronous update rounds (lpa); peel rounds "
-                         "(kcore)")
+                         "(kcore); min-label propagation budget per "
+                         "coloring pass (scc)")
+    ap.add_argument("--trips", type=int, default=2,
+                    help="trim+color trips (scc)")
     ap.add_argument("--weight-col", default=None,
                     help="edge weight column (sssp; default unit weights)")
     ap.add_argument("--max-fanout", type=int, default=None,
@@ -173,6 +178,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             out = g.k_core(edges, k=args.k, rounds=args.rounds)
         elif args.query == "assortativity":
             out = g.assortativity(edges)
+        elif args.query == "transitivity":
+            out = g.transitivity(edges)
+        elif args.query == "scc":
+            out = g.strongly_connected_components(
+                edges, trips=args.trips, rounds=args.rounds
+            )
         else:  # components
             out = g.components(edges)
         if args.output:

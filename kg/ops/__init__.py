@@ -10,8 +10,9 @@ sampling, domain mixing, TF-IDF, LM scoring, DSIR selection, C4 line
 cleaning, sequence packing, profiling), multimodal column plumbing, and
 graph queries over the materialized vertex/edge output (degrees, typed
 2-hop, k-hop, shortest paths, PageRank/PPR, HITS, triangles, clustering
-coefficient, neighbor Jaccard, label propagation, components, bounded
-k-core peeling, degree assortativity).
+coefficient, neighbor Jaccard, label propagation, components, strongly
+connected components, bounded k-core peeling, degree assortativity,
+global transitivity).
 """
 
 from kg.ops.curate import (  # noqa: F401
@@ -49,6 +50,8 @@ from kg.ops.graph import (  # noqa: F401
     pagerank,
     personalized_pagerank,
     shortest_paths,
+    strongly_connected_components,
+    transitivity,
     triangles,
     two_hop,
 )

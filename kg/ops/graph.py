@@ -1159,6 +1159,212 @@ def _k_core_impl(
     return deg(e)
 
 
+def transitivity(
+    edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
+) -> DataFrame:
+    """Global transitivity (global clustering coefficient) of the
+    undirected simple graph: ONE row (n_wedges, n_closed, transitivity)
+    where n_wedges = Σ_v d(v)·(d(v)−1)/2 (paths of length 2 centered
+    anywhere), n_closed = Σ_v triangles(v) = 3·T, and transitivity =
+    n_closed / n_wedges ∈ [0, 1] — the whole-graph companion to the
+    per-vertex :func:`clustering_coefficient` (Newman's C, the fraction
+    of wedges that close).  The natural third structural diagnostic
+    after the degree histogram and :func:`assortativity`: how clustered
+    is the KG build overall.
+
+    Exactness contract: wedge counts per vertex are exact BIGINTs
+    (d·(d−1) is always even, so the integer halving loses nothing); the
+    corpus-wide sums run as decimal(38,0) like :func:`assortativity`'s
+    cross terms (10^9-degree hubs square to 10^18 per vertex — the SUM
+    is what overflows a long at scale, and ANSI mode would raise);
+    output counts are BIGINT (bounded for any graph below ~10^18
+    wedges) and only the final ratio is floating point, rounded to 6dp —
+    the exact-then-round twin contract every float here follows.
+
+    Plan shape: the :func:`triangles` chain (degree-oriented bounded
+    wedge join) + one vertex-sized degree agg, each reduced to a single
+    row, crossed (1×1) for the ratio — constant-size reduce at any
+    scale, no new shuffle class beyond ``triangles`` itself."""
+    dec = "decimal(38,0)"
+    und = _undirected(edges, out_col, in_col)
+    wedges = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+        .agg(
+            F.sum(
+                F.expr("div(d * (d - 1), 2)").cast(dec)
+            ).alias("n_wedges")
+        )
+    )
+    closed = triangles(edges, out_col, in_col).agg(
+        F.coalesce(F.sum("n_triangles"), F.lit(0)).cast(dec).alias("n_closed")
+    )
+    return wedges.crossJoin(closed).select(
+        F.col("n_wedges").cast("long").alias("n_wedges"),
+        F.col("n_closed").cast("long").alias("n_closed"),
+        F.round(
+            F.when(
+                F.col("n_wedges") != F.lit(0),
+                F.col("n_closed").cast("double")
+                / F.col("n_wedges").cast("double"),
+            ),
+            6,
+        ).alias("transitivity"),
+    )
+
+
+def strongly_connected_components(
+    edges: DataFrame,
+    trips: int = 2,
+    rounds: int = 6,
+    trim_rounds: int = 2,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Strongly connected components of the DIRECTED edge table:
+    (id, scc) for every vertex, scc = the min member id of the vertex's
+    SCC — mutual-recursion clusters in a code KG (A imports B imports A),
+    the directed refinement of :func:`components`.
+
+    Trim + forward/backward min-label coloring (the FW-BW-Trim family —
+    Orzan 2004, McLendon et al. 2005 — re-expressed relationally).  Per
+    trip over the unresolved subgraph:
+
+    1. TRIM (``trim_rounds`` passes): a vertex with in-degree 0 or
+       out-degree 0 in the remaining graph is its own singleton SCC —
+       assign and remove.  Peels DAG tails so the coloring below never
+       pays propagation rounds for acyclic structure.
+    2. COLOR: propagate min vertex ids forward along edges and backward
+       against them (up to ``rounds`` synchronous relaxations each,
+       with ONE convergence probe after the budget: a further round
+       that changes nothing proves the fixpoint).  At the fixpoint
+       f(v) = min ancestor-or-self and b(v) = min descendant-or-self
+       are each CONSTANT across an SCC, and f(v) = b(v) = m holds iff
+       m is the min id of SCC(v) — so assignment is all-or-nothing per
+       SCC and never splits one.  If the probe shows the budget did
+       NOT reach the fixpoint, the trip assigns nothing from coloring
+       (trim progress still stands): bounded rounds must degrade to
+       "unresolved", never to a wrong label.
+
+    Vertices still unresolved after ``trips`` trips return scc = NULL —
+    the honest bounded-compute answer (contrast :func:`k_core`'s
+    monotone over-approximation; an own-id default here could SPLIT a
+    real SCC, which is a wrong answer, not a coarser one).  Sizing:
+    each trip resolves at least the SCC containing the remaining min id
+    (plus every SCC whose min beats all its outside ancestors' and
+    descendants' ids, and everything trim peels), and ``rounds`` must
+    cover the remaining graph's directed diameter — on real KG builds
+    (short diameter, DAG-heavy) the defaults resolve everything in one
+    or two trips.  At 100 TB each relaxation is one edge-table
+    equi-join + one min hash-agg (the :func:`shortest_paths` round
+    shape) with the vertex-bounded label frame broadcast-gated, and
+    each trim pass is one degree agg + two semi-joins (:func:`k_core`'s
+    round shape).
+
+    Deliberately NOT xxhash64-long-encoded (the :func:`label_propagation`
+    rationale): labels are MIN OVER VERTEX IDS, so a non-order-preserving
+    encoding would elect a different representative than any external
+    replica of the rule; ids compare as the caller's strings on both
+    engines.  Self-loops are dropped (a self-loop never changes SCC
+    membership); self-loop-only vertices trim to singletons in trip 1.
+    """
+    if trips < 1:
+        raise ValueError(f"trips must be >= 1, got {trips}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if trim_rounds < 0:
+        raise ValueError(f"trim_rounds must be >= 0, got {trim_rounds}")
+    from kg.hints import maybe_broadcast
+
+    e = (
+        edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    assigned: list[DataFrame] = []
+
+    def _min_label(ev: DataFrame, vs: DataFrame, fwd: bool) -> DataFrame | None:
+        """Min-id propagation over ``ev`` (forward: labels flow src→dst,
+        backward: dst→src) from own-id seeds; None when ``rounds`` + the
+        probe round did not reach the fixpoint."""
+        a, b = ("src", "dst") if fwd else ("dst", "src")
+        lbl = vs.select("id", F.col("id").alias("lbl")).localCheckpoint()
+
+        def relax(cur: DataFrame) -> DataFrame:
+            step = ev.join(
+                maybe_broadcast(cur.select(F.col("id").alias(a), "lbl")), a
+            ).select(F.col(b).alias("id"), "lbl")
+            return (
+                cur.unionByName(step).groupBy("id").agg(F.min("lbl").alias("lbl"))
+            )
+
+        for _ in range(rounds):
+            # each round references the prior frame twice (union + join):
+            # checkpoint per round or the unrolled plan is 2^rounds
+            # (the k_core discipline, not the sssp linear unroll)
+            lbl = relax(lbl).localCheckpoint()
+        probe = relax(lbl)
+        moved = (
+            probe.join(lbl.withColumnRenamed("lbl", "prev"), "id")
+            .filter(F.col("lbl") != F.col("prev"))
+            .limit(1)
+            .count()
+        )
+        return lbl if moved == 0 else None
+
+    def _restrict(ev: DataFrame, vs: DataFrame) -> DataFrame:
+        vd = maybe_broadcast(vs)
+        return ev.join(
+            vd.select(F.col("id").alias("src")), "src", "left_semi"
+        ).join(
+            vd.select(F.col("id").alias("dst")), "dst", "left_semi"
+        ).localCheckpoint()
+
+    for _ in range(trips):
+        if verts.limit(1).count() == 0:
+            break
+        # edges restricted to the unresolved subgraph FIRST (not only
+        # inside the trim loop): with trim_rounds=0 a stale edge into an
+        # already-assigned vertex would otherwise leak that vertex back
+        # into the coloring frames and duplicate its output row
+        e = _restrict(e, verts)
+        for _ in range(trim_rounds):
+            srcs = e.select(F.col("src").alias("id")).distinct()
+            dsts = e.select(F.col("dst").alias("id")).distinct()
+            both = srcs.join(dsts, "id", "left_semi").localCheckpoint()
+            trimmed = verts.join(both, "id", "left_anti").select(
+                "id", F.col("id").alias("scc")
+            )
+            assigned.append(trimmed.localCheckpoint())
+            verts = both
+            e = _restrict(e, verts)
+        f = _min_label(e, verts, fwd=True)
+        bk = _min_label(e, verts, fwd=False) if f is not None else None
+        if f is not None and bk is not None:
+            done = (
+                f.join(bk.withColumnRenamed("lbl", "blbl"), "id")
+                .filter(F.col("lbl") == F.col("blbl"))
+                .select("id", F.col("lbl").alias("scc"))
+                .localCheckpoint()
+            )
+            assigned.append(done)
+            verts = verts.join(done, "id", "left_anti").localCheckpoint()
+
+    out = verts.select("id", F.lit(None).cast(verts.schema["id"].dataType).alias("scc"))
+    for frame in assigned:
+        out = out.unionByName(frame)
+    return out
+
+
 def assortativity(
     edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
 ) -> DataFrame:

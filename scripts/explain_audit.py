@@ -44,7 +44,8 @@ def main() -> None:
         "corpus_profile", "sample_weighted", "lm_score",
         "clean_lines", "redact_pii", "graph_sssp", "ann_pq", "graph_hits",
         "graph_lpa", "ann_ivf_pq", "dsir", "gopher_quality", "bpe_tokens",
-        "graph_kcore", "graph_assortativity",
+        "graph_kcore", "graph_assortativity", "graph_transitivity",
+        "graph_scc",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

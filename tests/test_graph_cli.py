@@ -163,3 +163,23 @@ def test_cli_kcore_and_assortativity(spark, warehouse, tmp_path):
         spark, warehouse, tmp_path, "--query", "assortativity"
     ).collect()
     assert len(rows) == 1 and rows[0]["n_edges"] == 3
+
+
+def test_cli_scc_and_transitivity(spark, warehouse, tmp_path):
+    # the a→b→c / d→c graph is a DAG: every vertex trims to a singleton;
+    # --trips/--rounds off operator defaults prove both flags are wired
+    got = {
+        r["id"]: r["scc"]
+        for r in _run(
+            spark, warehouse, tmp_path,
+            "--query", "scc", "--trips", "3", "--rounds", "4",
+        ).collect()
+    }
+    assert got == {"a": "a", "b": "b", "c": "c", "d": "d"}
+    rows = _run(
+        spark, warehouse, tmp_path, "--query", "transitivity"
+    ).collect()
+    # undirected a-b, b-c, d-c → degrees a1 b2 c2 d1 → 2 wedges, 0 closed
+    assert len(rows) == 1
+    assert (rows[0]["n_wedges"], rows[0]["n_closed"]) == (2, 0)
+    assert rows[0]["transitivity"] == 0.0

@@ -755,3 +755,168 @@ def test_assortativity_star_is_disassortative(spark):
     )
     row = assortativity(star).collect()[0]
     assert row.assortativity == pytest.approx(-1.0, abs=1e-9)
+
+
+# ---------------------------------------------------------------------------
+# global transitivity
+# ---------------------------------------------------------------------------
+def test_transitivity_hand_value(spark):
+    from kg.ops import transitivity
+
+    # triangle a-b-c plus pendant c-d: degrees (2,2,3,1) → wedges
+    # 1+1+3+0 = 5; one triangle → n_closed = 3 → C = 0.6
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d")],
+        "out_id string, in_id string",
+    )
+    row = transitivity(e).collect()[0]
+    assert (row.n_wedges, row.n_closed) == (5, 3)
+    assert row.transitivity == pytest.approx(0.6, abs=1e-9)
+
+
+def test_transitivity_degenerate_graphs(spark):
+    from kg.ops import transitivity
+
+    # open wedge: 1 wedge, 0 closed → 0.0 (not NULL)
+    wedge = spark.createDataFrame(
+        [("a", "b"), ("a", "c")], "out_id string, in_id string"
+    )
+    row = transitivity(wedge).collect()[0]
+    assert (row.n_wedges, row.n_closed, row.transitivity) == (1, 0, 0.0)
+    # single edge: no wedge at all → NULL ratio, not a division error
+    single = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    row = transitivity(single).collect()[0]
+    assert (row.n_wedges, row.n_closed) == (0, 0)
+    assert row.transitivity is None
+
+
+def test_transitivity_matches_clustering_on_clique(spark):
+    from kg.ops import transitivity
+
+    # K4: every wedge closes → C = 1.0 (12 wedges, 4 triangles → 12 closed)
+    k4 = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "out_id string, in_id string",
+    )
+    row = transitivity(k4).collect()[0]
+    assert (row.n_wedges, row.n_closed, row.transitivity) == (12, 12, 1.0)
+
+
+# ---------------------------------------------------------------------------
+# strongly connected components
+# ---------------------------------------------------------------------------
+def _scc_map(df):
+    return {r.id: r.scc for r in df.collect()}
+
+
+def test_scc_hand_graph(spark):
+    from kg.ops import strongly_connected_components
+
+    # 3-cycle {a,b,c} with DAG tail c→d→e, 2-cycle {x,y} feeding the
+    # big cycle via y→a: trim peels e then d, trip-1 coloring resolves
+    # {a,b,c} (min ancestor = min descendant = a), trip 2 resolves the
+    # {x,y} cycle once its path into the resolved part is cut
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "a"), ("c", "d"), ("d", "e"),
+         ("x", "y"), ("y", "x"), ("y", "a")],
+        "out_id string, in_id string",
+    )
+    got = _scc_map(strongly_connected_components(e, trips=2, rounds=6))
+    assert got == {
+        "a": "a", "b": "a", "c": "a", "d": "d", "e": "e", "x": "x", "y": "x",
+    }
+
+
+def test_scc_never_mislabels_with_small_external_ids(spark):
+    from kg.ops import strongly_connected_components
+
+    # the cycle {m,n} has an id-smaller ancestor a→m and an id-smaller
+    # descendant n→b: both are trim-peeled singletons, and the cycle's
+    # label must be its own min member m — never a or b
+    e = spark.createDataFrame(
+        [("a", "m"), ("m", "n"), ("n", "m"), ("n", "b")],
+        "out_id string, in_id string",
+    )
+    got = _scc_map(strongly_connected_components(e, trips=2, rounds=6))
+    assert got == {"a": "a", "b": "b", "m": "m", "n": "m"}
+
+
+def test_scc_self_loops_and_duplicates(spark):
+    from kg.ops import strongly_connected_components
+
+    # self-loop-only vertex s is a singleton; duplicate edges collapse
+    e = spark.createDataFrame(
+        [("s", "s"), ("a", "b"), ("a", "b"), ("b", "a")],
+        "out_id string, in_id string",
+    )
+    got = _scc_map(strongly_connected_components(e, trips=1, rounds=4))
+    assert got == {"s": "s", "a": "a", "b": "a"}
+
+
+def test_scc_unresolved_is_null_not_wrong(spark):
+    from kg.ops import strongly_connected_components
+
+    # an 8-ring needs 7 propagation rounds; with rounds=2 the probe
+    # proves non-convergence and the op must return NULL for every ring
+    # vertex — never a label that would split the single true SCC
+    ring = [(f"v{i}", f"v{(i + 1) % 8}") for i in range(8)]
+    e = spark.createDataFrame(ring, "out_id string, in_id string")
+    got = _scc_map(strongly_connected_components(e, trips=1, rounds=2))
+    assert set(got) == {f"v{i}" for i in range(8)}
+    assert all(v is None for v in got.values())
+    # and with enough rounds the same ring resolves exactly
+    got = _scc_map(strongly_connected_components(e, trips=1, rounds=8))
+    assert got == {f"v{i}": "v0" for i in range(8)}
+
+
+def _naive_scc(edges):
+    """Min-member SCC labels via boolean transitive closure (n is tiny)."""
+    verts = sorted({x for e in edges for x in e})
+    idx = {v: i for i, v in enumerate(verts)}
+    n = len(verts)
+    reach = [[False] * n for _ in range(n)]
+    for u, v in edges:
+        reach[idx[u]][idx[v]] = True
+    for k in range(n):
+        for i in range(n):
+            if reach[i][k]:
+                row_k = reach[k]
+                row_i = reach[i]
+                for j in range(n):
+                    if row_k[j]:
+                        row_i[j] = True
+    out = {}
+    for v in verts:
+        i = idx[v]
+        members = [
+            u for u in verts
+            if u == v or (reach[i][idx[u]] and reach[idx[u]][i])
+        ]
+        out[v] = min(members)
+    return out
+
+
+def test_scc_matches_naive_on_random_graphs(spark):
+    """Seeded-random battery: with bounds sized to the graph (trips =
+    rounds = n), trim + FW/BW coloring must resolve EVERY vertex and
+    agree with an independent transitive-closure SCC oracle."""
+    from kg.ops import strongly_connected_components
+
+    for seed in ("g1", "g2", "g3", "g4"):
+        edges = _rand_edges(seed, n_verts=9, n_edges=16)
+        e = spark.createDataFrame(edges, "out_id string, in_id string")
+        got = _scc_map(strongly_connected_components(e, trips=9, rounds=9))
+        assert None not in got.values(), f"unresolved vertex on {seed}"
+        assert got == _naive_scc(edges), f"scc diverged on {seed}"
+
+
+def test_scc_validates_args(spark):
+    from kg.ops import strongly_connected_components
+
+    e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    with pytest.raises(ValueError):
+        strongly_connected_components(e, trips=0)
+    with pytest.raises(ValueError):
+        strongly_connected_components(e, rounds=0)
+    with pytest.raises(ValueError):
+        strongly_connected_components(e, trim_rounds=-1)
