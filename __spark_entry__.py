@@ -1014,6 +1014,47 @@ def q_graph_jaccard(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_adamic_adar(spark: SparkSession, sf: str) -> DataFrame:
+    """Adamic–Adar link prediction over the c→o→p graph
+    (``kg/ops/graph.py::adamic_adar``) — ``graph_jaccard``'s companion
+    that down-weights promiscuous shared neighbors by 1/ln(degree).
+    Same wedge machinery, cap and evidence threshold; per-mid weights
+    fixed-pointed to BIGINT micro-units BEFORE the pair sum so the
+    aggregation is association-order-free on both engines."""
+    from kg.ops import adamic_adar
+
+    return adamic_adar(
+        _star_graph_edges(spark, sf),
+        min_common=_NJ_MIN_COMMON,
+        max_fanout=_NJ_MAX_FANOUT,
+    )
+
+
+def _adamic_adar_sql(edges_sql: str, min_common: int, max_fanout: int) -> str:
+    """Twin of kg.ops.graph.adamic_adar (same cap, threshold and
+    micro-unit fixed-pointing; the ``_neighbor_jaccard_sql`` shape)."""
+    return (
+        "WITH e AS (" + edges_sql + "), "
+        "und AS (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM e WHERE out_id <> in_id), "
+        "adj AS (SELECT u AS id, v AS nbr FROM und "
+        "UNION ALL SELECT v, u FROM und), "
+        "deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id), "
+        "w AS (SELECT id AS mid, "
+        "CAST(floor(1000000.0 / ln(CAST(deg AS DOUBLE))) AS BIGINT) AS w_fp "
+        f"FROM deg WHERE deg >= 2 AND deg <= {max_fanout}), "
+        "ws AS (SELECT adj.nbr AS mid, adj.id, w.w_fp FROM adj "
+        "JOIN w ON w.mid = adj.nbr), "
+        "com AS (SELECT p1.id AS a, p2.id AS b, "
+        "CAST(count(*) AS BIGINT) AS n_common, "
+        "CAST(sum(p1.w_fp) AS BIGINT) AS aa_fp "
+        "FROM ws p1 JOIN ws p2 ON p1.mid = p2.mid AND p1.id < p2.id "
+        f"GROUP BY p1.id, p2.id HAVING count(*) >= {min_common}) "
+        "SELECT a, b, n_common, aa_fp, "
+        "round(aa_fp / 1000000.0, 6) AS adamic_adar FROM com"
+    )
+
+
 def q_graph_clustering(spark: SparkSession, sf: str) -> DataFrame:
     """Local clustering coefficient (2·T / (d·(d−1))) over the tripartite
     graph — the Watts–Strogatz cohesion diagnostic, the natural next
@@ -2103,6 +2144,7 @@ def queries() -> dict[str, _T]:
         "graph_degree_typed": q_graph_degree_typed,
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
+        "graph_adamic_adar": q_graph_adamic_adar,
         "graph_clustering": q_graph_clustering,
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
@@ -2673,6 +2715,9 @@ def oracle_sql() -> dict[str, str]:
         ),
         "graph_triangles": _triangles_sql(_TRI_EDGES_SQL),
         "graph_jaccard": _neighbor_jaccard_sql(
+            _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT
+        ),
+        "graph_adamic_adar": _adamic_adar_sql(
             _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT
         ),
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),

@@ -36,6 +36,7 @@ QUERIES = (
     "triangles",
     "clustering",
     "jaccard",
+    "adamic-adar",
     "khop",
     "sssp",
     "hits",
@@ -86,9 +87,9 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="edge weight column (sssp; default unit weights)")
     ap.add_argument("--max-fanout", type=int, default=None,
                     help="drop mid/shared vertices above this degree "
-                         "(two-hop/jaccard super-node cap)")
+                         "(two-hop/jaccard/adamic-adar super-node cap)")
     ap.add_argument("--min-common", type=int, default=1,
-                    help="minimum shared neighbors (jaccard)")
+                    help="minimum shared neighbors (jaccard/adamic-adar)")
     ap.add_argument("--output", default=None,
                     help="write result parquet here instead of printing")
     ap.add_argument("--show", type=int, default=20,
@@ -155,6 +156,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             out = g.clustering_coefficient(edges)
         elif args.query == "jaccard":
             out = g.neighbor_jaccard(
+                edges, min_common=args.min_common, max_fanout=args.max_fanout
+            )
+        elif args.query == "adamic-adar":
+            out = g.adamic_adar(
                 edges, min_common=args.min_common, max_fanout=args.max_fanout
             )
         elif args.query == "khop":

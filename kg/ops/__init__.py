@@ -10,9 +10,9 @@ sampling, domain mixing, TF-IDF, LM scoring, DSIR selection, C4 line
 cleaning, sequence packing, profiling), multimodal column plumbing, and
 graph queries over the materialized vertex/edge output (degrees, typed
 2-hop, k-hop, shortest paths, PageRank/PPR, HITS, triangles, clustering
-coefficient, neighbor Jaccard, label propagation, components, strongly
-connected components, bounded k-core peeling, degree assortativity,
-global transitivity).
+coefficient, neighbor Jaccard, Adamic-Adar, label propagation,
+components, strongly connected components, bounded k-core peeling,
+degree assortativity, global transitivity).
 """
 
 from kg.ops.curate import (  # noqa: F401
@@ -37,6 +37,7 @@ from kg.ops.dedup import (  # noqa: F401
     winnow_duplicates,
 )
 from kg.ops.graph import (  # noqa: F401
+    adamic_adar,
     assortativity,
     clustering_coefficient,
     components,

@@ -800,6 +800,102 @@ def _neighbor_jaccard_impl(
     )
 
 
+def adamic_adar(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    min_common: int = 1,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Adamic–Adar link-prediction score (Adamic & Adar 2003) over the
+    undirected simple graph: for unordered pairs (a, b) sharing ≥
+    ``min_common`` neighbors, (a, b, n_common, aa_fp, adamic_adar) with
+    score = Σ_{m ∈ N(a)∩N(b)} 1/ln(deg(m)) — :func:`neighbor_jaccard`'s
+    companion that DOWN-WEIGHTS promiscuous shared neighbors instead of
+    normalizing by union size (a rare shared import is strong merge
+    evidence; a stdlib-sized hub is none).
+
+    Portability contract: float SUMS are association-order-dependent, so
+    a naive ``sum(1/ln(deg))`` could hash-differently across engines and
+    partitionings.  Each term is therefore fixed-pointed FIRST —
+    ``aa_fp = Σ floor(10⁶ / ln(deg(m)))`` as exact BIGINT micro-units
+    (order-free; the :func:`pagerank` micro-unit design) — and only the
+    final ``aa_fp / 10⁶`` floats, rounded to 6dp.  deg(m) ≥ 2 for any
+    shared neighbor, so ln is never 0.
+
+    Same plan shape and super-node cap as :func:`neighbor_jaccard` (the
+    wedge self-join on the shared neighbor is the quadratic risk;
+    ``max_fanout`` drops hub mids before it).  Long-encoded like
+    ``triangles``: the weight depends only on the mid's DEGREE, never on
+    id values, so the encoding is output-invariant; pairs re-orient with
+    least/greatest on the original ids after decoding."""
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        pairs = _adamic_adar_impl(encoded, out_col, in_col, min_common, max_fanout)
+        decoded = _decode_ids(pairs, vocab, ["a", "b"])
+        return decoded.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "n_common",
+            "aa_fp",
+            "adamic_adar",
+        )
+    return _adamic_adar_impl(edges, out_col, in_col, min_common, max_fanout)
+
+
+def _adamic_adar_impl(
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    min_common: int,
+    max_fanout: int | None,
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    und = _undirected(edges, out_col, in_col)
+    adj = und.select(F.col("u").alias("id"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("id"), F.col("u").alias("nbr"))
+    ).localCheckpoint()
+    deg = adj.groupBy("id").agg(F.count("*").alias("deg")).localCheckpoint()
+    # per-mid fixed-point weight rides the wedge rows, so the pair agg is
+    # ONE exact integer sum — no post-join float math on the big frame
+    # deg-1 mids can't center a wedge (no pair) but WOULD evaluate
+    # ln(1) = 0 → Infinity → ANSI long-cast error: drop them before the
+    # weight expression, not after
+    w = deg.filter(F.col("deg") >= 2).select(
+        F.col("id").alias("mid"),
+        F.floor(F.lit(1000000.0) / F.log(F.col("deg").cast("double")))
+        .cast("long")
+        .alias("w_fp"),
+        "deg",
+    )
+    if max_fanout is not None:
+        w = w.filter(F.col("deg") <= max_fanout)
+    wedge_src = adj.select(F.col("nbr").alias("mid"), F.col("id")).join(
+        maybe_broadcast(w.select("mid", "w_fp")), "mid"
+    )
+    p1 = wedge_src.select("mid", F.col("id").alias("a"), "w_fp")
+    p2 = wedge_src.select("mid", F.col("id").alias("b"))
+    return (
+        p1.join(maybe_broadcast(p2), "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("w_fp").alias("aa_fp"),
+        )
+        .filter(F.col("n_common") >= min_common)
+        .select(
+            "a",
+            "b",
+            "n_common",
+            "aa_fp",
+            F.round(F.col("aa_fp") / F.lit(1000000.0), 6).alias("adamic_adar"),
+        )
+    )
+
+
 def k_hop(
     edges: DataFrame,
     sources: DataFrame,

@@ -183,3 +183,15 @@ def test_cli_scc_and_transitivity(spark, warehouse, tmp_path):
     assert len(rows) == 1
     assert (rows[0]["n_wedges"], rows[0]["n_closed"]) == (2, 0)
     assert rows[0]["transitivity"] == 0.0
+
+
+def test_cli_adamic_adar(spark, warehouse, tmp_path):
+    # undirected a-b, b-c, c-d: (a,c) share b, (b,d) share c — both
+    # mids degree 2 → one micro-unit term floor(1e6/ln 2) = 1442695
+    got = {
+        (r["a"], r["b"]): r["aa_fp"]
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "adamic-adar"
+        ).collect()
+    }
+    assert got == {("a", "c"): 1442695, ("b", "d"): 1442695}

@@ -920,3 +920,61 @@ def test_scc_validates_args(spark):
         strongly_connected_components(e, rounds=0)
     with pytest.raises(ValueError):
         strongly_connected_components(e, trim_rounds=-1)
+
+
+# ---------------------------------------------------------------------------
+# Adamic-Adar link prediction
+# ---------------------------------------------------------------------------
+def test_adamic_adar_hand_graph(spark):
+    from kg.ops import adamic_adar
+
+    # 4-cycle a-b-c-d plus diagonal a-c: degrees a3 b2 c3 d2;
+    # floor(1e6/ln 3) = 910239, floor(1e6/ln 2) = 1442695
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "out_id string, in_id string",
+    )
+    got = {
+        (r.a, r.b): (r.n_common, r.aa_fp, r.adamic_adar)
+        for r in adamic_adar(e).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 910239, 0.910239),
+        ("a", "c"): (2, 2 * 1442695, 2.88539),
+        ("a", "d"): (1, 910239, 0.910239),
+        ("b", "c"): (1, 910239, 0.910239),
+        ("b", "d"): (2, 2 * 910239, 1.820478),
+        ("c", "d"): (1, 910239, 0.910239),
+    }
+
+
+def test_adamic_adar_fanout_cap_and_min_common(spark):
+    from kg.ops import adamic_adar
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "out_id string, in_id string",
+    )
+    # cap 2 drops the degree-3 mids a and c: only (a,c) keeps evidence
+    got = {
+        (r.a, r.b): (r.n_common, r.aa_fp)
+        for r in adamic_adar(e, max_fanout=2).collect()
+    }
+    assert got == {("a", "c"): (2, 2 * 1442695)}
+    # min_common=2 keeps only the two-witness pairs
+    got = {
+        (r.a, r.b) for r in adamic_adar(e, min_common=2).collect()
+    }
+    assert got == {("a", "c"), ("b", "d")}
+
+
+def test_adamic_adar_degree_one_mid_is_safe(spark):
+    from kg.ops import adamic_adar
+
+    # pendant p-q: q has degree 1 — must not evaluate 1/ln(1) (ANSI
+    # Infinity cast error), and contributes no pair
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("p", "q")], "out_id string, in_id string"
+    )
+    got = {(r.a, r.b): r.n_common for r in adamic_adar(e).collect()}
+    assert got == {("b", "c"): 1}
