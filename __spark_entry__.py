@@ -1290,10 +1290,17 @@ def _scc_sql(edges_sql: str) -> str:
     with v (self included).  DuckDB's own recursion is the fixpoint
     scheme, fully independent of the engine's trim + FW/BW coloring."""
     return (
-        "WITH RECURSIVE ed AS (SELECT DISTINCT out_id AS src, in_id AS dst "
-        "FROM (" + edges_sql + ") WHERE out_id <> in_id), "
+        # edges_sql wrapped as a SUBQUERY: under WITH RECURSIVE a bare
+        # CTE body containing UNION ALL parses as base-case/recursive-arm,
+        # which breaks the scoping of any WITH inside edges_sql
+        "WITH RECURSIVE raw AS (SELECT * FROM (" + edges_sql + ")), "
+        "ed AS (SELECT DISTINCT out_id AS src, in_id AS dst "
+        "FROM raw WHERE out_id <> in_id), "
+        # verts from the RAW edge table (before the self-loop filter),
+        # mirroring the engine: a self-loop-only vertex is still a
+        # singleton SCC row
         "verts AS (SELECT DISTINCT id FROM "
-        "(SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed)), "
+        "(SELECT out_id AS id FROM raw UNION ALL SELECT in_id FROM raw)), "
         "reach(a, b) AS (SELECT src, dst FROM ed "
         "UNION SELECT r.a, e.dst FROM reach r JOIN ed e ON e.src = r.b), "
         "mutual AS (SELECT r1.a AS id, r1.b AS m FROM reach r1 "

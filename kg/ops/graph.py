@@ -22,10 +22,18 @@ consumer of that output runs:
   / entity-merge candidate pairs;
 * ``components`` — weakly connected components (min-member-id labels),
   delegating to the canonicalization CC engine;
+* ``strongly_connected_components`` — directed mutual-reachability
+  clusters (trim + FW/BW min-label coloring), the mutual-recursion
+  detector over a code KG;
+* ``adamic_adar`` — 1/ln(degree)-weighted shared-neighbor scoring,
+  ``neighbor_jaccard``'s hub-discounting companion;
 * ``k_core`` — bounded synchronous k-core peeling (density filter over
   the built graph, residual degrees);
 * ``assortativity`` — Newman degree-assortativity coefficient, the
-  one-number structural diagnostic after the degree histogram.
+  one-number structural diagnostic after the degree histogram;
+* ``transitivity`` — the global clustering coefficient (fraction of
+  wedges that close), the whole-graph companion to
+  ``clustering_coefficient``.
 
 Scale shape (100 TB): everything is equi-joins + hash aggregations on the
 flat edge table — no cartesian anywhere.  Edge endpoints in the pipeline's
@@ -586,27 +594,35 @@ def triangles(
 
 
 def _triangles_impl(
-    edges: DataFrame, out_col: str, in_col: str
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    und: DataFrame | None = None,
+    deg: DataFrame | None = None,
 ) -> DataFrame:
     from kg.hints import maybe_broadcast
 
     # und feeds the degree agg AND the two annotation joins below, which
     # materialize as SEPARATE jobs (deg is checkpointed for its stats) —
     # cross-job exchange reuse doesn't exist, so without a checkpoint
-    # the distinct runs twice
-    und = _undirected(edges, out_col, in_col).localCheckpoint()
+    # the distinct runs twice.  Callers that already materialized the
+    # undirected/degree frames (``transitivity``) pass them in so the
+    # edge-table distinct and the degree shuffle run ONCE per call chain.
+    if und is None:
+        und = _undirected(edges, out_col, in_col).localCheckpoint()
     # deg is vertex-sized (two longs per vertex): checkpoint so its
     # stats are real, then broadcast-gate BOTH annotation joins — the
     # edge table never shuffles for the orientation, only for its own
     # distinct above (measured ~2 s off the chain at sf0.1; over budget
     # the gate degrades to the shuffle joins this code was before)
-    deg = (
-        und.select(F.col("u").alias("id"))
-        .unionAll(und.select(F.col("v").alias("id")))
-        .groupBy("id")
-        .agg(F.count("*").alias("deg"))
-        .localCheckpoint()
-    )
+    if deg is None:
+        deg = (
+            und.select(F.col("u").alias("id"))
+            .unionAll(und.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint()
+        )
     ranked = (
         und.join(
             maybe_broadcast(deg.withColumnsRenamed({"id": "u", "deg": "du"})),
@@ -743,6 +759,72 @@ def neighbor_jaccard(
     return _neighbor_jaccard_impl(edges, out_col, in_col, min_common, max_fanout)
 
 
+def _shared_neighbor_pairs(
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    min_common: int,
+    max_fanout: int | None,
+    mid_weight=None,
+) -> tuple[DataFrame, DataFrame]:
+    """The wedge machinery shared by :func:`neighbor_jaccard` and
+    :func:`adamic_adar`: ``(pairs, deg)`` where pairs = unordered vertex
+    pairs (a < b) sharing ≥ ``min_common`` undirected neighbors with
+    their shared count ``n_common`` (plus ``w_sum`` when ``mid_weight``
+    is given — an expression over the shared neighbor's ``deg`` column,
+    summed per pair), and deg = the checkpointed (id, deg) frame for the
+    caller's own annotations.
+
+    One scaffolding, one broadcast/checkpoint discipline: adj feeds both
+    wedge legs and the degree agg, deg feeds the fanout filter plus the
+    callers' joins — both checkpointed so the edge scan runs once and
+    the degree shuffle once (not 5-7×).  ``max_fanout`` drops hub mids
+    BEFORE the self-join (the quadratic guard); ``mid_weight`` rows ride
+    the wedge rows so the pair agg is one pass with no post-join math on
+    the big frame.  When ``mid_weight`` is set, mids of degree 1 are
+    dropped up front — they can't center a wedge anyway, and weight
+    expressions like 1/ln(deg) must never evaluate on them (ANSI
+    Infinity-cast hazard)."""
+    from kg.hints import maybe_broadcast
+
+    und = _undirected(edges, out_col, in_col)
+    adj = und.select(F.col("u").alias("id"), F.col("v").alias("nbr")).unionAll(
+        und.select(F.col("v").alias("id"), F.col("u").alias("nbr"))
+    ).localCheckpoint()
+    deg = adj.groupBy("id").agg(F.count("*").alias("deg")).localCheckpoint()
+    mids = deg.select(F.col("id").alias("mid"), "deg")
+    if mid_weight is not None:
+        mids = mids.filter(F.col("deg") >= 2)
+    if max_fanout is not None:
+        mids = mids.filter(F.col("deg") <= max_fanout)
+    wedge_src = adj.select(F.col("nbr").alias("mid"), F.col("id"))
+    if mid_weight is not None:
+        wedge_src = wedge_src.join(
+            maybe_broadcast(mids.select("mid", mid_weight.alias("w_fp"))),
+            "mid",
+        )
+        p1 = wedge_src.select("mid", F.col("id").alias("a"), "w_fp")
+    else:
+        if max_fanout is not None:
+            wedge_src = wedge_src.join(mids.select("mid"), "mid")
+        p1 = wedge_src.select("mid", F.col("id").alias("a"))
+    p2 = wedge_src.select("mid", F.col("id").alias("b"))
+    # same broadcast discipline as triangles: the candidate-pair set is
+    # the big intermediate — keep it map-side when the edge-sized wedge
+    # leg provably fits; the vertex-sized degree dim rides the same gate
+    aggs = [F.count("*").cast("long").alias("n_common")]
+    if mid_weight is not None:
+        aggs.append(F.sum("w_fp").alias("w_sum"))
+    pairs = (
+        p1.join(maybe_broadcast(p2), "mid")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(*aggs)
+        .filter(F.col("n_common") >= min_common)
+    )
+    return pairs, deg
+
+
 def _neighbor_jaccard_impl(
     edges: DataFrame,
     out_col: str,
@@ -750,33 +832,10 @@ def _neighbor_jaccard_impl(
     min_common: int,
     max_fanout: int | None,
 ) -> DataFrame:
-    und = _undirected(edges, out_col, in_col)
-    # adj feeds both wedge legs and the degree agg, deg feeds the fanout
-    # filter plus two denominator joins — checkpoint both so the edge
-    # scan runs once and the degree shuffle once (not 5-7x)
-    adj = und.select(F.col("u").alias("id"), F.col("v").alias("nbr")).unionAll(
-        und.select(F.col("v").alias("id"), F.col("u").alias("nbr"))
-    ).localCheckpoint()
-    deg = adj.groupBy("id").agg(F.count("*").alias("deg")).localCheckpoint()
-    wedge_src = adj.select(F.col("nbr").alias("mid"), F.col("id"))
-    if max_fanout is not None:
-        ok = deg.filter(F.col("deg") <= max_fanout).select(
-            F.col("id").alias("mid")
-        )
-        wedge_src = wedge_src.join(ok, "mid")
     from kg.hints import maybe_broadcast
 
-    p1 = wedge_src.select("mid", F.col("id").alias("a"))
-    p2 = wedge_src.select("mid", F.col("id").alias("b"))
-    # same broadcast discipline as triangles: the candidate-pair set is
-    # the big intermediate — keep it map-side when the edge-sized wedge
-    # leg provably fits; the vertex-sized degree dim rides the same gate
-    common = (
-        p1.join(maybe_broadcast(p2), "mid")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(F.count("*").cast("long").alias("n_common"))
-        .filter(F.col("n_common") >= min_common)
+    common, deg = _shared_neighbor_pairs(
+        edges, out_col, in_col, min_common, max_fanout
     )
     return (
         common.join(
@@ -851,48 +910,21 @@ def _adamic_adar_impl(
     min_common: int,
     max_fanout: int | None,
 ) -> DataFrame:
-    from kg.hints import maybe_broadcast
-
-    und = _undirected(edges, out_col, in_col)
-    adj = und.select(F.col("u").alias("id"), F.col("v").alias("nbr")).unionAll(
-        und.select(F.col("v").alias("id"), F.col("u").alias("nbr"))
-    ).localCheckpoint()
-    deg = adj.groupBy("id").agg(F.count("*").alias("deg")).localCheckpoint()
-    # per-mid fixed-point weight rides the wedge rows, so the pair agg is
-    # ONE exact integer sum — no post-join float math on the big frame
-    # deg-1 mids can't center a wedge (no pair) but WOULD evaluate
-    # ln(1) = 0 → Infinity → ANSI long-cast error: drop them before the
-    # weight expression, not after
-    w = deg.filter(F.col("deg") >= 2).select(
-        F.col("id").alias("mid"),
-        F.floor(F.lit(1000000.0) / F.log(F.col("deg").cast("double")))
-        .cast("long")
-        .alias("w_fp"),
-        "deg",
+    # per-mid fixed-point weight rides the wedge rows inside the shared
+    # scaffolding, so the pair agg is ONE exact integer sum — no
+    # post-join float math on the big frame
+    w_fp = F.floor(
+        F.lit(1000000.0) / F.log(F.col("deg").cast("double"))
+    ).cast("long")
+    pairs, _ = _shared_neighbor_pairs(
+        edges, out_col, in_col, min_common, max_fanout, mid_weight=w_fp
     )
-    if max_fanout is not None:
-        w = w.filter(F.col("deg") <= max_fanout)
-    wedge_src = adj.select(F.col("nbr").alias("mid"), F.col("id")).join(
-        maybe_broadcast(w.select("mid", "w_fp")), "mid"
-    )
-    p1 = wedge_src.select("mid", F.col("id").alias("a"), "w_fp")
-    p2 = wedge_src.select("mid", F.col("id").alias("b"))
-    return (
-        p1.join(maybe_broadcast(p2), "mid")
-        .filter(F.col("a") < F.col("b"))
-        .groupBy("a", "b")
-        .agg(
-            F.count("*").cast("long").alias("n_common"),
-            F.sum("w_fp").alias("aa_fp"),
-        )
-        .filter(F.col("n_common") >= min_common)
-        .select(
-            "a",
-            "b",
-            "n_common",
-            "aa_fp",
-            F.round(F.col("aa_fp") / F.lit(1000000.0), 6).alias("adamic_adar"),
-        )
+    return pairs.select(
+        "a",
+        "b",
+        "n_common",
+        F.col("w_sum").alias("aa_fp"),
+        F.round(F.col("w_sum") / F.lit(1000000.0), 6).alias("adamic_adar"),
     )
 
 
@@ -1280,21 +1312,30 @@ def transitivity(
     Plan shape: the :func:`triangles` chain (degree-oriented bounded
     wedge join) + one vertex-sized degree agg, each reduced to a single
     row, crossed (1×1) for the ratio — constant-size reduce at any
-    scale, no new shuffle class beyond ``triangles`` itself."""
+    scale, no new shuffle class beyond ``triangles`` itself.  The
+    undirected-distinct and degree frames are materialized ONCE and fed
+    to the triangle chain (not recomputed by it), ids stay encoded
+    end-to-end (both counts are id-free, so the decode dim join is
+    skipped entirely), and string ids still get the narrow 8-byte wedge
+    shuffle via :func:`_encode_vertex_ids`."""
     dec = "decimal(38,0)"
-    und = _undirected(edges, out_col, in_col)
-    wedges = (
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    e = enc[0] if enc is not None else edges
+    und = _undirected(e, out_col, in_col).localCheckpoint()
+    deg = (
         und.select(F.col("u").alias("id"))
         .unionAll(und.select(F.col("v").alias("id")))
         .groupBy("id")
-        .agg(F.count("*").alias("d"))
-        .agg(
-            F.sum(
-                F.expr("div(d * (d - 1), 2)").cast(dec)
-            ).alias("n_wedges")
-        )
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
-    closed = triangles(edges, out_col, in_col).agg(
+    wedges = deg.agg(
+        F.coalesce(
+            F.sum(F.expr("div(deg * (deg - 1), 2)").cast(dec)),
+            F.lit(0).cast(dec),
+        ).alias("n_wedges")
+    )
+    closed = _triangles_impl(e, out_col, in_col, und=und, deg=deg).agg(
         F.coalesce(F.sum("n_triangles"), F.lit(0)).cast(dec).alias("n_closed")
     )
     return wedges.crossJoin(closed).select(
@@ -1403,19 +1444,29 @@ def strongly_connected_components(
                 cur.unionByName(step).groupBy("id").agg(F.min("lbl").alias("lbl"))
             )
 
+        def changed(nxt: DataFrame, prev: DataFrame) -> bool:
+            return (
+                nxt.join(prev.withColumnRenamed("lbl", "prev"), "id")
+                .filter(F.col("lbl") != F.col("prev"))
+                .limit(1)
+                .count()
+                > 0
+            )
+
         for _ in range(rounds):
             # each round references the prior frame twice (union + join):
             # checkpoint per round or the unrolled plan is 2^rounds
-            # (the k_core discipline, not the sssp linear unroll)
-            lbl = relax(lbl).localCheckpoint()
-        probe = relax(lbl)
-        moved = (
-            probe.join(lbl.withColumnRenamed("lbl", "prev"), "id")
-            .filter(F.col("lbl") != F.col("prev"))
-            .limit(1)
-            .count()
-        )
-        return lbl if moved == 0 else None
+            # (the k_core discipline, not the sssp linear unroll).  The
+            # per-round probe is a vertex-sized join — far cheaper than
+            # the edge-join round it saves once labels stop moving
+            # (min-label propagation converges in diameter rounds, the
+            # budget is a worst-case bound)
+            nxt = relax(lbl).localCheckpoint()
+            if not changed(nxt, lbl):
+                return nxt  # proven fixpoint within budget
+            lbl = nxt
+        # the budget may have ended exactly AT the fixpoint: one last probe
+        return lbl if not changed(relax(lbl), lbl) else None
 
     def _restrict(ev: DataFrame, vs: DataFrame) -> DataFrame:
         vd = maybe_broadcast(vs)
@@ -1425,8 +1476,9 @@ def strongly_connected_components(
             vd.select(F.col("id").alias("dst")), "dst", "left_semi"
         ).localCheckpoint()
 
+    n_left = verts.count()
     for _ in range(trips):
-        if verts.limit(1).count() == 0:
+        if n_left == 0:
             break
         # edges restricted to the unresolved subgraph FIRST (not only
         # inside the trim loop): with trim_rounds=0 a stale edge into an
@@ -1454,6 +1506,14 @@ def strongly_connected_components(
             )
             assigned.append(done)
             verts = verts.join(done, "id", "left_anti").localCheckpoint()
+        # a trip that neither trimmed nor assigned anything is provably
+        # stuck (the remaining subgraph and budgets are unchanged, so
+        # every further trip would deterministically repeat it): stop
+        # and return the honest NULLs now
+        n_now = verts.count()
+        if n_now == n_left:
+            break
+        n_left = n_now
 
     out = verts.select("id", F.lit(None).cast(verts.schema["id"].dataType).alias("scc"))
     for frame in assigned:

@@ -22,7 +22,9 @@ def build(repo: str = REPO, out: str | None = None) -> str:
     """Zip the ``kg`` package rooted at ``repo`` into ``out`` (default
     ``<repo>/dist/kg.zip``) and return the archive path."""
     out = out or os.path.join(repo, "dist", "kg.zip")
-    os.makedirs(os.path.dirname(out), exist_ok=True)
+    out_dir = os.path.dirname(out)
+    if out_dir:  # a bare filename means cwd — makedirs("") would raise
+        os.makedirs(out_dir, exist_ok=True)
     pkg = os.path.join(repo, "kg")
     members: list[tuple[str, str]] = []
     for base, dirs, files in os.walk(pkg):
