@@ -978,3 +978,45 @@ def test_adamic_adar_degree_one_mid_is_safe(spark):
     )
     got = {(r.a, r.b): r.n_common for r in adamic_adar(e).collect()}
     assert got == {("b", "c"): 1}
+
+
+def _naive_und(edges):
+    return {tuple(sorted((u, v))) for u, v in edges if u != v}
+
+
+def test_transitivity_and_adamic_adar_match_naive_on_random_graphs(spark):
+    """Seeded-random battery: exact wedge/closure counts and micro-unit
+    Adamic-Adar sums must agree with brute-force Python references."""
+    import math
+    from itertools import combinations
+
+    from kg.ops import adamic_adar, transitivity
+
+    for seed in ("g1", "g2", "g3", "g4"):
+        edges = _rand_edges(seed, n_verts=9, n_edges=16)
+        e = spark.createDataFrame(edges, "out_id string, in_id string")
+        und = _naive_und(edges)
+        adj = {}
+        for u, v in und:
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        wedges = sum(len(ns) * (len(ns) - 1) // 2 for ns in adj.values())
+        tri = {
+            frozenset(t)
+            for t in combinations(adj, 3)
+            if t[1] in adj[t[0]] and t[2] in adj[t[0]] and t[2] in adj[t[1]]
+        }
+        row = transitivity(e).collect()[0]
+        assert (row.n_wedges, row.n_closed) == (wedges, 3 * len(tri)), seed
+        want = {}
+        for a, b in combinations(sorted(adj), 2):
+            common = adj[a] & adj[b]
+            if common:
+                fp = sum(
+                    math.floor(1e6 / math.log(len(adj[m]))) for m in common
+                )
+                want[(a, b)] = (len(common), fp)
+        got = {
+            (r.a, r.b): (r.n_common, r.aa_fp) for r in adamic_adar(e).collect()
+        }
+        assert got == want, seed
