@@ -2108,6 +2108,70 @@ def q_kg_edges(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# multimodal columns
+# ---------------------------------------------------------------------------
+def q_media_decode(spark: SparkSession, sf: str) -> DataFrame:
+    """Multimodal column plumbing end-to-end
+    (``kg/ops/multimodal.py``): derive a deterministic binary media
+    table from the documents ids (``media_from_ids`` — payload = ASCII
+    hex sha256 repeated), batch-decode it through the REAL
+    ``mapInPandas`` Arrow path (``decode_media`` with the deterministic
+    fake codec), and emit typed metadata + the first feature channel.
+    The fake codec is sha256 arithmetic, so the WHOLE chain —
+    generation, binary column, decode, feature float — carries a full
+    DuckDB twin (hex-nibble arithmetic on the same hashes); swapping in
+    a real codec touches only the injected decoder."""
+    from kg.ops.multimodal import decode_media, media_from_ids
+
+    docs = _read(spark, sf, "documents").select("doc_id")
+    dec = decode_media(media_from_ids(docs))
+    return dec.select(
+        "media_id",
+        "kind",
+        F.col("width").cast("long").alias("width"),
+        F.col("height").cast("long").alias("height"),
+        F.col("n_frames").cast("long").alias("n_frames"),
+        F.col("duration_ms").cast("long").alias("duration_ms"),
+        # feature is float32 on the Spark side: widen the float32 VALUE
+        # to double before rounding (the twin replicates the truncation
+        # with CAST(.. AS REAL) then back)
+        F.round(F.col("feature")[0].cast("double"), 6).alias("feat0"),
+    )
+
+
+def _media_decode_sql() -> str:
+    """Twin of q_media_decode: the fake codec's sha256 arithmetic redone
+    in SQL — payload hash recomputed from the hex chain, bytes read back
+    as hex-nibble pairs, the float32 feature truncation mirrored with a
+    REAL round-trip."""
+
+    def nib(pos: int) -> str:
+        return f"(strpos('0123456789abcdef', substr(hx, {pos}, 1)) - 1)"
+
+    def byt(idx: int) -> str:
+        return f"({nib(2 * idx + 1)} * 16 + {nib(2 * idx + 2)})"
+
+    return (
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "CASE doc_id % 3 WHEN 0 THEN 'image' WHEN 1 THEN 'audio' "
+        "ELSE 'video' END AS kind, "
+        "sha256(repeat(sha256('media:' || CAST(doc_id AS VARCHAR)), "
+        "CAST(4 + doc_id % 5 AS INTEGER))) AS hx FROM documents) "
+        "SELECT media_id, kind, "
+        f"CAST(CASE WHEN kind <> 'audio' THEN 64 + {byt(0)} % 192 "
+        "ELSE 0 END AS BIGINT) AS width, "
+        f"CAST(CASE WHEN kind <> 'audio' THEN 64 + {byt(1)} % 192 "
+        "ELSE 0 END AS BIGINT) AS height, "
+        f"CAST(CASE WHEN kind = 'image' THEN 1 ELSE 1 + {byt(2)} % 120 "
+        "END AS BIGINT) AS n_frames, "
+        f"CAST(CASE WHEN kind = 'image' THEN 0 ELSE 250 + "
+        f"({byt(3)} * 256 + {byt(4)}) % 60000 END AS BIGINT) AS duration_ms, "
+        f"round(CAST(CAST(({byt(4)} * 256 + {byt(5)}) / 65535.0 AS REAL) "
+        "AS DOUBLE), 6) AS feat0 FROM m"
+    )
+
+
+# ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
 def queries() -> dict[str, _T]:
@@ -2162,6 +2226,7 @@ def queries() -> dict[str, _T]:
         "graph_assortativity": q_graph_assortativity,
         "graph_transitivity": q_graph_transitivity,
         "graph_scc": q_graph_scc,
+        "media_decode": q_media_decode,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
         "split_assign": q_split_assign,
@@ -2737,6 +2802,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),
         "graph_transitivity": _transitivity_sql(_TRI_EDGES_SQL),
         "graph_scc": _scc_sql(_SCC_EDGES_SQL),
+        "media_decode": _media_decode_sql(),
         "repetition_stats": _repetition_sql(),
         "text_stats": (
             "SELECT doc_id, CAST(len(" + tok + ") AS INT) AS n_tokens, "

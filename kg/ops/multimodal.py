@@ -55,6 +55,39 @@ def synthetic_media(spark, n: int) -> DataFrame:
     return spark.range(n).mapInPandas(gen, schema=MEDIA_SCHEMA)
 
 
+def media_from_ids(ids: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Derive a deterministic media table from an id column: the binary
+    payload is the ASCII HEX sha256 of ``media:{id}`` repeated
+    ``4 + id % 5`` times.
+
+    Same plumbing as :func:`synthetic_media` (real ``binary`` column,
+    Arrow batches, ``MEDIA_SCHEMA``), different payload derivation: raw
+    digest bytes would force the oracle to hash a BLOB, which DuckDB's
+    ``sha256`` cannot — hex-ASCII payload bytes make the whole
+    generate→decode chain replicable by ANY engine with a string sha256,
+    which is what buys the ``media_decode`` driver entry its full twin.
+    The decode path itself stays byte-generic (``_fake_decode`` hashes
+    whatever bytes arrive)."""
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        kinds = ["image", "audio", "video"]
+        for pdf in batches:
+            rows = []
+            for i in pdf[id_col]:
+                i = int(i)
+                kind = kinds[i % 3]
+                hx = hashlib.sha256(f"media:{i}".encode()).hexdigest()
+                payload = (hx * (4 + i % 5)).encode("ascii")
+                rows.append(
+                    (i, kind, payload, {"src": f"synthetic/{kind}/{i}"})
+                )
+            yield pd.DataFrame(
+                rows, columns=["media_id", "kind", "data", "meta"]
+            )
+
+    return ids.select(F.col(id_col)).mapInPandas(gen, schema=MEDIA_SCHEMA)
+
+
 def _fake_decode(kind: str, data: bytes) -> tuple[int, int, int, int, list[float]]:
     """Deterministic stand-in for a real codec.
 

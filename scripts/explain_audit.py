@@ -45,7 +45,7 @@ def main() -> None:
         "clean_lines", "redact_pii", "graph_sssp", "ann_pq", "graph_hits",
         "graph_lpa", "ann_ivf_pq", "dsir", "gopher_quality", "bpe_tokens",
         "graph_kcore", "graph_assortativity", "graph_transitivity",
-        "graph_scc", "graph_adamic_adar",
+        "graph_scc", "graph_adamic_adar", "media_decode",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

@@ -55,3 +55,25 @@ def test_frame_sampling_plan(spark):
     for r in counts:
         expect = (nf[r.media_id] - 1) // 7 + 1
         assert r.n == expect
+
+
+def test_media_from_ids_payload_is_hex_ascii_and_deterministic(spark):
+    import hashlib
+
+    from kg.ops.multimodal import media_from_ids
+
+    ids = spark.createDataFrame([(5,), (6,), (7,)], "doc_id long")
+    rows = {r.media_id: r for r in media_from_ids(ids).collect()}
+    assert set(rows) == {5, 6, 7}
+    for i, r in rows.items():
+        hx = hashlib.sha256(f"media:{i}".encode()).hexdigest()
+        assert bytes(r.data) == (hx * (4 + i % 5)).encode("ascii")
+        assert r.kind == ["image", "audio", "video"][i % 3]
+    # decode chain: hand-compute the fake codec on the hex payload
+    from kg.ops.multimodal import decode_media
+
+    dec = {r.media_id: r for r in decode_media(media_from_ids(ids)).collect()}
+    h = hashlib.sha256(bytes(rows[6].data)).digest()
+    assert dec[6].kind == "image"
+    assert dec[6].width == 64 + h[0] % 192
+    assert dec[6].n_frames == 1 and dec[6].duration_ms == 0
