@@ -797,6 +797,71 @@ def q_graph_pagerank(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_pagerank_weighted(spark: SparkSession, sf: str) -> DataFrame:
+    """Edge-weighted PageRank over the DIRECTED tripartite lineitem
+    graph with weight floor(l_quantity): each out-edge carries rank
+    mass proportional to its weight, the Gremlin ``by('weight')``
+    traversal form.  Contribution = floor(rank·w / Σw) via the same
+    overflow-safe split identity as the damping product — every
+    intermediate stays exact BIGINT, so the weighted variant keeps the
+    full unrolled-CTE twin of the unweighted entry."""
+    from kg.ops import pagerank
+
+    li = _read(spark, sf, "lineitem")
+    w = F.floor(F.col("l_quantity")).cast("long")
+    o = F.concat(F.lit("o_"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p_"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s_"), F.col("l_suppkey").cast("string"))
+    ew = (
+        li.select(o.alias("out_id"), p.alias("in_id"), w.alias("w"))
+        .unionByName(li.select(o.alias("out_id"), s.alias("in_id"), w.alias("w")))
+        .unionByName(li.select(p.alias("out_id"), s.alias("in_id"), w.alias("w")))
+    )
+    return pagerank(
+        ew, iters=_PR_ITERS, damping_ppm=_PR_DAMP, weight_col="w"
+    )
+
+
+def _pagerank_weighted_sql(iters: int, damp: int) -> str:
+    """Twin of q_graph_pagerank_weighted: the weighted-share update
+    unrolled — (r // W)·w + ((r % W)·w) // W per edge row (multi-edges
+    each carry their own weight row, summed per destination), verts from
+    the UNFILTERED edge set (w ≤ 0 edges drop, their vertices stay)."""
+    base = 1_000_000 - damp
+    tri_w = (
+        "SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS src, "
+        "'p_' || CAST(l_partkey AS VARCHAR) AS dst, "
+        "CAST(floor(l_quantity) AS BIGINT) AS w FROM lineitem "
+        "UNION ALL SELECT 'o_' || CAST(l_orderkey AS VARCHAR), "
+        "'s_' || CAST(l_suppkey AS VARCHAR), "
+        "CAST(floor(l_quantity) AS BIGINT) FROM lineitem "
+        "UNION ALL SELECT 'p_' || CAST(l_partkey AS VARCHAR), "
+        "'s_' || CAST(l_suppkey AS VARCHAR), "
+        "CAST(floor(l_quantity) AS BIGINT) FROM lineitem"
+    )
+    parts = [
+        "raw AS (" + tri_w + ")",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM raw UNION ALL SELECT dst FROM raw))",
+        "ed AS (SELECT src, dst, w FROM raw WHERE w > 0)",
+        "outd AS (SELECT src, sum(w) AS wsum FROM ed GROUP BY src)",
+        "re AS (SELECT ed.src, ed.dst, ed.w, outd.wsum "
+        "FROM ed JOIN outd USING (src))",
+        "r0 AS (SELECT id, CAST(1000000 AS BIGINT) AS rank_fp FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"c{i} AS (SELECT re.dst AS id, "
+            "sum((r.rank_fp // re.wsum) * re.w "
+            "+ ((r.rank_fp % re.wsum) * re.w) // re.wsum) AS s "
+            f"FROM re JOIN r{i - 1} r ON r.id = re.src GROUP BY re.dst)",
+            f"r{i} AS (SELECT v.id, CAST({base} + COALESCE("
+            f"(c.s // 1000000) * {damp} + ((c.s % 1000000) * {damp}) // 1000000"
+            f", 0) AS BIGINT) AS rank_fp FROM verts v LEFT JOIN c{i} c USING (id))",
+        ]
+    return "WITH " + ", ".join(parts) + f" SELECT id, rank_fp FROM r{iters}"
+
+
 _PPR_SOURCES = ("c_1", "c_2", "c_3")
 
 
@@ -1052,6 +1117,45 @@ def _adamic_adar_sql(edges_sql: str, min_common: int, max_fanout: int) -> str:
         f"GROUP BY p1.id, p2.id HAVING count(*) >= {min_common}) "
         "SELECT a, b, n_common, aa_fp, "
         "round(aa_fp / 1000000.0, 6) AS adamic_adar FROM com"
+    )
+
+
+def q_graph_resource_alloc(spark: SparkSession, sf: str) -> DataFrame:
+    """Resource-allocation link prediction over the c→o→p graph
+    (``kg/ops/graph.py::resource_allocation``) — Zhou-Lü-Zhang 1/deg
+    discounting, the harder-penalty sibling of ``graph_adamic_adar``.
+    The weight is pure integer division (no transcendental), so the
+    score is exact BIGINT micro-units end-to-end."""
+    from kg.ops import resource_allocation
+
+    return resource_allocation(
+        _star_graph_edges(spark, sf),
+        min_common=_NJ_MIN_COMMON,
+        max_fanout=_NJ_MAX_FANOUT,
+    )
+
+
+def _resource_alloc_sql(edges_sql: str, min_common: int, max_fanout: int) -> str:
+    """Twin of kg.ops.graph.resource_allocation (the ``_adamic_adar_sql``
+    shape with the integer-division weight)."""
+    return (
+        "WITH e AS (" + edges_sql + "), "
+        "und AS (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM e WHERE out_id <> in_id), "
+        "adj AS (SELECT u AS id, v AS nbr FROM und "
+        "UNION ALL SELECT v, u FROM und), "
+        "deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id), "
+        "w AS (SELECT id AS mid, CAST(1000000 // deg AS BIGINT) AS w_fp "
+        f"FROM deg WHERE deg >= 2 AND deg <= {max_fanout}), "
+        "ws AS (SELECT adj.nbr AS mid, adj.id, w.w_fp FROM adj "
+        "JOIN w ON w.mid = adj.nbr), "
+        "com AS (SELECT p1.id AS a, p2.id AS b, "
+        "CAST(count(*) AS BIGINT) AS n_common, "
+        "CAST(sum(p1.w_fp) AS BIGINT) AS ra_fp "
+        "FROM ws p1 JOIN ws p2 ON p1.mid = p2.mid AND p1.id < p2.id "
+        f"GROUP BY p1.id, p2.id HAVING count(*) >= {min_common}) "
+        "SELECT a, b, n_common, ra_fp, "
+        "round(ra_fp / 1000000.0, 6) AS resource_allocation FROM com"
     )
 
 
@@ -2211,11 +2315,13 @@ def queries() -> dict[str, _T]:
         "graph_two_hop": q_graph_two_hop,
         "graph_two_hop_typed": q_graph_two_hop_typed,
         "graph_pagerank": q_graph_pagerank,
+        "graph_pagerank_weighted": q_graph_pagerank_weighted,
         "graph_ppr": q_graph_ppr,
         "graph_degree_typed": q_graph_degree_typed,
         "graph_triangles": q_graph_triangles,
         "graph_jaccard": q_graph_jaccard,
         "graph_adamic_adar": q_graph_adamic_adar,
+        "graph_resource_alloc": q_graph_resource_alloc,
         "graph_clustering": q_graph_clustering,
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
@@ -2775,6 +2881,7 @@ def oracle_sql() -> dict[str, str]:
             "FROM a2 JOIN b2 USING (mid) GROUP BY src, dst"
         ),
         "graph_pagerank": _pagerank_sql(),
+        "graph_pagerank_weighted": _pagerank_weighted_sql(_PR_ITERS, _PR_DAMP),
         "graph_ppr": _pagerank_sql(sources=_PPR_SOURCES),
         "graph_degree_typed": (
             "WITH e AS (SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS out_id, "
@@ -2790,6 +2897,9 @@ def oracle_sql() -> dict[str, str]:
             _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT
         ),
         "graph_adamic_adar": _adamic_adar_sql(
+            _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT
+        ),
+        "graph_resource_alloc": _resource_alloc_sql(
             _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT
         ),
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),

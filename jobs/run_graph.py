@@ -37,6 +37,7 @@ QUERIES = (
     "clustering",
     "jaccard",
     "adamic-adar",
+    "resource-allocation",
     "khop",
     "sssp",
     "hits",
@@ -84,7 +85,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--trips", type=int, default=2,
                     help="trim+color trips (scc)")
     ap.add_argument("--weight-col", default=None,
-                    help="edge weight column (sssp; default unit weights)")
+                    help="edge weight column (sssp/pagerank; default "
+                         "unit weights)")
     ap.add_argument("--max-fanout", type=int, default=None,
                     help="drop mid/shared vertices above this degree "
                          "(two-hop/jaccard/adamic-adar super-node cap)")
@@ -143,7 +145,9 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 second_label=args.second_label,
             )
         elif args.query == "pagerank":
-            out = g.pagerank(edges, iters=args.iters)
+            out = g.pagerank(
+                edges, iters=args.iters, weight_col=args.weight_col
+            )
         elif args.query == "ppr":
             if not args.sources:
                 raise SystemExit("--query ppr requires --sources")
@@ -160,6 +164,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             )
         elif args.query == "adamic-adar":
             out = g.adamic_adar(
+                edges, min_common=args.min_common, max_fanout=args.max_fanout
+            )
+        elif args.query == "resource-allocation":
+            out = g.resource_allocation(
                 edges, min_common=args.min_common, max_fanout=args.max_fanout
             )
         elif args.query == "khop":

@@ -9,10 +9,11 @@ fingerprinting, PII redaction), curation (decontamination, splits,
 sampling, domain mixing, TF-IDF, LM scoring, DSIR selection, C4 line
 cleaning, sequence packing, profiling), multimodal column plumbing, and
 graph queries over the materialized vertex/edge output (degrees, typed
-2-hop, k-hop, shortest paths, PageRank/PPR, HITS, triangles, clustering
-coefficient, neighbor Jaccard, Adamic-Adar, label propagation,
-components, strongly connected components, bounded k-core peeling,
-degree assortativity, global transitivity).
+2-hop, k-hop, shortest paths, PageRank plain/weighted/personalized,
+HITS, triangles, clustering coefficient, neighbor Jaccard, Adamic-Adar,
+resource allocation, label propagation, components, strongly connected
+components, bounded k-core peeling, degree assortativity, global
+transitivity).
 """
 
 from kg.ops.curate import (  # noqa: F401
@@ -50,6 +51,7 @@ from kg.ops.graph import (  # noqa: F401
     neighbor_jaccard,
     pagerank,
     personalized_pagerank,
+    resource_allocation,
     shortest_paths,
     strongly_connected_components,
     transitivity,

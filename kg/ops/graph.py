@@ -15,7 +15,8 @@ consumer of that output runs:
   2-path, with path multiplicity (``g.V().out().out()`` with dedup);
 * ``k_hop`` — BFS frontier expansion from a source set: every vertex
   reachable in ≤ k hops with its hop distance (``g.V(x).repeat(out())``);
-* ``pagerank`` — fixed-round integer-exact PageRank (SQL-twinnable);
+* ``pagerank`` — fixed-round integer-exact PageRank, plain or
+  edge-weighted (SQL-twinnable);
 * ``triangles`` — per-vertex triangle participation via degree
   orientation (bounded wedge join even on power-law hubs);
 * ``neighbor_jaccard`` — shared-neighbor similarity for link prediction
@@ -25,8 +26,9 @@ consumer of that output runs:
 * ``strongly_connected_components`` — directed mutual-reachability
   clusters (trim + FW/BW min-label coloring), the mutual-recursion
   detector over a code KG;
-* ``adamic_adar`` — 1/ln(degree)-weighted shared-neighbor scoring,
-  ``neighbor_jaccard``'s hub-discounting companion;
+* ``adamic_adar`` / ``resource_allocation`` — 1/ln(deg)- and
+  1/deg-weighted shared-neighbor scoring, ``neighbor_jaccard``'s
+  hub-discounting companions;
 * ``k_core`` — bounded synchronous k-core peeling (density filter over
   the built graph, residual degrees);
 * ``assortativity`` — Newman degree-assortativity coefficient, the
@@ -271,6 +273,7 @@ def pagerank(
     damping_ppm: int = 850_000,
     out_col: str = "out_id",
     in_col: str = "in_id",
+    weight_col: str | None = None,
 ) -> DataFrame:
     """PageRank with EXACT integer arithmetic: (id, rank_fp) where
     rank_fp is the rank in micro-units (1.0 == 1_000_000).
@@ -304,13 +307,26 @@ def pagerank(
     per-round join+agg shuffles (``_encode_vertex_ids``; the encode
     reuses the vertex-set distinct the algorithm needs anyway), decoded
     once at the end — rank values are id-independent, so the output is
-    bit-identical either way."""
+    bit-identical either way.
+
+    ``weight_col`` switches to EDGE-WEIGHTED PageRank: each out-edge
+    carries rank mass proportional to its positive integer weight —
+    contribution = floor(rank_fp · w / W_src) with W_src = Σ out-weights,
+    computed EXACTLY by the same split identity as the damping product
+    ((r div W)·w + ((r mod W)·w) div W, so nothing overflows while
+    W_src·max_w stays under 2^63).  Edges with weight ≤ 0 are dropped
+    map-side (a deterministic rule the twin replicates — a zero total
+    would otherwise divide by zero); unit weights reproduce the
+    unweighted rule bit-for-bit (W = out-degree, floor(r·1/W) = r div W).
+    Multi-edges each carry their own weight row — Σ over rows, the
+    natural multigraph semantics on both engines."""
     enc = _encode_vertex_ids(edges, out_col, in_col)
     if enc is not None:
         encoded, vocab = enc
         verts = vocab.select(F.col("enc").alias("id"))
         ranks = _pagerank_loop(
-            encoded, verts, iters, damping_ppm, out_col, in_col
+            encoded, verts, iters, damping_ppm, out_col, in_col,
+            weight_col=weight_col,
         )
         return _decode_ids(ranks, vocab, ["id"])
     e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
@@ -320,7 +336,10 @@ def pagerank(
         .distinct()
         .localCheckpoint()
     )
-    return _pagerank_loop(edges, verts, iters, damping_ppm, out_col, in_col)
+    return _pagerank_loop(
+        edges, verts, iters, damping_ppm, out_col, in_col,
+        weight_col=weight_col,
+    )
 
 
 def _pagerank_loop(
@@ -331,15 +350,31 @@ def _pagerank_loop(
     out_col: str,
     in_col: str,
     personalized: bool = False,
+    weight_col: str | None = None,
 ) -> DataFrame:
     """Shared fixed-round integer rank loop.  ``personalized=True``
     expects an ``is_src`` (0/1) column on ``verts``: the teleport mass
     (1-d)·10^6 then lands ONLY on source vertices (initial rank is the
     teleport mass itself), which is exactly global PageRank when every
-    vertex is a source — one rule, two operators."""
-    e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
-    outd = e.groupBy("src").agg(F.count("*").alias("outd"))
-    # out-degree is reused every round: checkpoint once
+    vertex is a source — one rule, two operators.  ``weight_col``
+    switches the per-edge contribution from ``rank div out-degree`` to
+    the exact weighted share ``floor(rank·w / Σw)`` (split identity —
+    see :func:`pagerank`)."""
+    if weight_col is not None:
+        e = edges.select(
+            F.col(out_col).alias("src"),
+            F.col(in_col).alias("dst"),
+            F.col(weight_col).cast("long").alias("w"),
+        ).filter(F.col("w") > 0)
+        outd = e.groupBy("src").agg(F.sum("w").alias("outd"))
+        contrib_expr = (
+            "(rank_fp div outd) * w + ((rank_fp % outd) * w) div outd"
+        )
+    else:
+        e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
+        outd = e.groupBy("src").agg(F.count("*").alias("outd"))
+        contrib_expr = "rank_fp div outd"
+    # out-degree / out-weight-sum is reused every round: checkpoint once
     ranked_edges = e.join(outd, "src").localCheckpoint()
     base = 1_000_000 - damping_ppm
     base_term = f"{base} * is_src" if personalized else str(base)
@@ -371,7 +406,7 @@ def _pagerank_loop(
             )
             .select(
                 F.col("dst").alias("id"),
-                F.expr("rank_fp div outd").alias("c"),
+                F.expr(contrib_expr).alias("c"),
             )
             .groupBy("id")
             .agg(F.sum("c").alias("s"))
@@ -925,6 +960,66 @@ def _adamic_adar_impl(
         "n_common",
         F.col("w_sum").alias("aa_fp"),
         F.round(F.col("w_sum") / F.lit(1000000.0), 6).alias("adamic_adar"),
+    )
+
+
+def resource_allocation(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    min_common: int = 1,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Resource-allocation link-prediction index (Zhou, Lü & Zhang 2009)
+    over the undirected simple graph: for unordered pairs (a, b) sharing
+    ≥ ``min_common`` neighbors, (a, b, n_common, ra_fp,
+    resource_allocation) with score = Σ_{m ∈ N(a)∩N(b)} 1/deg(m) — the
+    harder-discounting sibling of :func:`adamic_adar` (1/d instead of
+    1/ln d; empirically the strongest of the classic local indices on
+    dense graphs, per the original study).
+
+    Unlike Adamic–Adar there is NO transcendental in the weight:
+    ``floor(10⁶ / deg)`` is pure integer division, so ``ra_fp`` is
+    EXACT BIGINT micro-units end-to-end with no cross-engine float
+    concern at all; only the final display ratio floats (6dp).  Same
+    shared wedge scaffolding, super-node cap, and long-id encoding as
+    :func:`neighbor_jaccard` / :func:`adamic_adar`."""
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        pairs = _resource_allocation_impl(
+            encoded, out_col, in_col, min_common, max_fanout
+        )
+        decoded = _decode_ids(pairs, vocab, ["a", "b"])
+        return decoded.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "n_common",
+            "ra_fp",
+            "resource_allocation",
+        )
+    return _resource_allocation_impl(edges, out_col, in_col, min_common, max_fanout)
+
+
+def _resource_allocation_impl(
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    min_common: int,
+    max_fanout: int | None,
+) -> DataFrame:
+    w_fp = F.expr("div(1000000, deg)").cast("long")
+    pairs, _ = _shared_neighbor_pairs(
+        edges, out_col, in_col, min_common, max_fanout, mid_weight=w_fp
+    )
+    return pairs.select(
+        "a",
+        "b",
+        "n_common",
+        F.col("w_sum").alias("ra_fp"),
+        F.round(F.col("w_sum") / F.lit(1000000.0), 6).alias(
+            "resource_allocation"
+        ),
     )
 
 

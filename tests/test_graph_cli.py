@@ -195,3 +195,14 @@ def test_cli_adamic_adar(spark, warehouse, tmp_path):
         ).collect()
     }
     assert got == {("a", "c"): 1442695, ("b", "d"): 1442695}
+
+
+def test_cli_resource_allocation_and_weighted_pagerank_flag(spark, warehouse, tmp_path):
+    # undirected a-b, b-c, c-d: both witness mids have degree 2 → 500000
+    got = {
+        (r["a"], r["b"]): r["ra_fp"]
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "resource-allocation"
+        ).collect()
+    }
+    assert got == {("a", "c"): 500000, ("b", "d"): 500000}

@@ -1020,3 +1020,103 @@ def test_transitivity_and_adamic_adar_match_naive_on_random_graphs(spark):
             (r.a, r.b): (r.n_common, r.aa_fp) for r in adamic_adar(e).collect()
         }
         assert got == want, seed
+
+
+def test_resource_allocation_hand_graph(spark):
+    from kg.ops import resource_allocation
+
+    # 4-cycle a-b-c-d plus diagonal a-c: degrees a3 b2 c3 d2;
+    # 1e6 // 3 = 333333, 1e6 // 2 = 500000 — pure integer weights
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "out_id string, in_id string",
+    )
+    got = {
+        (r.a, r.b): (r.n_common, r.ra_fp, r.resource_allocation)
+        for r in resource_allocation(e).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 333333, 0.333333),
+        ("a", "c"): (2, 1000000, 1.0),
+        ("a", "d"): (1, 333333, 0.333333),
+        ("b", "c"): (1, 333333, 0.333333),
+        ("b", "d"): (2, 666666, 0.666666),
+        ("c", "d"): (1, 333333, 0.333333),
+    }
+
+
+def test_resource_allocation_matches_naive_on_random_graphs(spark):
+    from itertools import combinations
+
+    from kg.ops import resource_allocation
+
+    for seed in ("g1", "g2", "g3", "g4"):
+        edges = _rand_edges(seed, n_verts=9, n_edges=16)
+        e = spark.createDataFrame(edges, "out_id string, in_id string")
+        adj = {}
+        for u, v in _naive_und(edges):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want = {}
+        for a, b in combinations(sorted(adj), 2):
+            common = adj[a] & adj[b]
+            if common:
+                want[(a, b)] = (
+                    len(common),
+                    sum(1_000_000 // len(adj[m]) for m in common),
+                )
+        got = {
+            (r.a, r.b): (r.n_common, r.ra_fp)
+            for r in resource_allocation(e).collect()
+        }
+        assert got == want, seed
+
+
+# ---------------------------------------------------------------------------
+# weighted PageRank
+# ---------------------------------------------------------------------------
+def test_weighted_pagerank_hand_round(spark):
+    from kg.ops import pagerank
+
+    # a→b (w=3), a→c (w=1): after one round b gets floor(1e6·3/4) = 750000
+    # raw mass → 150000 + floor(750000·0.85) = 787500; c 362500; a 150000
+    e = spark.createDataFrame(
+        [("a", "b", 3), ("a", "c", 1)], "out_id string, in_id string, w long"
+    )
+    got = {
+        r.id: r.rank_fp
+        for r in pagerank(e, iters=1, weight_col="w").collect()
+    }
+    assert got == {"a": 150000, "b": 787500, "c": 362500}
+
+
+def test_weighted_pagerank_unit_weights_match_unweighted(spark):
+    from kg.ops import pagerank
+
+    rows = [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a"), ("p1", "m"),
+            ("m", "q1"), ("m", "q2")]
+    e = spark.createDataFrame(rows, "out_id string, in_id string")
+    ew = spark.createDataFrame(
+        [(u, v, 1) for u, v in rows], "out_id string, in_id string, w long"
+    )
+    want = {r.id: r.rank_fp for r in pagerank(e, iters=3).collect()}
+    got = {
+        r.id: r.rank_fp
+        for r in pagerank(ew, iters=3, weight_col="w").collect()
+    }
+    assert got == want
+
+
+def test_weighted_pagerank_drops_nonpositive_weights_keeps_vertices(spark):
+    from kg.ops import pagerank
+
+    # the w=0 edge contributes no mass but its endpoints stay vertices
+    e = spark.createDataFrame(
+        [("a", "b", 2), ("a", "z", 0)], "out_id string, in_id string, w long"
+    )
+    got = {
+        r.id: r.rank_fp
+        for r in pagerank(e, iters=1, weight_col="w").collect()
+    }
+    # all mass flows a→b: floor(1e6·2/2) = 1e6 → 150000 + 850000
+    assert got == {"a": 150000, "b": 1000000, "z": 150000}
