@@ -1309,6 +1309,78 @@ def q_graph_kcore(spark: SparkSession, sf: str) -> DataFrame:
     return k_core(_tri_graph_edges(spark, sf), k=_KCORE_K, rounds=_KCORE_ROUNDS)
 
 
+_KTRUSS_K = 3
+_KTRUSS_ROUNDS = 2
+
+
+def q_graph_ktruss(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded k-truss peeling over the tripartite lineitem graph
+    (``kg/ops/graph.py::k_truss``): edges surviving 2 synchronous
+    removals of support-<1 edges (k=3 — every surviving edge joins at
+    least one triangle in the surviving subgraph), with final support —
+    the EDGE-level cohesion filter next to ``graph_kcore``.  Fixed
+    rounds + integer supports buy the full unrolled-CTE twin."""
+    from kg.ops import k_truss
+
+    return k_truss(
+        _tri_graph_edges(spark, sf), k=_KTRUSS_K, rounds=_KTRUSS_ROUNDS
+    )
+
+
+def _ktruss_sql(edges_sql: str, k: int, rounds: int) -> str:
+    """Twin of kg.ops.graph.k_truss: the same synchronous peel unrolled —
+    per round one degree-oriented triangle enumeration over the
+    surviving edge set, support per canonical member edge, and the
+    ≥ k−2 filter.  The triangle block reuses the ``_triangles_sql``
+    orientation verbatim per round; multiply-referenced CTEs
+    MATERIALIZED (the same inlining lesson)."""
+    parts = [
+        "t0 AS (" + edges_sql + ")",
+        "e0 AS MATERIALIZED (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM t0 WHERE out_id <> in_id)",
+    ]
+
+    def tri_block(i: int) -> list[str]:
+        lt = f"(r{i}.du < r{i}.dv OR (r{i}.du = r{i}.dv AND r{i}.u < r{i}.v))"
+        return [
+            f"d{i} AS MATERIALIZED (SELECT id, count(*) AS deg FROM "
+            f"(SELECT u AS id FROM e{i} UNION ALL SELECT v FROM e{i}) "
+            "GROUP BY id)",
+            f"r{i} AS (SELECT e{i}.u, e{i}.v, a.deg AS du, b.deg AS dv "
+            f"FROM e{i} JOIN d{i} a ON a.id = e{i}.u "
+            f"JOIN d{i} b ON b.id = e{i}.v)",
+            f"o{i} AS MATERIALIZED (SELECT "
+            f"CASE WHEN {lt} THEN r{i}.u ELSE r{i}.v END AS src, "
+            f"CASE WHEN {lt} THEN r{i}.v ELSE r{i}.u END AS dst, "
+            f"CASE WHEN {lt} THEN r{i}.dv ELSE r{i}.du END AS ddst FROM r{i})",
+            f"tr{i} AS MATERIALIZED (SELECT w1.src AS a, w1.dst AS b, "
+            f"w2.dst AS c FROM o{i} w1 JOIN o{i} w2 ON w1.src = w2.src "
+            "AND (w1.ddst < w2.ddst OR (w1.ddst = w2.ddst "
+            "AND w1.dst < w2.dst)) "
+            f"JOIN o{i} cl ON cl.src = w1.dst AND cl.dst = w2.dst)",
+            f"s{i} AS MATERIALIZED (SELECT u, v, "
+            "CAST(count(*) AS BIGINT) AS support FROM "
+            f"(SELECT least(a, b) AS u, greatest(a, b) AS v FROM tr{i} "
+            f"UNION ALL SELECT least(a, c), greatest(a, c) FROM tr{i} "
+            f"UNION ALL SELECT least(b, c), greatest(b, c) FROM tr{i}) "
+            "GROUP BY u, v)",
+        ]
+
+    for i in range(rounds):
+        parts += tri_block(i)
+        parts.append(
+            f"e{i + 1} AS MATERIALIZED (SELECT e.u, e.v FROM e{i} e "
+            f"LEFT JOIN s{i} s ON s.u = e.u AND s.v = e.v "
+            f"WHERE coalesce(s.support, 0) >= {k - 2})"
+        )
+    parts += tri_block(rounds)
+    return (
+        "WITH " + ", ".join(parts) + " "
+        f"SELECT e.u, e.v, coalesce(s.support, 0) AS support "
+        f"FROM e{rounds} e LEFT JOIN s{rounds} s ON s.u = e.u AND s.v = e.v"
+    )
+
+
 def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     """Degree assortativity (Newman 2002) of the tripartite lineitem
     graph: ONE row (n_edges, assortativity) — Pearson correlation of
@@ -2329,6 +2401,7 @@ def queries() -> dict[str, _T]:
         "graph_lpa": q_graph_lpa,
         "graph_components": q_graph_components,
         "graph_kcore": q_graph_kcore,
+        "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
         "graph_transitivity": q_graph_transitivity,
         "graph_scc": q_graph_scc,
@@ -2909,6 +2982,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa": _lpa_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),
         "graph_kcore": _kcore_sql(_TRI_EDGES_SQL, _KCORE_K, _KCORE_ROUNDS),
+        "graph_ktruss": _ktruss_sql(_TRI_EDGES_SQL, _KTRUSS_K, _KTRUSS_ROUNDS),
         "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),
         "graph_transitivity": _transitivity_sql(_TRI_EDGES_SQL),
         "graph_scc": _scc_sql(_SCC_EDGES_SQL),

@@ -45,6 +45,7 @@ QUERIES = (
     "components",
     "scc",
     "kcore",
+    "ktruss",
     "assortativity",
     "transitivity",
 )
@@ -76,7 +77,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--sources", default=None,
                     help="comma-separated vertex ids (ppr/khop/sssp)")
     ap.add_argument("--k", type=int, default=2,
-                    help="BFS depth (khop); degree threshold (kcore)")
+                    help="BFS depth (khop); degree threshold (kcore); "
+                         "truss order (ktruss)")
     ap.add_argument("--rounds", type=int, default=3,
                     help="relaxation rounds = max path edges (sssp); "
                          "synchronous update rounds (lpa); peel rounds "
@@ -189,6 +191,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             out = g.label_propagation(edges, rounds=args.rounds)
         elif args.query == "kcore":
             out = g.k_core(edges, k=args.k, rounds=args.rounds)
+        elif args.query == "ktruss":
+            out = g.k_truss(edges, k=args.k, rounds=args.rounds)
         elif args.query == "assortativity":
             out = g.assortativity(edges)
         elif args.query == "transitivity":

@@ -12,8 +12,8 @@ graph queries over the materialized vertex/edge output (degrees, typed
 2-hop, k-hop, shortest paths, PageRank plain/weighted/personalized,
 HITS, triangles, clustering coefficient, neighbor Jaccard, Adamic-Adar,
 resource allocation, label propagation, components, strongly connected
-components, bounded k-core peeling, degree assortativity, global
-transitivity).
+components, bounded k-core and k-truss peeling, degree assortativity,
+global transitivity).
 """
 
 from kg.ops.curate import (  # noqa: F401
@@ -47,6 +47,7 @@ from kg.ops.graph import (  # noqa: F401
     hits,
     k_core,
     k_hop,
+    k_truss,
     label_propagation,
     neighbor_jaccard,
     pagerank,

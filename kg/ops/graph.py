@@ -29,8 +29,8 @@ consumer of that output runs:
 * ``adamic_adar`` / ``resource_allocation`` — 1/ln(deg)- and
   1/deg-weighted shared-neighbor scoring, ``neighbor_jaccard``'s
   hub-discounting companions;
-* ``k_core`` — bounded synchronous k-core peeling (density filter over
-  the built graph, residual degrees);
+* ``k_core`` / ``k_truss`` — bounded synchronous vertex- and edge-level
+  cohesion peeling (density filters over the built graph);
 * ``assortativity`` — Newman degree-assortativity coefficient, the
   one-number structural diagnostic after the degree histogram;
 * ``transitivity`` — the global clustering coefficient (fraction of
@@ -635,8 +635,6 @@ def _triangles_impl(
     und: DataFrame | None = None,
     deg: DataFrame | None = None,
 ) -> DataFrame:
-    from kg.hints import maybe_broadcast
-
     # und feeds the degree agg AND the two annotation joins below, which
     # materialize as SEPARATE jobs (deg is checkpointed for its stats) —
     # cross-job exchange reuse doesn't exist, so without a checkpoint
@@ -658,6 +656,23 @@ def _triangles_impl(
             .agg(F.count("*").alias("deg"))
             .localCheckpoint()
         )
+    tri = _triangle_triples(und, deg)
+    # explode, not a 3-way union of tri projections: each union branch
+    # re-executes the wedge join (the plan's expensive part) — measured
+    # 3x the runtime of the single-pass explode on a 670k-triangle graph
+    members = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
+    return members.groupBy("id").agg(
+        F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
+    """Each triangle of the undirected simple graph exactly once as
+    (a, b, c) via degree orientation — the shared core of
+    :func:`triangles` and :func:`k_truss`.  ``und``/``deg`` must be
+    checkpointed by the caller (both are referenced by multiple joins)."""
+    from kg.hints import maybe_broadcast
+
     ranked = (
         und.join(
             maybe_broadcast(deg.withColumnsRenamed({"id": "u", "deg": "du"})),
@@ -694,14 +709,7 @@ def _triangles_impl(
         | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
     closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    tri = wedges.join(maybe_broadcast(closer), ["b", "c"]).select("a", "b", "c")
-    # explode, not a 3-way union of tri projections: each union branch
-    # re-executes the wedge join (the plan's expensive part) — measured
-    # 3x the runtime of the single-pass explode on a 670k-triangle graph
-    members = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
-    return members.groupBy("id").agg(
-        F.count("*").cast("long").alias("n_triangles")
-    )
+    return wedges.join(maybe_broadcast(closer), ["b", "c"]).select("a", "b", "c")
 
 
 def clustering_coefficient(
@@ -1614,6 +1622,107 @@ def strongly_connected_components(
     for frame in assigned:
         out = out.unionByName(frame)
     return out
+
+
+def k_truss(
+    edges: DataFrame,
+    k: int = 3,
+    rounds: int = 2,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Bounded k-truss peeling (Cohen 2008) over the undirected simple
+    graph: (u, v, support) for every edge surviving ``rounds``
+    synchronous removals of edges with support < k−2, with its support
+    (triangles containing the edge) in the surviving subgraph — the
+    EDGE-level cohesion filter next to :func:`k_core`'s vertex-level one
+    (every edge of a k-truss joins k−2 triangles; trusses are the
+    standard denser-than-core community seeds).
+
+    Fixed synchronous rounds, converging from above to the true k-truss
+    exactly like :func:`k_core` peeling — bounded output is a
+    deterministic over-approximation, identical on any engine applying
+    the same rule, which is what buys the unrolled-CTE DuckDB twin
+    (``graph_ktruss``).  ``k=2`` keeps every edge (support ≥ 0), the
+    standard degenerate case.
+
+    Plan shape per round: one degree-oriented triangle enumeration over
+    the surviving edge set (:func:`_triangle_triples` — the bounded
+    O(√m)-wedge join of :func:`triangles`, never a raw neighbor
+    self-join), one explode to the three canonical member edges, one
+    hash agg for support, and one broadcast-gated filter join back onto
+    the edge frame.  Each round's survivor edge frame is
+    localCheckpointed (the :func:`k_core` discipline — a lazy unroll
+    re-inlines the triangle chain exponentially).  String ids run
+    long-encoded (support counts are id-independent; decode restores the
+    caller's ids and the u < v canonical order on them)."""
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        out = _k_truss_impl(encoded, k, rounds, out_col, in_col)
+        decoded = _decode_ids(out, vocab, ["u", "v"])
+        return decoded.select(
+            F.least("u", "v").alias("u"),
+            F.greatest("u", "v").alias("v"),
+            "support",
+        )
+    return _k_truss_impl(edges, k, rounds, out_col, in_col)
+
+
+def _k_truss_impl(
+    edges: DataFrame, k: int, rounds: int, out_col: str, in_col: str
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    def support(e: DataFrame) -> DataFrame:
+        deg = (
+            e.select(F.col("u").alias("id"))
+            .unionAll(e.select(F.col("v").alias("id")))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint()
+        )
+        tri = _triangle_triples(e, deg)
+        member_edges = tri.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.least("a", "b").alias("u"),
+                        F.greatest("a", "b").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("a", "c").alias("u"),
+                        F.greatest("a", "c").alias("v"),
+                    ),
+                    F.struct(
+                        F.least("b", "c").alias("u"),
+                        F.greatest("b", "c").alias("v"),
+                    ),
+                )
+            ).alias("m")
+        ).select("m.u", "m.v")
+        sup = member_edges.groupBy("u", "v").agg(
+            F.count("*").cast("long").alias("support")
+        )
+        return e.join(maybe_broadcast(sup), ["u", "v"], "left").select(
+            "u", "v", F.coalesce("support", F.lit(0).cast("long")).alias("support")
+        )
+
+    e = _undirected(edges, out_col, in_col).localCheckpoint()
+    for _ in range(rounds):
+        e = (
+            support(e)
+            .filter(F.col("support") >= k - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+    # support reported in the FINAL surviving subgraph (the k_core
+    # residual-degree contract), not the stale pre-filter counts
+    return support(e)
 
 
 def assortativity(

@@ -46,7 +46,7 @@ def main() -> None:
         "graph_lpa", "ann_ivf_pq", "dsir", "gopher_quality", "bpe_tokens",
         "graph_kcore", "graph_assortativity", "graph_transitivity",
         "graph_scc", "graph_adamic_adar", "media_decode",
-        "graph_resource_alloc", "graph_pagerank_weighted",
+        "graph_resource_alloc", "graph_pagerank_weighted", "graph_ktruss",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

@@ -206,3 +206,19 @@ def test_cli_resource_allocation_and_weighted_pagerank_flag(spark, warehouse, tm
         ).collect()
     }
     assert got == {("a", "c"): 500000, ("b", "d"): 500000}
+
+
+def test_cli_ktruss(spark, warehouse, tmp_path):
+    # the a→b→c / d→c graph has no triangles: k=3 peels everything,
+    # k=2 keeps all three undirected edges with support 0
+    assert _run(
+        spark, warehouse, tmp_path,
+        "--query", "ktruss", "--k", "3", "--rounds", "1",
+    ).count() == 0
+    rows = _run(
+        spark, warehouse, tmp_path,
+        "--query", "ktruss", "--k", "2", "--rounds", "1",
+    ).collect()
+    assert {(r["u"], r["v"], r["support"]) for r in rows} == {
+        ("a", "b", 0), ("b", "c", 0), ("c", "d", 0),
+    }

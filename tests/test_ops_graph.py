@@ -1120,3 +1120,74 @@ def test_weighted_pagerank_drops_nonpositive_weights_keeps_vertices(spark):
     }
     # all mass flows a→b: floor(1e6·2/2) = 1e6 → 150000 + 850000
     assert got == {"a": 150000, "b": 1000000, "z": 150000}
+
+
+# ---------------------------------------------------------------------------
+# k-truss peeling
+# ---------------------------------------------------------------------------
+def test_k_truss_hand_graph(spark):
+    from kg.ops import k_truss
+
+    # K4 {a,b,c,d} plus pendant d-e and a triangle {x,y,z} hanging off
+    # via z-a: k=3 (support >= 1) peels the two bridge-ish edges with no
+    # triangle; K4 edges keep support 2, the xyz triangle support 1
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("a", "d"), ("b", "c"), ("b", "d"),
+         ("c", "d"), ("d", "e"), ("x", "y"), ("y", "z"), ("x", "z"),
+         ("z", "a")],
+        "out_id string, in_id string",
+    )
+    got = {(r.u, r.v): r.support for r in k_truss(e, k=3, rounds=2).collect()}
+    assert got == {
+        ("a", "b"): 2, ("a", "c"): 2, ("a", "d"): 2,
+        ("b", "c"): 2, ("b", "d"): 2, ("c", "d"): 2,
+        ("x", "y"): 1, ("x", "z"): 1, ("y", "z"): 1,
+    }
+    # k=4 (support >= 2): only the K4 is a 4-truss; xyz peels round 1
+    got = {(r.u, r.v): r.support for r in k_truss(e, k=4, rounds=2).collect()}
+    assert set(got) == {("a", "b"), ("a", "c"), ("a", "d"),
+                        ("b", "c"), ("b", "d"), ("c", "d")}
+    assert set(got.values()) == {2}
+    # k=5: K4 edges have support 2 < 3 → everything peels
+    assert k_truss(e, k=5, rounds=2).count() == 0
+    # k=2 keeps every edge (support >= 0), the degenerate contract
+    assert k_truss(e, k=2, rounds=1).count() == 11
+
+
+def test_k_truss_cascade_needs_rounds(spark):
+    from kg.ops import k_truss
+
+    # two triangles sharing edge b-c, plus pendant triangle support:
+    # chain where round-1 removals reduce support for round 2 —
+    # triangles abc and bcd; edge a-b also in triangle abe? Build:
+    # abc + bcd + e pendant on a: k=4 requires support >= 2: only b-c
+    # has support 2 initially; its neighbors have 1 → all peel by
+    # round 2 (b-c loses its triangles once the others go)
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("b", "d"), ("c", "d")],
+        "out_id string, in_id string",
+    )
+    r1 = k_truss(e, k=4, rounds=1)
+    r2 = k_truss(e, k=4, rounds=2)
+    # round 1 keeps b-c (stale support 2) with RECOMPUTED support 0
+    assert {(r.u, r.v, r.support) for r in r1.collect()} == {("b", "c", 0)}
+    # round 2 reaches the fixpoint: nothing survives
+    assert r2.count() == 0
+
+
+def test_k_truss_validates_args_and_long_ids(spark):
+    from kg.ops import k_truss
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("a", "c")], "out_id string, in_id string"
+    )
+    with pytest.raises(ValueError):
+        k_truss(e, k=1)
+    with pytest.raises(ValueError):
+        k_truss(e, rounds=0)
+    # integral ids take the raw path; results match the string-id run
+    ei = spark.createDataFrame(
+        [(1, 2), (2, 3), (1, 3)], "out_id long, in_id long"
+    )
+    got = {(r.u, r.v): r.support for r in k_truss(ei, k=3, rounds=1).collect()}
+    assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
