@@ -1191,3 +1191,35 @@ def test_k_truss_validates_args_and_long_ids(spark):
     )
     got = {(r.u, r.v): r.support for r in k_truss(ei, k=3, rounds=1).collect()}
     assert got == {(1, 2): 1, (1, 3): 1, (2, 3): 1}
+
+
+def test_k_truss_matches_naive_on_random_graphs(spark):
+    """Seeded-random battery: the bounded synchronous peel must equal a
+    naive Python replica of the SAME rule (same round count, support
+    recomputed in the final surviving subgraph)."""
+    from kg.ops import k_truss
+
+    def naive_bounded(edges, k, rounds):
+        und = set(_naive_und(edges))
+
+        def supports(cur):
+            adj = {}
+            for u, v in cur:
+                adj.setdefault(u, set()).add(v)
+                adj.setdefault(v, set()).add(u)
+            return {(u, v): len(adj[u] & adj[v]) for u, v in cur}
+
+        for _ in range(rounds):
+            sup = supports(und)
+            und = {e for e in und if sup[e] >= k - 2}
+        return supports(und)
+
+    for seed in ("g1", "g2"):
+        edges = _rand_edges(seed, n_verts=9, n_edges=16)
+        e = spark.createDataFrame(edges, "out_id string, in_id string")
+        for k in (3, 4):
+            got = {
+                (r.u, r.v): r.support
+                for r in k_truss(e, k=k, rounds=3).collect()
+            }
+            assert got == naive_bounded(edges, k, 3), f"{seed} k={k}"
