@@ -880,6 +880,47 @@ def q_graph_ppr(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_KATZ_ITERS, _KATZ_ALPHA = 3, 50_000
+
+
+def q_graph_katz(spark: SparkSession, sf: str) -> DataFrame:
+    """Katz centrality truncated at 3 walk lengths over the c→o→p graph
+    (``kg/ops/graph.py::katz``) — the walk-counting influence measure
+    that, unlike PageRank, does not dilute a hub's contribution by its
+    out-degree.  Exact BIGINT micro-units via the same split-identity
+    attenuation as the damping product, so the iterative op carries a
+    FULL unrolled-CTE twin."""
+    from kg.ops import katz
+
+    return katz(
+        _star_graph_edges(spark, sf),
+        iters=_KATZ_ITERS, alpha_ppm=_KATZ_ALPHA,
+    )
+
+
+def _katz_sql(iters: int = _KATZ_ITERS, alpha: int = _KATZ_ALPHA) -> str:
+    """Twin of q_graph_katz: x₀ = 10⁶, per round x ← 10⁶ + Σ over
+    in-edges of (x // 10⁶)·α + ((x % 10⁶)·α) // 10⁶ — the exact integer
+    expressions ``kg.ops.graph._katz_loop`` runs, unrolled."""
+    parts = [
+        "e AS (" + _GRAPH_EDGES_SQL + ")",
+        "ed AS (SELECT out_id AS src, in_id AS dst FROM e)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM ed UNION ALL SELECT dst FROM ed))",
+        "x0 AS (SELECT id, CAST(1000000 AS BIGINT) AS katz_fp FROM verts)",
+    ]
+    for i in range(1, iters + 1):
+        parts += [
+            f"c{i} AS (SELECT ed.dst AS id, "
+            f"sum((x.katz_fp // 1000000) * {alpha} "
+            f"+ ((x.katz_fp % 1000000) * {alpha}) // 1000000) AS s "
+            f"FROM ed JOIN x{i - 1} x ON x.id = ed.src GROUP BY ed.dst)",
+            f"x{i} AS (SELECT v.id, CAST(1000000 + COALESCE(c.s, 0) AS BIGINT)"
+            f" AS katz_fp FROM verts v LEFT JOIN c{i} c USING (id))",
+        ]
+    return "WITH " + ", ".join(parts) + f" SELECT id, katz_fp FROM x{iters}"
+
+
 def q_graph_degree_typed(spark: SparkSession, sf: str) -> DataFrame:
     """Typed per-vertex degree (g.V().map(bothE('contains').count())):
     the label predicate is a plain filter pushed into the edge scan —
@@ -1156,6 +1197,43 @@ def _resource_alloc_sql(edges_sql: str, min_common: int, max_fanout: int) -> str
         f"GROUP BY p1.id, p2.id HAVING count(*) >= {min_common}) "
         "SELECT a, b, n_common, ra_fp, "
         "round(ra_fp / 1000000.0, 6) AS resource_allocation FROM com"
+    )
+
+
+def q_graph_pref_attach(spark: SparkSession, sf: str) -> DataFrame:
+    """Preferential-attachment link prediction over the c→o→p graph
+    (``kg/ops/graph.py::preferential_attachment``) — deg(a)·deg(b) on
+    the distance-2 candidate pairs, the degree-only baseline the
+    jaccard/AA/RA family is judged against.  Pure BIGINT count product:
+    exact end-to-end, no fixed-pointing."""
+    from kg.ops import preferential_attachment
+
+    return preferential_attachment(
+        _star_graph_edges(spark, sf),
+        min_common=_NJ_MIN_COMMON,
+        max_fanout=_NJ_MAX_FANOUT,
+    )
+
+
+def _pref_attach_sql(edges_sql: str, min_common: int, max_fanout: int) -> str:
+    """Twin of kg.ops.graph.preferential_attachment (the
+    ``_neighbor_jaccard_sql`` shape with the degree product)."""
+    return (
+        "WITH e AS (" + edges_sql + "), "
+        "und AS (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM e WHERE out_id <> in_id), "
+        "adj AS (SELECT u AS id, v AS nbr FROM und "
+        "UNION ALL SELECT v, u FROM und), "
+        "deg AS (SELECT id, count(*) AS deg FROM adj GROUP BY id), "
+        "ws AS (SELECT adj.nbr AS mid, adj.id FROM adj "
+        f"JOIN deg ON deg.id = adj.nbr WHERE deg.deg <= {max_fanout}), "
+        "com AS (SELECT p1.id AS a, p2.id AS b, "
+        "CAST(count(*) AS BIGINT) AS n_common "
+        "FROM ws p1 JOIN ws p2 ON p1.mid = p2.mid AND p1.id < p2.id "
+        f"GROUP BY p1.id, p2.id HAVING count(*) >= {min_common}) "
+        "SELECT com.a, com.b, com.n_common, "
+        "CAST(da.deg * db.deg AS BIGINT) AS pref_attach "
+        "FROM com JOIN deg da ON da.id = com.a JOIN deg db ON db.id = com.b"
     )
 
 
@@ -2394,6 +2472,8 @@ def queries() -> dict[str, _T]:
         "graph_jaccard": q_graph_jaccard,
         "graph_adamic_adar": q_graph_adamic_adar,
         "graph_resource_alloc": q_graph_resource_alloc,
+        "graph_pref_attach": q_graph_pref_attach,
+        "graph_katz": q_graph_katz,
         "graph_clustering": q_graph_clustering,
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
@@ -2975,6 +3055,10 @@ def oracle_sql() -> dict[str, str]:
         "graph_resource_alloc": _resource_alloc_sql(
             _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT
         ),
+        "graph_pref_attach": _pref_attach_sql(
+            _GRAPH_EDGES_SQL, _NJ_MIN_COMMON, _NJ_MAX_FANOUT
+        ),
+        "graph_katz": _katz_sql(),
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),
         "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
         "graph_sssp": _sssp_sql(_SSSP_ROUNDS, _KHOP_SRC_MAX),

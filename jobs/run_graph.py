@@ -38,6 +38,8 @@ QUERIES = (
     "jaccard",
     "adamic-adar",
     "resource-allocation",
+    "pref-attach",
+    "katz",
     "khop",
     "sssp",
     "hits",
@@ -73,7 +75,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--second-label", default=None,
                     help="type the second hop (two-hop)")
     ap.add_argument("--iters", type=int, default=3,
-                    help="rank rounds (pagerank/ppr/hits)")
+                    help="rank rounds (pagerank/ppr/hits/katz)")
     ap.add_argument("--sources", default=None,
                     help="comma-separated vertex ids (ppr/khop/sssp)")
     ap.add_argument("--k", type=int, default=2,
@@ -93,7 +95,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="drop mid/shared vertices above this degree "
                          "(two-hop/jaccard/adamic-adar super-node cap)")
     ap.add_argument("--min-common", type=int, default=1,
-                    help="minimum shared neighbors (jaccard/adamic-adar)")
+                    help="minimum shared neighbors "
+                         "(jaccard/adamic-adar/pref-attach)")
     ap.add_argument("--output", default=None,
                     help="write result parquet here instead of printing")
     ap.add_argument("--show", type=int, default=20,
@@ -172,6 +175,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             out = g.resource_allocation(
                 edges, min_common=args.min_common, max_fanout=args.max_fanout
             )
+        elif args.query == "pref-attach":
+            out = g.preferential_attachment(
+                edges, min_common=args.min_common, max_fanout=args.max_fanout
+            )
+        elif args.query == "katz":
+            out = g.katz(edges, iters=args.iters)
         elif args.query == "khop":
             if not args.sources:
                 raise SystemExit("--query khop requires --sources")

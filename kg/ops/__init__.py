@@ -48,10 +48,12 @@ from kg.ops.graph import (  # noqa: F401
     k_core,
     k_hop,
     k_truss,
+    katz,
     label_propagation,
     neighbor_jaccard,
     pagerank,
     personalized_pagerank,
+    preferential_attachment,
     resource_allocation,
     shortest_paths,
     strongly_connected_components,

@@ -475,6 +475,104 @@ def personalized_pagerank(
     )
 
 
+def katz(
+    edges: DataFrame,
+    iters: int = 3,
+    alpha_ppm: int = 50_000,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Katz centrality (Katz 1953) truncated at ``iters`` walk lengths,
+    in EXACT integer micro-units: (id, katz_fp) with katz_fp =
+    10⁶ · Σ_{k=0..iters} α^k · (#walks of length k ending at v) — the
+    walk-counting centrality that, unlike PageRank, does NOT normalize a
+    source's influence by its out-degree (a hub broadcasting to 10⁴
+    targets confers full α to each, the citation/influence semantics).
+    The k=0 self term is the constant β·10⁶ = 10⁶ on every vertex; ranks
+    are shift-invariant so it is kept rather than subtracted.
+
+    Per round x ← β + α·Aᵀx, each in-edge contributing
+    ``(x div 10⁶)·α_ppm + ((x mod 10⁶)·α_ppm) div 10⁶`` — the same
+    overflow-safe split identity as the PageRank damping product, so
+    every intermediate is exact BIGINT and partial-aggregation order
+    cannot change a bit: the op carries a FULL unrolled-CTE SQL twin.
+    Multi-edges each contribute their own row (multigraph semantics on
+    both engines).  Overflow bound: x after round t is ≤
+    10⁶·(1+α·D)^t for max in-degree D, so the default α = 0.05 holds
+    int64 headroom through 3 rounds up to D ≈ 10⁵; for larger D or
+    deeper truncation shrink ``alpha_ppm`` (Katz requires α < 1/λ_max
+    for the untruncated series to converge anyway).
+
+    Same fixed-round discipline as :func:`pagerank`: no per-round
+    convergence probe, rounds unroll into ONE job, the multiply-
+    referenced edge frame is checkpointed once, and string vertex ids
+    are dictionary-encoded to longs for the per-round join+agg shuffles
+    (scores are id-independent, so the output is bit-identical)."""
+    if iters < 1:
+        raise ValueError(f"iters must be >= 1, got {iters}")
+    if not 0 < alpha_ppm < 1_000_000:
+        raise ValueError(f"alpha_ppm must be in (0, 10^6), got {alpha_ppm}")
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        verts = vocab.select(F.col("enc").alias("id"))
+        scores = _katz_loop(encoded, verts, iters, alpha_ppm, out_col, in_col)
+        return _decode_ids(scores, vocab, ["id"])
+    e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
+    verts = (
+        e.select(F.col("src").alias("id"))
+        .unionAll(e.select(F.col("dst").alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return _katz_loop(edges, verts, iters, alpha_ppm, out_col, in_col)
+
+
+def _katz_loop(
+    edges: DataFrame,
+    verts: DataFrame,
+    iters: int,
+    alpha_ppm: int,
+    out_col: str,
+    in_col: str,
+) -> DataFrame:
+    """Fixed-round integer Katz iteration: x₀ = 10⁶,
+    x_{t+1}(v) = 10⁶ + Σ_{u→v} split(x_t(u), α) — the
+    :func:`_pagerank_loop` shape without the out-degree share (Katz
+    attenuates by walk length only)."""
+    from kg.hints import maybe_broadcast
+
+    # referenced once per round in the unrolled plan: checkpoint so the
+    # upstream edge scan runs once, not `iters` times
+    e = edges.select(
+        F.col(out_col).alias("src"), F.col(in_col).alias("dst")
+    ).localCheckpoint()
+    att = (
+        f"(katz_fp div 1000000) * {alpha_ppm} "
+        f"+ ((katz_fp % 1000000) * {alpha_ppm}) div 1000000"
+    )
+    scores = verts.withColumn("katz_fp", F.lit(1_000_000).cast("long"))
+    for i in range(iters):
+        contrib = (
+            e.join(
+                maybe_broadcast(
+                    scores.select(F.col("id").alias("src"), "katz_fp")
+                ),
+                "src",
+            )
+            .select(F.col("dst").alias("id"), F.expr(att).alias("c"))
+            .groupBy("id")
+            .agg(F.sum("c").alias("s"))
+        )
+        scores = verts.join(maybe_broadcast(contrib), "id", "left").select(
+            "id",
+            F.expr("cast(1000000 + coalesce(s, 0) as long)").alias("katz_fp"),
+        )
+        if (i + 1) % 8 == 0 and (i + 1) < iters:
+            scores = scores.localCheckpoint()
+    return scores
+
+
 def hits(
     edges: DataFrame,
     iters: int = 2,
@@ -1028,6 +1126,77 @@ def _resource_allocation_impl(
         F.round(F.col("w_sum") / F.lit(1000000.0), 6).alias(
             "resource_allocation"
         ),
+    )
+
+
+def preferential_attachment(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    min_common: int = 1,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Preferential-attachment link-prediction score (Barabási–Albert
+    growth model; Liben-Nowell & Kleinberg 2003's PA predictor) over the
+    undirected simple graph: for unordered candidate pairs (a, b)
+    sharing ≥ ``min_common`` neighbors, (a, b, n_common, pref_attach)
+    with pref_attach = deg(a)·deg(b) — "rich get richer": high-degree
+    pairs are the likeliest future links regardless of what they share.
+
+    The score is a pure BIGINT product of two counts — exact end-to-end,
+    no fixed-pointing needed (the easiest twin in the link-prediction
+    family).  The GLOBAL PA predictor scores all n² vertex pairs; that
+    is a cartesian non-starter at any scale, so like every op in this
+    family the candidate set is the shared-neighbor pairs from the
+    common wedge scaffolding (pairs at graph distance 2 — exactly the
+    pairs a link-prediction pass ranks), with the same ``max_fanout``
+    super-node cap and long-id encoding (degrees are id-independent, so
+    encoding is output-invariant)."""
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        pairs = _preferential_attachment_impl(
+            encoded, out_col, in_col, min_common, max_fanout
+        )
+        decoded = _decode_ids(pairs, vocab, ["a", "b"])
+        return decoded.select(
+            F.least("a", "b").alias("a"),
+            F.greatest("a", "b").alias("b"),
+            "n_common",
+            "pref_attach",
+        )
+    return _preferential_attachment_impl(
+        edges, out_col, in_col, min_common, max_fanout
+    )
+
+
+def _preferential_attachment_impl(
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    min_common: int,
+    max_fanout: int | None,
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    pairs, deg = _shared_neighbor_pairs(
+        edges, out_col, in_col, min_common, max_fanout
+    )
+    return (
+        pairs.join(
+            maybe_broadcast(deg.withColumnsRenamed({"id": "a", "deg": "da"})),
+            "a",
+        )
+        .join(
+            maybe_broadcast(deg.withColumnsRenamed({"id": "b", "deg": "db"})),
+            "b",
+        )
+        .select(
+            "a",
+            "b",
+            "n_common",
+            (F.col("da") * F.col("db")).cast("long").alias("pref_attach"),
+        )
     )
 
 

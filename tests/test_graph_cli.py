@@ -222,3 +222,28 @@ def test_cli_ktruss(spark, warehouse, tmp_path):
     assert {(r["u"], r["v"], r["support"]) for r in rows} == {
         ("a", "b", 0), ("b", "c", 0), ("c", "d", 0),
     }
+
+
+def test_cli_pref_attach_and_katz(spark, warehouse, tmp_path):
+    # undirected a-b, b-c, c-d (degrees a1 b2 c2 d1): (a,c) share b →
+    # 1·2 = 2, (b,d) share c → 2·1 = 2
+    got = {
+        (r["a"], r["b"]): r["pref_attach"]
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "pref-attach"
+        ).collect()
+    }
+    assert got == {("a", "c"): 2, ("b", "d"): 2}
+    # directed a→b, b→c, d→c at alpha 0.05, one round: split(1e6) = 50000
+    got = {
+        r["id"]: r["katz_fp"]
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "katz", "--iters", "1"
+        ).collect()
+    }
+    assert got == {
+        "a": 1_000_000,
+        "b": 1_050_000,
+        "c": 1_100_000,
+        "d": 1_000_000,
+    }

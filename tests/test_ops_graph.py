@@ -1223,3 +1223,160 @@ def test_k_truss_matches_naive_on_random_graphs(spark):
                 for r in k_truss(e, k=k, rounds=3).collect()
             }
             assert got == naive_bounded(edges, k, 3), f"{seed} k={k}"
+
+
+# ---------------------------------------------------------------------------
+# Katz centrality
+# ---------------------------------------------------------------------------
+def test_katz_hand_graph(spark):
+    from kg.ops import katz
+
+    # a->b, a->c, b->c, c->a with alpha = 0.5 for hand arithmetic:
+    # round 1: a = 1e6 + 0.5*x(c), b = 1e6 + 0.5*x(a),
+    #          c = 1e6 + 0.5*x(a) + 0.5*x(b)
+    # x1 = {a: 1.5e6, b: 1.5e6, c: 2.0e6}
+    # round 2 splits: split(1.5e6) = 500000 + 250000 = 750000,
+    #                 split(2.0e6) = 1000000
+    # x2 = {a: 2.0e6, b: 1.75e6, c: 2.5e6}
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c"), ("c", "a")],
+        "out_id string, in_id string",
+    )
+    one = {r["id"]: r["katz_fp"] for r in katz(e, iters=1, alpha_ppm=500000).collect()}
+    assert one == {"a": 1_500_000, "b": 1_500_000, "c": 2_000_000}
+    two = {r["id"]: r["katz_fp"] for r in katz(e, iters=2, alpha_ppm=500000).collect()}
+    assert two == {"a": 2_000_000, "b": 1_750_000, "c": 2_500_000}
+
+
+def test_katz_multi_edges_each_contribute(spark):
+    from kg.ops import katz
+
+    # duplicate x->y rows are distinct walks: y gets 2 * alpha * x(x)
+    e = spark.createDataFrame(
+        [("x", "y"), ("x", "y")], "out_id string, in_id string"
+    )
+    got = {r["id"]: r["katz_fp"] for r in katz(e, iters=1, alpha_ppm=500000).collect()}
+    assert got == {"x": 1_000_000, "y": 2_000_000}
+
+
+def test_katz_long_ids_match_raw_path(spark):
+    from kg.ops import katz
+
+    e_raw = spark.createDataFrame(
+        [(1, 3), (2, 3), (3, 4)], "out_id long, in_id long"
+    )
+    e_str = e_raw.select(
+        F.col("out_id").cast("string").alias("out_id"),
+        F.col("in_id").cast("string").alias("in_id"),
+    )
+    raw = {r["id"]: r["katz_fp"] for r in katz(e_raw).collect()}
+    enc = {int(r["id"]): r["katz_fp"] for r in katz(e_str).collect()}
+    assert raw == enc
+
+
+def test_katz_matches_naive_on_random_graphs(spark):
+    """Seeded-random battery: the split-identity integer update replayed
+    in plain Python must agree bit-for-bit (multi-edges and self-loops
+    included — both are walks)."""
+    from kg.ops import katz
+
+    def naive(edges, iters, alpha):
+        verts = {u for u, _ in edges} | {v for _, v in edges}
+        x = {v: 1_000_000 for v in verts}
+        for _ in range(iters):
+            nxt = {v: 1_000_000 for v in verts}
+            for u, v in edges:
+                nxt[v] += (x[u] // 1_000_000) * alpha + (
+                    (x[u] % 1_000_000) * alpha
+                ) // 1_000_000
+            x = nxt
+        return x
+
+    for seed in ("k1", "k2", "k3"):
+        edges = _rand_edges(seed, n_verts=8, n_edges=14)
+        e = spark.createDataFrame(edges, "out_id string, in_id string")
+        got = {r["id"]: r["katz_fp"] for r in katz(e, iters=3, alpha_ppm=50000).collect()}
+        assert got == naive(edges, 3, 50000), seed
+
+
+def test_katz_validates_args(spark):
+    import pytest
+
+    from kg.ops import katz
+
+    e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    with pytest.raises(ValueError):
+        katz(e, iters=0)
+    with pytest.raises(ValueError):
+        katz(e, alpha_ppm=0)
+    with pytest.raises(ValueError):
+        katz(e, alpha_ppm=1_000_000)
+
+
+# ---------------------------------------------------------------------------
+# preferential attachment
+# ---------------------------------------------------------------------------
+def test_preferential_attachment_hand_graph(spark):
+    from kg.ops import preferential_attachment
+
+    # 4-cycle a-b-c-d plus diagonal a-c: degrees a3 b2 c3 d2
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "out_id string, in_id string",
+    )
+    got = {
+        (r.a, r.b): (r.n_common, r.pref_attach)
+        for r in preferential_attachment(e).collect()
+    }
+    assert got == {
+        ("a", "b"): (1, 6),
+        ("a", "c"): (2, 9),
+        ("a", "d"): (1, 6),
+        ("b", "c"): (1, 6),
+        ("b", "d"): (2, 4),
+        ("c", "d"): (1, 6),
+    }
+
+
+def test_preferential_attachment_cap_and_min_common(spark):
+    from kg.ops import preferential_attachment
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"), ("a", "c")],
+        "out_id string, in_id string",
+    )
+    # cap 2 drops the degree-3 mids a and c; only (a,c) keeps witnesses
+    got = {
+        (r.a, r.b): (r.n_common, r.pref_attach)
+        for r in preferential_attachment(e, max_fanout=2).collect()
+    }
+    assert got == {("a", "c"): (2, 9)}
+    got = {
+        (r.a, r.b)
+        for r in preferential_attachment(e, min_common=2).collect()
+    }
+    assert got == {("a", "c"), ("b", "d")}
+
+
+def test_preferential_attachment_matches_naive_on_random_graphs(spark):
+    from itertools import combinations
+
+    from kg.ops import preferential_attachment
+
+    for seed in ("p1", "p2", "p3"):
+        edges = _rand_edges(seed, n_verts=9, n_edges=16)
+        e = spark.createDataFrame(edges, "out_id string, in_id string")
+        adj = {}
+        for u, v in _naive_und(edges):
+            adj.setdefault(u, set()).add(v)
+            adj.setdefault(v, set()).add(u)
+        want = {
+            (a, b): (len(adj[a] & adj[b]), len(adj[a]) * len(adj[b]))
+            for a, b in combinations(sorted(adj), 2)
+            if adj[a] & adj[b]
+        }
+        got = {
+            (r.a, r.b): (r.n_common, r.pref_attach)
+            for r in preferential_attachment(e).collect()
+        }
+        assert got == want, seed
