@@ -1272,6 +1272,69 @@ def q_graph_khop(spark: SparkSession, sf: str) -> DataFrame:
     return k_hop(und, src, k=_KHOP_K)
 
 
+_HC_ROUNDS = 3
+
+
+def q_graph_harmonic(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled-source harmonic centrality (Boldi–Vigna via the
+    Eppstein–Wang sampling shape, ``kg/ops/graph.py::harmonic_centrality``)
+    over the UNDIRECTED tripartite graph from the order seed set:
+    Σ 10⁶ div d(s,v) over sources reaching v within 3 hops, exact BIGINT.
+    The per-source TRACKED BFS — distance frame keyed (source, vertex) —
+    is what distinguishes it from ``graph_khop``'s min-over-sources
+    levels, and the pure-integer reciprocal sum is what buys the full
+    unrolled-CTE twin."""
+    from kg.ops import harmonic_centrality
+
+    e = _tri_graph_edges(spark, sf)
+    und = e.unionByName(
+        e.select(F.col("in_id").alias("out_id"), F.col("out_id").alias("in_id"))
+    )
+    src = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= _KHOP_SRC_MAX)
+        .select(F.concat(F.lit("o_"), F.col("o_orderkey").cast("string")).alias("id"))
+    )
+    return harmonic_centrality(und, src, rounds=_HC_ROUNDS)
+
+
+def _harmonic_sql(edges_sql: str, rounds: int, src_max: int) -> str:
+    """Twin of q_graph_harmonic: per-source min-distance relaxation
+    unrolled (the ``_sssp_sql`` shape keyed (s, id)), then the exact
+    integer reciprocal sum; DuckDB ``//`` on BIGINT is the same floor
+    division as Spark's ``div`` (all values non-negative)."""
+    parts = [
+        "t AS (" + edges_sql + ")",
+        "e AS (SELECT DISTINCT src, dst FROM (SELECT out_id AS src, "
+        "in_id AS dst FROM t UNION ALL SELECT in_id, out_id FROM t))",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        "srcs AS (SELECT id FROM verts WHERE id IN "
+        "(SELECT DISTINCT 'o_' || CAST(o_orderkey AS VARCHAR) "
+        f"FROM orders WHERE o_orderkey <= {src_max}))",
+        "d0 AS MATERIALIZED (SELECT id AS s, id, "
+        "CAST(0 AS BIGINT) AS dist FROM srcs)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT s, id, min(dist) AS dist FROM "
+            f"(SELECT s, id, dist FROM d{i - 1} "
+            f"UNION ALL SELECT d.s, e.dst AS id, d.dist + 1 AS dist "
+            f"FROM e JOIN d{i - 1} d ON d.id = e.src) GROUP BY s, id)"
+        )
+    parts.append(
+        "hc AS (SELECT id, CAST(sum(1000000 // dist) AS BIGINT) AS hc_fp, "
+        f"CAST(count(*) AS BIGINT) AS n_reached FROM d{rounds} "
+        "WHERE dist > 0 GROUP BY id)"
+    )
+    return (
+        "WITH " + ", ".join(parts) +
+        " SELECT v.id, COALESCE(hc.hc_fp, 0) AS hc_fp, "
+        "COALESCE(hc.n_reached, 0) AS n_reached "
+        "FROM verts v LEFT JOIN hc USING (id)"
+    )
+
+
 def _cn_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
     """customer→nation→region membership edges: a graph whose weakly
     connected components are exactly the five region clusters — planted
@@ -2477,6 +2540,7 @@ def queries() -> dict[str, _T]:
         "graph_clustering": q_graph_clustering,
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
+        "graph_harmonic": q_graph_harmonic,
         "graph_hits": q_graph_hits,
         "graph_lpa": q_graph_lpa,
         "graph_components": q_graph_components,
@@ -3062,6 +3126,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),
         "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
         "graph_sssp": _sssp_sql(_SSSP_ROUNDS, _KHOP_SRC_MAX),
+        "graph_harmonic": _harmonic_sql(
+            _TRI_EDGES_SQL, _HC_ROUNDS, _KHOP_SRC_MAX
+        ),
         "graph_hits": _hits_sql(),
         "graph_lpa": _lpa_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),

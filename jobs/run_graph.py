@@ -42,6 +42,7 @@ QUERIES = (
     "katz",
     "khop",
     "sssp",
+    "harmonic",
     "hits",
     "lpa",
     "components",
@@ -77,7 +78,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--iters", type=int, default=3,
                     help="rank rounds (pagerank/ppr/hits/katz)")
     ap.add_argument("--sources", default=None,
-                    help="comma-separated vertex ids (ppr/khop/sssp)")
+                    help="comma-separated vertex ids "
+                         "(ppr/khop/sssp/harmonic)")
     ap.add_argument("--k", type=int, default=2,
                     help="BFS depth (khop); degree threshold (kcore); "
                          "truss order (ktruss)")
@@ -85,7 +87,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="relaxation rounds = max path edges (sssp); "
                          "synchronous update rounds (lpa); peel rounds "
                          "(kcore); min-label propagation budget per "
-                         "coloring pass (scc)")
+                         "coloring pass (scc); BFS budget (harmonic)")
     ap.add_argument("--trips", type=int, default=2,
                     help="trim+color trips (scc)")
     ap.add_argument("--weight-col", default=None,
@@ -193,6 +195,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 _sources_df(spark, args.sources),
                 rounds=args.rounds,
                 weight_col=args.weight_col,
+            )
+        elif args.query == "harmonic":
+            if not args.sources:
+                raise SystemExit("--query harmonic requires --sources")
+            out = g.harmonic_centrality(
+                edges, _sources_df(spark, args.sources), rounds=args.rounds
             )
         elif args.query == "hits":
             out = g.hits(edges, iters=args.iters)

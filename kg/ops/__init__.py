@@ -44,6 +44,7 @@ from kg.ops.graph import (  # noqa: F401
     components,
     degree_distribution,
     degrees,
+    harmonic_centrality,
     hits,
     k_core,
     k_hop,

@@ -1352,6 +1352,113 @@ def _sssp_loop(
     return dist.select("id", "dist")
 
 
+def harmonic_centrality(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Harmonic centrality (Boldi & Vigna 2014) estimated from a source
+    SAMPLE, truncated at ``rounds`` hops: (id, hc_fp, n_reached) for
+    EVERY graph vertex, with hc_fp = Σ_{s ∈ sources, 0 < d(s,id) ≤
+    rounds} (10⁶ div d(s,id)) in exact BIGINT micro-units and n_reached
+    = how many sources reach the vertex within budget.  The
+    reciprocal-distance form handles disconnection natively (an
+    unreachable source contributes 0 — the reason Boldi–Vigna prefer it
+    to classic closeness, whose Σd blows up on any disconnected pair);
+    sampling sources is the Eppstein–Wang estimator shape, the only
+    tractable form at web scale where all-pairs BFS is off the table.
+
+    Unlike :func:`k_hop` / :func:`shortest_paths`, the BFS here is
+    per-source TRACKED: the distance frame is keyed (source, vertex), so
+    each round is one equi-join of that frame onto the (checkpointed,
+    deduplicated) edge table + one min hash-aggregation on the composite
+    key — |sources| BFS expansions in a single plan, no driver loop per
+    source.  State is bounded by |sources| · |reached vertices|; keep
+    the sample small relative to the cluster (tens to thousands), which
+    is exactly the estimator's regime.  ``1000000 div d`` is pure
+    integer division and min/count/sum over BIGINT are
+    association-order-free, so a fixed ``rounds`` run is bit-reproducible
+    and carries a FULL unrolled-CTE SQL twin (the :func:`pagerank`
+    determinism-buys-an-oracle design).
+
+    Distances follow directed out-edges (symmetrize first for the
+    undirected form, like the ``graph_khop`` entry does); sources not in
+    the edge set are ignored (the :func:`personalized_pagerank`
+    contract); multi-edges collapse (BFS hop distance).  String ids run
+    dictionary-encoded to longs; hc_fp/n_reached are id-independent, so
+    the output is bit-identical either way."""
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    src = sources.select(F.col(id_col).alias("id")).distinct()
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        src_enc = src.select(F.xxhash64(F.col("id").cast("string")).alias("id"))
+        verts = vocab.select(F.col("enc").alias("id"))
+        seed = verts.join(src_enc, "id", "left_semi")
+        out = _harmonic_loop(encoded, seed, verts, rounds, out_col, in_col)
+        return _decode_ids(out, vocab, ["id"])
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed = verts.join(src, "id", "left_semi")
+    return _harmonic_loop(edges, seed, verts, rounds, out_col, in_col)
+
+
+def _harmonic_loop(
+    edges: DataFrame,
+    seed: DataFrame,
+    verts: DataFrame,
+    rounds: int,
+    out_col: str,
+    in_col: str,
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    # BFS ignores multi-edges; referenced once per round — checkpoint so
+    # the upstream scan+distinct runs once (the _sssp_loop discipline)
+    e = (
+        edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    dist = seed.select(
+        F.col("id").alias("s"),
+        F.col("id"),
+        F.lit(0).cast("long").alias("dist"),
+    ).localCheckpoint()
+    for i in range(rounds):
+        relax = dist.join(
+            e, dist["id"] == e["src"]
+        ).select("s", F.col("dst").alias("id"), (F.col("dist") + 1).alias("dist"))
+        dist = (
+            dist.unionByName(relax)
+            .groupBy("s", "id")
+            .agg(F.min("dist").alias("dist"))
+        )
+        if (i + 1) % 4 == 0 and (i + 1) < rounds:
+            dist = dist.localCheckpoint()
+    hc = (
+        dist.filter(F.col("dist") > 0)
+        .groupBy("id")
+        .agg(
+            F.sum(F.expr("1000000 div dist")).alias("hc_fp"),
+            F.count("*").cast("long").alias("n_reached"),
+        )
+    )
+    return verts.join(maybe_broadcast(hc), "id", "left").select(
+        "id",
+        F.coalesce("hc_fp", F.lit(0)).cast("long").alias("hc_fp"),
+        F.coalesce("n_reached", F.lit(0)).cast("long").alias("n_reached"),
+    )
+
+
 def components(
     edges: DataFrame, out_col: str = "out_id", in_col: str = "in_id"
 ) -> DataFrame:

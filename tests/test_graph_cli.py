@@ -247,3 +247,24 @@ def test_cli_pref_attach_and_katz(spark, warehouse, tmp_path):
         "c": 1_100_000,
         "d": 1_000_000,
     }
+
+
+def test_cli_harmonic(spark, warehouse, tmp_path):
+    # directed a→b→c, d→c from source a: b at 1 hop, c at 2 hops
+    got = {
+        r["id"]: (r["hc_fp"], r["n_reached"])
+        for r in _run(
+            spark, warehouse, tmp_path,
+            "--query", "harmonic", "--sources", "a", "--rounds", "3",
+        ).collect()
+    }
+    assert got == {
+        "a": (0, 0),
+        "b": (1_000_000, 1),
+        "c": (500_000, 1),
+        "d": (0, 0),
+    }
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--warehouse", warehouse, "--query", "harmonic"], spark=spark
+        )

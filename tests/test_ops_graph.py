@@ -1380,3 +1380,133 @@ def test_preferential_attachment_matches_naive_on_random_graphs(spark):
             for r in preferential_attachment(e).collect()
         }
         assert got == want, seed
+
+
+# ---------------------------------------------------------------------------
+# harmonic centrality
+# ---------------------------------------------------------------------------
+def test_harmonic_hand_graph(spark):
+    from kg.ops import harmonic_centrality
+
+    # directed path a->b->c->d, sources {a, b}:
+    # b: d(a,b)=1 -> 1000000 (n=1)
+    # c: d(a,c)=2, d(b,c)=1 -> 500000 + 1000000 (n=2)
+    # d: d(a,d)=3, d(b,d)=2 -> 333333 + 500000 (n=2)
+    # a: unreachable from both -> 0 (n=0); source self-distance excluded
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "out_id string, in_id string"
+    )
+    src = spark.createDataFrame([("a",), ("b",)], "id string")
+    got = {
+        r["id"]: (r["hc_fp"], r["n_reached"])
+        for r in harmonic_centrality(e, src, rounds=3).collect()
+    }
+    assert got == {
+        "a": (0, 0),
+        "b": (1_000_000, 1),
+        "c": (1_500_000, 2),
+        "d": (833_333, 2),
+    }
+
+
+def test_harmonic_truncation_and_outside_sources(spark):
+    from kg.ops import harmonic_centrality
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "out_id string, in_id string"
+    )
+    # rounds=1 truncates: only 1-hop neighbors score; an unknown source
+    # id contributes nothing (the PPR outside-the-graph contract)
+    src = spark.createDataFrame([("a",), ("b",), ("zz",)], "id string")
+    got = {
+        r["id"]: (r["hc_fp"], r["n_reached"])
+        for r in harmonic_centrality(e, src, rounds=1).collect()
+    }
+    assert got == {
+        "a": (0, 0),
+        "b": (1_000_000, 1),
+        "c": (1_000_000, 1),
+        "d": (0, 0),
+    }
+
+
+def test_harmonic_multi_edges_collapse_and_long_ids(spark):
+    from kg.ops import harmonic_centrality
+
+    e_raw = spark.createDataFrame(
+        [(1, 2), (1, 2), (2, 3)], "out_id long, in_id long"
+    )
+    src_raw = spark.createDataFrame([(1,)], "id long")
+    raw = {
+        r["id"]: (r["hc_fp"], r["n_reached"])
+        for r in harmonic_centrality(e_raw, src_raw).collect()
+    }
+    # duplicate 1->2 is ONE hop relation: same as the simple graph
+    assert raw == {1: (0, 0), 2: (1_000_000, 1), 3: (500_000, 1)}
+    e_str = e_raw.select(
+        F.col("out_id").cast("string").alias("out_id"),
+        F.col("in_id").cast("string").alias("in_id"),
+    )
+    src_str = src_raw.select(F.col("id").cast("string").alias("id"))
+    enc = {
+        int(r["id"]): (r["hc_fp"], r["n_reached"])
+        for r in harmonic_centrality(e_str, src_str).collect()
+    }
+    assert enc == raw
+
+
+def test_harmonic_matches_naive_on_random_graphs(spark):
+    """Seeded-random battery: per-source truncated BFS + integer
+    reciprocal sums replayed in plain Python."""
+    from kg.ops import harmonic_centrality
+
+    def naive(edges, sources, rounds):
+        adj = {}
+        verts = set()
+        for u, v in edges:
+            adj.setdefault(u, set()).add(v)
+            verts.update((u, v))
+        out = {v: [0, 0] for v in verts}
+        for s in sources:
+            if s not in verts:
+                continue
+            dist = {s: 0}
+            frontier = {s}
+            for d in range(1, rounds + 1):
+                frontier = {
+                    w
+                    for u in frontier
+                    for w in adj.get(u, ())
+                    if w not in dist
+                }
+                for w in frontier:
+                    dist[w] = d
+                if not frontier:
+                    break
+            for v, d in dist.items():
+                if d > 0:
+                    out[v][0] += 1_000_000 // d
+                    out[v][1] += 1
+        return {v: tuple(x) for v, x in out.items()}
+
+    for seed in ("h1", "h2", "h3"):
+        edges = _rand_edges(seed, n_verts=9, n_edges=15)
+        srcs = sorted({u for u, _ in edges})[:3]
+        e = spark.createDataFrame(edges, "out_id string, in_id string")
+        src = spark.createDataFrame([(s,) for s in srcs], "id string")
+        got = {
+            r["id"]: (r["hc_fp"], r["n_reached"])
+            for r in harmonic_centrality(e, src, rounds=3).collect()
+        }
+        assert got == naive(edges, srcs, 3), seed
+
+
+def test_harmonic_validates_rounds(spark):
+    import pytest
+
+    from kg.ops import harmonic_centrality
+
+    e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    src = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(ValueError):
+        harmonic_centrality(e, src, rounds=0)
