@@ -607,6 +607,68 @@ def _ann_pq_sql() -> str:
     )
 
 
+_SQ_LEVELS = 255
+
+
+def q_ann_ivf_sq(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF-SQ composite ANN (``kg/ops/similarity.py::ivf_sq_topk``):
+    cells bound the scan (the ``q_ann_ivf`` stand-in centroid contract),
+    8-bit scalar-quantized codes bound the memory, and the symmetric
+    compressed-domain distance Σ(qcode−ccode)² is a pure BIGINT sum —
+    the train-light quantization family member next to PQ/IVF-PQ.
+    Per-dim bounds come from one corpus min/max pass; every step is
+    exact or one fixed-order IEEE expression, so the full index build +
+    query carries a DuckDB twin."""
+    from kg.ops import ivf_sq_topk
+
+    emb = _read(spark, sf, "embeddings")
+    centroids = emb.filter(F.col("vec_id") < _IVF_CELLS).select(
+        F.col("vec_id").alias("cid"),
+        F.col("embedding").cast("array<double>").alias("cv"),
+    )
+    queries = emb.filter(F.col("vec_id") < 5)
+    return ivf_sq_topk(
+        queries, emb, centroids, "vec_id", "vec_id", "embedding",
+        dim=_EMB_DIM, levels=_SQ_LEVELS, k=5, nprobe=_IVF_NPROBE,
+    )
+
+
+def _ann_ivf_sq_sql() -> str:
+    """Twin of q_ann_ivf_sq: the shared IVF assignment CTEs + per-dim
+    min/max bounds + the same fixed-order affine encode
+    floor((x−mn)/(mx−mn)·(levels+1)) edge-clamped, then the exact
+    integer code-distance sum."""
+    lv = _SQ_LEVELS
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        f"cent AS (SELECT vec_id AS cid, v AS cv FROM base "
+        f"WHERE vec_id < {_IVF_CELLS}), "
+        + _ivf_assign_ctes() + ", "
+        f"js AS (SELECT unnest(generate_series(1, {_EMB_DIM})) AS i), "
+        "bx AS (SELECT js.i, min(b.v[js.i]) AS mn, max(b.v[js.i]) AS mx "
+        "FROM base b CROSS JOIN js GROUP BY js.i), "
+        "cd AS (SELECT x.vec_id, x.i, CASE WHEN (bx.mx - bx.mn) <= 0 THEN 0 "
+        f"ELSE CAST(greatest(0, least({lv}, "
+        f"floor((x.x - bx.mn) / (bx.mx - bx.mn) * {lv + 1}))) AS INT) END "
+        "AS code FROM (SELECT b.vec_id, js.i, b.v[js.i] AS x "
+        "FROM base b CROSS JOIN js) x JOIN bx USING (i)), "
+        "pairs AS (SELECT q.vec_id AS query_id, c.vec_id AS neighbor_id "
+        "FROM qcells q JOIN cells c ON q.cid = c.cid AND q.vec_id <> c.vec_id), "
+        "sc AS (SELECT p.query_id, p.neighbor_id, "
+        "CAST(sum((qc.code - cc.code) * (qc.code - cc.code)) AS BIGINT) "
+        "AS sq_fp FROM pairs p "
+        "JOIN cd qc ON qc.vec_id = p.query_id "
+        "JOIN cd cc ON cc.vec_id = p.neighbor_id AND cc.i = qc.i "
+        "GROUP BY 1, 2), "
+        "r AS (SELECT query_id, neighbor_id, sq_fp, row_number() OVER "
+        "(PARTITION BY query_id ORDER BY sq_fp ASC, neighbor_id ASC) AS rk "
+        "FROM sc) "
+        "SELECT query_id, neighbor_id, sq_fp, CAST(rk AS INT) AS rk "
+        "FROM r WHERE rk <= 5"
+    )
+
+
 def q_ann_ivf_pq(spark: SparkSession, sf: str) -> DataFrame:
     """IVF-PQ composite ANN (``kg/ops/similarity.py::ivf_pq_topk``) —
     the FAISS-style pairing of the two approximate families: the
@@ -2524,6 +2586,7 @@ def queries() -> dict[str, _T]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
+        "ann_ivf_sq": q_ann_ivf_sq,
         "graph_degree": q_graph_degree,
         "graph_two_hop": q_graph_two_hop,
         "graph_two_hop_typed": q_graph_two_hop_typed,
@@ -3293,6 +3356,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "ann_pq": _ann_pq_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
+        "ann_ivf_sq": _ann_ivf_sq_sql(),
         # kg_* twins: golden-backed. kg_triples reads the CLOSED-FORM
         # analytic golden (kg.datagen.golden_triples — derived from the
         # corpus spec, not from the extractor), so it is a true oracle;

@@ -70,10 +70,13 @@ from kg.ops.similarity import (  # noqa: F401
     brute_force_topk,
     ivf_assign,
     ivf_pq_topk,
+    ivf_sq_topk,
     ivf_topk,
     lsh_ann_topk,
     pq_encode,
     pq_topk,
+    sq_encode,
+    sq_train,
     subvectors,
 )
 from kg.ops.text import (  # noqa: F401

@@ -729,3 +729,162 @@ def ivf_pq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "adc_fp", "rk")
     )
+
+def sq_train(df: DataFrame, vec_col: str, dim: int) -> DataFrame:
+    """Per-dimension quantization bounds for :func:`sq_encode`: ONE
+    1-row frame ``(mins array<double>, maxs array<double>)`` from a
+    single hash-aggregation pass (2·dim agg expressions over the raw
+    column — no explode, no dim-wise shuffle; min/max are exact, so the
+    bounds are bit-identical on any engine or partitioning).
+
+    Returned as a DataFrame, not collected: the encode broadcast-joins
+    the 1-row bounds, keeping the whole index build one lazy plan with
+    zero driver actions (the lazy-1-row-scalar discipline of
+    ``tfidf_topk``'s N)."""
+    v = F.col(vec_col).cast("array<double>")
+    aggs = [
+        F.min(F.element_at(v, d + 1)).alias(f"_mn{d}") for d in range(dim)
+    ] + [F.max(F.element_at(v, d + 1)).alias(f"_mx{d}") for d in range(dim)]
+    return df.agg(*aggs).select(
+        F.array(*[F.col(f"_mn{d}") for d in range(dim)]).alias("mins"),
+        F.array(*[F.col(f"_mx{d}") for d in range(dim)]).alias("maxs"),
+    )
+
+
+def sq_encode(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    bounds: DataFrame,
+    levels: int = 255,
+    carry: tuple[str, ...] = (),
+) -> DataFrame:
+    """Scalar quantization (the FAISS ``SQ8`` family): each dimension is
+    affinely mapped to an integer code in [0, ``levels``] against the
+    per-dim ``bounds`` (1-row ``(mins, maxs)``, :func:`sq_train` or
+    caller-supplied) → ``(id, *carry, codes array<int>)``.
+
+    ``code_d = clamp(floor((v_d − min_d) / (max_d − min_d) ·
+    (levels+1)), 0, levels)`` — floor of one IEEE double expression
+    evaluated in a fixed order, so codes are bit-identical across
+    engines (the repo's float portability rule); a degenerate dimension
+    (max == min) codes to 0; out-of-range values (queries quantized
+    against corpus bounds) clamp to the edge codes.
+
+    Where PQ (:func:`pq_encode`) trains a codebook over subspaces, SQ
+    needs only 2·dim floats of training state and keeps per-dimension
+    resolution — the cheap, train-light point of the quantization
+    family (4× smaller than float32 at ``levels=255``).  Plan shape:
+    one broadcast join of the 1-row bounds + two map-side ``zip_with``
+    passes; no explode, no shuffle."""
+    if levels < 1 or levels > 65535:
+        raise ValueError(f"levels must be in [1, 65535], got {levels}")
+    from kg.hints import maybe_broadcast
+
+    v = F.col(vec_col).cast("array<double>")
+    shifted = F.zip_with(v, F.col("mins"), lambda x, mn: x - mn)
+    rng = F.zip_with(F.col("maxs"), F.col("mins"), lambda mx, mn: mx - mn)
+    codes = F.zip_with(
+        shifted,
+        rng,
+        # clamp on longs BEFORE the int cast: ANSI mode errors on an
+        # overflowing cast, and a query value far outside the corpus
+        # bounds must edge-clamp, not kill the job
+        lambda x, r: F.when(r <= 0, F.lit(0))
+        .otherwise(
+            F.greatest(
+                F.lit(0).cast("long"),
+                F.least(
+                    F.lit(levels).cast("long"),
+                    F.floor(x / r * (levels + 1)),
+                ),
+            )
+        )
+        .cast("int"),
+    )
+    return df.crossJoin(maybe_broadcast(bounds)).select(
+        F.col(id_col), *carry, codes.alias("codes")
+    )
+
+
+def ivf_sq_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    centroids: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    dim: int,
+    levels: int = 255,
+    k: int = 5,
+    nprobe: int = 2,
+    bounds: DataFrame | None = None,
+) -> DataFrame:
+    """IVF-SQ approximate top-k: coarse cells bound WHICH corpus vectors
+    a query scores (:func:`ivf_topk`'s probe), scalar-quantized codes
+    bound HOW — the symmetric compressed-domain distance
+    ``sq_fp = Σ_d (qcode_d − ccode_d)²`` (SDC in Jégou et al.'s
+    terminology: BOTH sides quantized, so the distance is a pure BIGINT
+    sum of integer squares — exact, association-order-free, and
+    SQL-twinnable with no float anywhere past the encode).
+
+    → ``(query_id, neighbor_id, sq_fp, rk)``, rank ascending by
+    ``(sq_fp, neighbor_id)``; self-pairs excluded.  Bounds default to
+    :func:`sq_train` over the corpus; queries quantize against the SAME
+    bounds (edge-clamped), the standard SQ contract.
+
+    Plan shape (100 TB): one bounds agg (2·dim expressions, one pass) +
+    two map-side encodes; cells via the shared :func:`ivf_assign`
+    broadcast-NL pass; candidates via ONE equi-join on cid (a corpus
+    row meets only queries that probed its cell — never all-pairs; the
+    corpus side is nprobe=1, so each (query, neighbor) pair arises at
+    most once and needs no dedup); one ``zip_with`` + fold per
+    candidate pair, one top-k window.  Against IVF-PQ: 1 byte/dim vs
+    m codes/vector — SQ keeps per-dimension resolution and needs no
+    codebook training, PQ compresses harder; both compose with the same
+    cell machinery."""
+    from pyspark.sql import Window as W
+
+    from kg.hints import maybe_broadcast
+
+    cvdf = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).cast("array<double>").alias("_cv"),
+    )
+    if bounds is None:
+        bounds = sq_train(cvdf, "_cv", dim)
+    ccells = ivf_assign(cvdf, "neighbor_id", "_cv", centroids, nprobe=1)
+    ccodes = sq_encode(
+        cvdf.join(ccells, "neighbor_id"),
+        "neighbor_id", "_cv", bounds, levels=levels, carry=("cid",),
+    )
+    qvdf = queries.select(
+        F.col(query_id).alias("query_id"),
+        F.col(vec_col).cast("array<double>").alias("_qv"),
+    )
+    qcells = ivf_assign(qvdf, "query_id", "_qv", centroids, nprobe=nprobe)
+    qcodes = sq_encode(
+        qvdf.join(qcells, "query_id"),
+        "query_id", "_qv", bounds, levels=levels, carry=("cid",),
+    ).withColumnsRenamed({"codes": "_qc"})
+    scored = (
+        ccodes.join(maybe_broadcast(qcodes), "cid")
+        .filter(F.col("query_id") != F.col("neighbor_id"))
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.aggregate(
+                F.zip_with(
+                    F.col("_qc"), F.col("codes"), lambda a, b: (a - b) * (a - b)
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).alias("sq_fp"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.asc("sq_fp"), F.asc("neighbor_id"))
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select("query_id", "neighbor_id", "sq_fp", "rk")
+    )

@@ -603,3 +603,101 @@ def test_ivf_pq_residual_adc_hand_vectors(spark):
 
     with _pt.raises(ValueError):
         ivf_pq_topk(q, corpus, cent, cb, "vec_id", "vec_id", "v", m=3, dim=4)
+
+
+def test_sq_train_and_encode_hand_vectors(spark):
+    """Hand-checkable SQ: bounds from one min/max pass, affine codes
+    with edge clamping and the degenerate-dimension rule."""
+    from pyspark.sql import functions as F
+
+    from kg.ops import sq_encode, sq_train
+
+    corpus = spark.createDataFrame(
+        [("a", [1.0, 1.0]), ("b", [4.0, 2.0]), ("c", [2.0, 1.0])],
+        "vec_id string, v array<double>",
+    )
+    bounds = sq_train(corpus, "v", dim=2)
+    brow = bounds.first()
+    assert brow["mins"] == [1.0, 1.0] and brow["maxs"] == [4.0, 2.0]
+    # levels=3 → 4 buckets: a=[0,0]; b hits the max on both dims and
+    # clamps to 3; c: floor(1/3·4)=1, floor(0)=0
+    got = {
+        r["vec_id"]: r["codes"]
+        for r in sq_encode(corpus, "vec_id", "v", bounds, levels=3).collect()
+    }
+    assert got == {"a": [0, 0], "b": [3, 3], "c": [1, 0]}
+    # out-of-range values clamp to the edge codes (queries quantized
+    # against corpus bounds)
+    oor = spark.createDataFrame(
+        [("q", [-10.0, 50.0])], "vec_id string, v array<double>"
+    )
+    assert sq_encode(oor, "vec_id", "v", bounds, levels=3).first()[
+        "codes"
+    ] == [0, 3]
+    # a degenerate dimension (max == min) codes to 0
+    degen = spark.createDataFrame(
+        [("x", [5.0, 1.0]), ("y", [5.0, 3.0])],
+        "vec_id string, v array<double>",
+    )
+    dbounds = sq_train(degen, "v", dim=2)
+    dgot = {
+        r["vec_id"]: r["codes"]
+        for r in sq_encode(degen, "vec_id", "v", dbounds, levels=3).collect()
+    }
+    assert dgot == {"x": [0, 0], "y": [0, 3]}
+    import pytest
+
+    with pytest.raises(ValueError):
+        sq_encode(corpus, "vec_id", "v", bounds, levels=0)
+
+
+def test_ivf_sq_hand_distances(spark):
+    """One cell, three corpus vectors, levels=3: every code and every
+    integer code-distance below is computed by hand."""
+    from kg.ops import ivf_sq_topk
+
+    corpus = spark.createDataFrame(
+        [(10, [1.0, 1.0]), (11, [4.0, 2.0]), (12, [2.0, 1.0])],
+        "vec_id long, v array<double>",
+    )
+    centroids = spark.createDataFrame(
+        [(0, [1.0, 1.0])], "cid int, cv array<double>"
+    )
+    queries = corpus.filter("vec_id = 10")
+    # codes: 10→[0,0], 11→[3,3], 12→[1,0]
+    # dist(10,12) = 1²+0² = 1 ; dist(10,11) = 3²+3² = 18
+    got = [
+        (r["neighbor_id"], r["sq_fp"], r["rk"])
+        for r in ivf_sq_topk(
+            queries, corpus, centroids, "vec_id", "vec_id", "v",
+            dim=2, levels=3, k=5, nprobe=1,
+        ).orderBy("rk").collect()
+    ]
+    assert got == [(12, 1, 1), (11, 18, 2)]
+
+
+def test_ivf_sq_ranks_track_true_neighbors(spark, sf_dir):
+    """A planted near-duplicate must come back at rank 1 for its twin
+    through the full bounds→encode→probe→rank chain."""
+    from pyspark.sql import functions as F
+
+    from kg.ops import ivf_sq_topk
+
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    twin = emb.filter(F.col("vec_id") == 0).select(
+        F.lit(1000000).cast("long").alias("vec_id"),
+        F.transform("v", lambda x: x + F.lit(0.01) * x).alias("v"),
+    )
+    corpus = emb.unionByName(twin)
+    centroids = corpus.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").cast("int").alias("cid"),
+        F.col("v").alias("cv"),
+    )
+    queries = corpus.filter(F.col("vec_id") == 1000000)
+    top = ivf_sq_topk(
+        queries, corpus, centroids, "vec_id", "vec_id", "v",
+        dim=64, k=1, nprobe=2,
+    ).first()
+    assert top["neighbor_id"] == 0
