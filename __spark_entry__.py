@@ -2213,6 +2213,27 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, max_tokens=_PACK_MAX_TOKENS)
 
 
+_CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
+
+
+def q_chunk_docs(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping context-window chunking
+    (``kg/ops/curate.py::chunk_documents``): carve every document into
+    64-token windows every 48 tokens (16 tokens of overlap) — the
+    pre-embedding / pre-packing step of a RAG or long-document
+    pipeline.  ONE map-side pass (tokens → stride sequence → bounded
+    explode → array slice); no shuffle, no Python."""
+    from kg.ops import chunk_documents
+
+    return chunk_documents(
+        _read_spread(spark, sf, "documents"),
+        "doc_id",
+        "text",
+        window=_CHUNK_WINDOW,
+        stride=_CHUNK_STRIDE,
+    )
+
+
 def q_corpus_profile(spark: SparkSession, sf: str) -> DataFrame:
     """Per-language corpus profile (``kg/ops/curate.py::corpus_profile``):
     doc count, exact-dup ratio (distinct normalized md5 fingerprints),
@@ -2623,6 +2644,7 @@ def queries() -> dict[str, _T]:
         "gopher_quality": q_gopher_quality,
         "bpe_tokens": q_bpe_tokens,
         "pack_sequences": q_pack_sequences,
+        "chunk_docs": q_chunk_docs,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
@@ -3307,6 +3329,23 @@ def oracle_sql() -> dict[str, str]:
             f"s // {_PACK_MAX_TOKENS} AS first_pack, "
             f"(s + greatest(n - 1, 0)) // {_PACK_MAX_TOKENS} AS last_pack "
             "FROM o"
+        ),
+        "chunk_docs": (
+            # same chunk rule: stride multiples, drop starts past the
+            # end or fully covered by the previous window (tail kept
+            # exactly once); slice bounds are 1-based end-inclusive on
+            # both engines
+            f"WITH t AS (SELECT doc_id, {tok} AS toks FROM documents), "
+            "s AS (SELECT doc_id, toks, unnest(range(0, "
+            f"greatest(len(toks), 1), {_CHUNK_STRIDE})) AS start_tok FROM t), "
+            "k AS (SELECT doc_id, toks, start_tok FROM s "
+            "      WHERE start_tok < len(toks) AND (start_tok = 0 OR "
+            f"      start_tok < len(toks) - {_CHUNK_WINDOW - _CHUNK_STRIDE})) "
+            f"SELECT doc_id, CAST(start_tok // {_CHUNK_STRIDE} AS INT) AS chunk_idx, "
+            "CAST(start_tok AS INT) AS start_tok, "
+            f"CAST(len(toks[start_tok + 1 : start_tok + {_CHUNK_WINDOW}]) AS INT) AS n_tok, "
+            f"array_to_string(toks[start_tok + 1 : start_tok + {_CHUNK_WINDOW}], ' ') AS chunk_text "
+            "FROM k"
         ),
         "curate_corpus": _curate_corpus_sql(),
         "corpus_profile": (

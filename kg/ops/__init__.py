@@ -17,6 +17,7 @@ global transitivity).
 """
 
 from kg.ops.curate import (  # noqa: F401
+    chunk_documents,
     clean_lines,
     decontaminate,
     dsir_weights,

@@ -701,3 +701,70 @@ def dsir_weights(
             F.coalesce("log_ratio", F.lit(0.0)).alias("log_ratio"),
         )
     )
+
+
+def chunk_documents(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    window: int = 64,
+    stride: int = 48,
+) -> DataFrame:
+    """Overlapping fixed-size token chunking — the context-window carve
+    every RAG / long-document training pipeline runs before embedding or
+    packing: → ``(id, chunk_idx, start_tok, n_tok, chunk_text)``, one
+    row per window of ``window`` tokens starting every ``stride`` tokens
+    (``window − stride`` tokens of overlap preserve cross-boundary
+    context).
+
+    Chunk rule (deterministic, engine-portable): starts are the stride
+    multiples 0, s, 2s, …; a start is emitted iff it is 0 or the
+    PREVIOUS chunk did not already reach the end of the document
+    (``start < n − (window − stride)``) — so the tail is always covered
+    exactly once and no fully-contained redundant tail chunk is emitted
+    (with ``stride == window`` this is plain disjoint blocking, partial
+    tail kept).  ``chunk_idx = start div stride`` — exact integer
+    arithmetic.  Empty/token-less documents emit no chunks.
+    Tokenization is the repo-wide :func:`kg.ops.text.tokens_col`
+    contract, so chunk text joins back to every other text op.
+
+    Plan shape (100 TB): ONE map-side pass — tokens, stride sequence,
+    one explode bounded by ceil(n/stride) rows per doc, array slice per
+    row; no shuffle, no Python.  The token array is bound as an
+    attribute before the explode (the repo's HOF/Generate discipline,
+    ``kg/hints.py``)."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    if stride < 1 or stride > window:
+        raise ValueError(
+            f"stride must be in [1, window={window}], got {stride}"
+        )
+    overlap = window - stride
+    d = df.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).select(
+        id_col,
+        "_toks",
+        F.explode(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("_toks") - 1, F.lit(0)),
+                F.lit(stride),
+            )
+        ).alias("start_tok"),
+    )
+    kept = d.filter(
+        (F.col("start_tok") < F.size("_toks"))
+        & (
+            (F.col("start_tok") == 0)
+            | (F.col("start_tok") < F.size("_toks") - F.lit(overlap))
+        )
+    )
+    chunk = F.slice("_toks", F.col("start_tok") + 1, window)
+    return kept.select(
+        id_col,
+        F.expr(f"start_tok div {stride}").cast("int").alias("chunk_idx"),
+        F.col("start_tok").cast("int").alias("start_tok"),
+        F.size(chunk).alias("n_tok"),
+        F.array_join(chunk, " ").alias("chunk_text"),
+    )

@@ -495,3 +495,114 @@ def test_dsir_weights_hand_counts(spark):
     assert got[3][1] == 0.0
     with pytest.raises(ValueError):
         dsir_weights(docs, target, buckets=0)
+
+
+# ---------------------------------------------------------- chunking
+def test_chunk_documents_hand_check(spark):
+    """10 tokens, window=4, stride=3: starts 0/3/6 kept; 9 dropped
+    because the chunk at 6 already reaches the end (tail covered once,
+    no redundant fully-contained chunk)."""
+    from kg.ops import chunk_documents
+
+    toks = "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"
+    df = _df(spark, [(1, toks)], ["doc_id", "text"])
+    got = sorted(
+        chunk_documents(df, "doc_id", "text", window=4, stride=3)
+        .collect(),
+        key=lambda r: r["chunk_idx"],
+    )
+    assert [
+        (r["chunk_idx"], r["start_tok"], r["n_tok"], r["chunk_text"])
+        for r in got
+    ] == [
+        (0, 0, 4, "t0 t1 t2 t3"),
+        (1, 3, 4, "t3 t4 t5 t6"),
+        (2, 6, 4, "t6 t7 t8 t9"),
+    ]
+
+
+def test_chunk_documents_partial_tail_kept(spark):
+    """11 tokens, window=4, stride=3: start 9 survives (previous chunk
+    stops at token 9, token 10 would be uncovered) with n_tok=2."""
+    from kg.ops import chunk_documents
+
+    df = _df(spark, [(1, " ".join(f"t{i}" for i in range(11)))],
+             ["doc_id", "text"])
+    got = {
+        r["start_tok"]: (r["n_tok"], r["chunk_text"])
+        for r in chunk_documents(
+            df, "doc_id", "text", window=4, stride=3
+        ).collect()
+    }
+    assert set(got) == {0, 3, 6, 9}
+    assert got[9] == (2, "t9 t10")
+
+
+def test_chunk_documents_disjoint_and_short_and_empty(spark):
+    """stride == window is plain disjoint blocking with the partial
+    tail kept; short docs yield one chunk; empty docs yield none."""
+    from kg.ops import chunk_documents
+
+    df = _df(
+        spark,
+        [(1, " ".join(f"t{i}" for i in range(7))), (2, "a b"), (3, "")],
+        ["doc_id", "text"],
+    )
+    rows = chunk_documents(df, "doc_id", "text", window=3, stride=3)
+    got = {
+        (r["doc_id"], r["chunk_idx"]): (r["start_tok"], r["n_tok"])
+        for r in rows.collect()
+    }
+    assert got == {
+        (1, 0): (0, 3),
+        (1, 1): (3, 3),
+        (1, 2): (6, 1),
+        (2, 0): (0, 2),
+    }
+
+
+def test_chunk_documents_covers_every_token_once_per_overlap(spark):
+    """Property over sizes 1..40 (window=8, stride=5): chunks cover
+    [0, n) exactly, consecutive starts differ by stride, every
+    non-final chunk is full-width, and no chunk is contained in the
+    previous one."""
+    from kg.ops import chunk_documents
+
+    rows = [(n, " ".join(f"w{i}" for i in range(n))) for n in range(1, 41)]
+    df = _df(spark, rows, ["doc_id", "text"])
+    out = chunk_documents(df, "doc_id", "text", window=8, stride=5)
+    by_doc = {}
+    for r in out.collect():
+        by_doc.setdefault(r["doc_id"], []).append(
+            (r["start_tok"], r["n_tok"])
+        )
+    for n, chunks in by_doc.items():
+        chunks.sort()
+        covered = set()
+        for s, ln in chunks:
+            covered.update(range(s, s + ln))
+        assert covered == set(range(n)), n
+        starts = [s for s, _ in chunks]
+        assert starts == list(range(0, starts[-1] + 1, 5)), n
+        for s, ln in chunks[:-1]:
+            assert ln == 8, n
+        # the final chunk always adds new tokens beyond its predecessor
+        if len(chunks) > 1:
+            s_last, ln_last = chunks[-1]
+            s_prev, ln_prev = chunks[-2]
+            assert s_last + ln_last > s_prev + ln_prev, n
+    assert set(by_doc) == set(range(1, 41))
+
+
+def test_chunk_documents_rejects_bad_args(spark):
+    import pytest
+
+    from kg.ops import chunk_documents
+
+    df = _df(spark, [(1, "a b c")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", window=0, stride=1)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", window=4, stride=5)
+    with pytest.raises(ValueError):
+        chunk_documents(df, "doc_id", "text", window=4, stride=0)
