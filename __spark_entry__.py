@@ -2213,6 +2213,35 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, max_tokens=_PACK_MAX_TOKENS)
 
 
+_BM25_K = 5
+
+
+def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 top-k retrieval (``kg/ops/retrieval.py::bm25_topk``): every
+    97th document contributes a 4-term keyword query (its 3rd–6th
+    sorted distinct tokens — a deterministic 'more-like-this' probe),
+    scored against the whole corpus with exact fixed-point BM25
+    (k1=1.2, b=0.75; one fixed-pointed ln, then pure integer
+    arithmetic).  The query vocabulary broadcast-semi-joins into the
+    exploded token stream BEFORE the posting agg, so corpus-side work
+    is one narrow explode + filter."""
+    from kg.ops import bm25_topk
+
+    d = _read_spread(spark, sf, "documents")
+    qs = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.array_sort(F.array_distinct(tokens_col(F.col("text")))),
+                3,
+                4,
+            ),
+        ).alias("text"),
+    )
+    return bm25_topk(d, qs, k=_BM25_K)
+
+
 _CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
 
 
@@ -2645,6 +2674,7 @@ def queries() -> dict[str, _T]:
         "bpe_tokens": q_bpe_tokens,
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
+        "bm25_search": q_bm25_search,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
@@ -3329,6 +3359,41 @@ def oracle_sql() -> dict[str, str]:
             f"s // {_PACK_MAX_TOKENS} AS first_pack, "
             f"(s + greatest(n - 1, 0)) // {_PACK_MAX_TOKENS} AS last_pack "
             "FROM o"
+        ),
+        "bm25_search": (
+            # identical fixed-point BM25: one floor(1e6·ln(...)) idf,
+            # then HUGEINT multiply + // floor division — bit-equal to
+            # Spark's decimal(38,0) `div` path
+            f"WITH t AS (SELECT doc_id, {tok} AS toks FROM documents), "
+            "body AS (SELECT doc_id, toks, len(toks) AS dl FROM t), "
+            "stats AS (SELECT count(*) AS n, "
+            "          coalesce(sum(len(toks)), 0) AS tt FROM t), "
+            "q AS (SELECT doc_id AS query_id, "
+            "      list_sort(list_distinct(toks))[3:6] AS qt "
+            "      FROM t WHERE doc_id % 97 = 0), "
+            "qterms AS (SELECT query_id, unnest(qt) AS token FROM q), "
+            "ex AS (SELECT doc_id, dl, unnest(toks) AS token FROM body), "
+            "tf AS (SELECT doc_id, dl, token, count(*) AS cnt FROM ex "
+            "       WHERE token IN (SELECT DISTINCT token FROM qterms) "
+            "       GROUP BY doc_id, dl, token), "
+            "dfd AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+            "idf AS (SELECT token, CAST(floor(1e6 * ln((2.0 * n + 2.0) / "
+            "        CAST(2 * df + 1 AS DOUBLE))) AS BIGINT) AS idf_fp, "
+            "        n, tt FROM dfd, stats), "
+            "wts AS (SELECT tf.doc_id, tf.token, CAST("
+            "        (idf_fp::HUGEINT * (10::HUGEINT * tt * cnt)) // "
+            "        (10::HUGEINT * tt * cnt + 3::HUGEINT * tt + "
+            "         9::HUGEINT * dl * n) AS BIGINT) AS w_fp "
+            "        FROM tf JOIN idf USING (token)), "
+            "s AS (SELECT query_id, doc_id, "
+            "      CAST(sum(w_fp) AS BIGINT) AS score_fp "
+            "      FROM qterms JOIN wts USING (token) "
+            "      GROUP BY query_id, doc_id), "
+            "r AS (SELECT query_id, doc_id, score_fp, "
+            "      CAST(row_number() OVER (PARTITION BY query_id "
+            "      ORDER BY score_fp DESC, doc_id ASC) AS INT) AS rank "
+            "      FROM s) "
+            f"SELECT query_id, doc_id, score_fp, rank FROM r WHERE rank <= {_BM25_K}"
         ),
         "chunk_docs": (
             # same chunk rule: stride multiples, drop starts past the

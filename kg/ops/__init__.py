@@ -65,6 +65,7 @@ from kg.ops.graph import (  # noqa: F401
 )
 from kg.ops.kmeans import kmeans_fit  # noqa: F401
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
+from kg.ops.retrieval import bm25_topk  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401
     banded_lsh_pairs,
     banded_signatures,

@@ -1,0 +1,164 @@
+"""Full-text retrieval over the document corpus.
+
+The lexical counterpart to ``kg/ops/similarity.py``'s embedding ANN
+surface: score documents against a set of keyword queries with BM25
+(Robertson–Spärck Jones / Okapi, the default ranking function of every
+production search engine) and return the top-k documents per query.
+
+Determinism contract (same discipline as ``kg/ops/graph.py``'s
+fixed-point centralities): exactly ONE transcendental per term — the
+idf, fixed-pointed to BIGINT micro-units the moment it is computed —
+after which every multiply/divide/sum is exact integer arithmetic
+(decimal(38,0) for the overflow-safe multiply-divide, ``div`` for the
+exact floor), so per-query scores are association-order-free and carry
+a bit-exact DuckDB twin.
+
+Reference parity note: the reference engine (syedhassaanahmed/
+neo-to-cosmos) delegates querying of the migrated graph to its sink;
+text retrieval over document properties is part of this repo's §2.1
+new-engine surface (SURVEY.md), not a translation of any reference
+file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kg.hints import maybe_broadcast
+from kg.ops.text import tokens_col
+
+_DEC = "decimal(38,0)"
+
+
+def bm25_topk(
+    docs: DataFrame,
+    queries: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    query_id_col: str = "query_id",
+    query_text_col: str = "text",
+    k: int = 10,
+) -> DataFrame:
+    """Top-``k`` documents per query by BM25 (k1 = 1.2, b = 0.75, the
+    Robertson defaults) → ``(query_id, <id_col>, score_fp, rank)``.
+
+    Scoring rule, made engine-portable:
+
+    * ``idf_fp = floor(10^6 · ln((2N + 2) / (2·df + 1)))`` — the Lucene
+      form ``ln(1 + (N − df + ½)/(df + ½))`` rewritten over integers so
+      the only float input to ``ln`` is an exactly-representable ratio;
+      fixed-pointed immediately (the ``adamic_adar`` discipline).
+    * tf saturation with k1 = 6/5, b = 3/4 is exactly rational:
+      ``tf / (tf + k1(1 − b + b·dl/avgdl))
+      = 10·T·tf / (10·T·tf + 3·T + 9·dl·N)``
+      with ``T`` = total corpus tokens, ``N`` = docs, ``dl`` = doc
+      length — integers end to end.
+    * per-term weight ``w_fp = (idf_fp · num) div den`` computed in
+      decimal(38,0) with SQL ``div`` (exact floor, no rounded decimal
+      division); per-(query, doc) score is a plain BIGINT sum of
+      ``w_fp`` — association-order-free.
+    * ranking on ``score_fp`` desc with doc-id-asc tie-break, so the
+      top-k SET is reproducible across engines.
+
+    Plan shape (100 TB): one map-side pass computes per-doc token
+    arrays + lengths; corpus stats (N, T) are a 1-row lazy
+    broadcast-joined scalar (no driver action); the QUERY VOCABULARY
+    is broadcast-semi-joined into the exploded token stream BEFORE the
+    tf aggregation, so the posting agg, the df dim and the score join
+    all touch only query-relevant terms — the full-corpus work is one
+    narrow explode + filter; top-k is a per-query window over candidate
+    docs only.  Query terms are deduped in-array (a repeated query term
+    scores once, the set-of-terms convention).
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+
+    body = docs.select(
+        F.col(id_col), tokens_col(F.col(text_col)).alias("_toks")
+    ).select(id_col, "_toks", F.size("_toks").alias("dl"))
+    stats = body.agg(
+        F.count("*").alias("n_docs"),
+        F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("total_toks"),
+    )
+
+    qterms = queries.select(
+        F.col(query_id_col).alias("query_id"),
+        F.explode(
+            F.array_distinct(tokens_col(F.col(query_text_col)))
+        ).alias("token"),
+    )
+    vocab = qterms.select("token").distinct()
+
+    # postings restricted to the query vocabulary BEFORE aggregation —
+    # the semi-join predicate rides the exploded stream map-side when
+    # the vocab broadcasts (it is |query terms| ≪ |corpus|)
+    # dl rides the exploded stream and joins the grouping key (it is
+    # functionally dependent on the doc id, so it adds no groups) —
+    # this saves a corpus-sized dl-dim join after the aggregation
+    tf = (
+        body.select(F.col(id_col), "dl", F.explode("_toks").alias("token"))
+        .join(maybe_broadcast(vocab), "token", "left_semi")
+        .groupBy(id_col, "dl", "token")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_dim = (
+        tf.groupBy("token")
+        .agg(F.count("*").alias("df"))  # one row per (doc, token) above
+        .crossJoin(F.broadcast(stats))
+        .select(
+            "token",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (2.0 * F.col("n_docs") + 2.0)
+                    / (2 * F.col("df") + 1).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("idf_fp"),
+            "n_docs",
+            "total_toks",
+        )
+    )
+
+    num = (
+        F.lit(10).cast(_DEC)
+        * F.col("total_toks").cast(_DEC)
+        * F.col("tf").cast(_DEC)
+    )
+    den = (
+        num
+        + F.lit(3).cast(_DEC) * F.col("total_toks").cast(_DEC)
+        + F.lit(9).cast(_DEC)
+        * F.col("dl").cast(_DEC)
+        * F.col("n_docs").cast(_DEC)
+    )
+    weights = (
+        tf.join(maybe_broadcast(df_dim), "token")
+        .select(
+            id_col,
+            "token",
+            (F.col("idf_fp").cast(_DEC) * num).cast(_DEC).alias("_prod"),
+            den.cast(_DEC).alias("_den"),
+        )
+        .select(
+            id_col,
+            "token",
+            F.expr("_prod div _den").cast("long").alias("w_fp"),
+        )
+    )
+
+    scored = (
+        qterms.join(weights, "token")
+        .groupBy("query_id", id_col)
+        .agg(F.sum("w_fp").alias("score_fp"))
+    )
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("score_fp").desc(), F.col(id_col).asc()
+    )
+    return (
+        scored.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select("query_id", id_col, "score_fp", F.col("_rn").alias("rank"))
+    )

@@ -1,0 +1,99 @@
+"""BM25 retrieval tests: hand-computed fixed-point scores on a tiny
+corpus, query-term set semantics, ranking/tie-break, arg validation."""
+
+from __future__ import annotations
+
+import math
+
+import pytest
+
+from kg.ops import bm25_topk
+
+
+def _corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, "apple banana apple"),
+            (2, "banana cherry"),
+            (3, "cherry cherry cherry cherry"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def _idf_fp(n, df):
+    return math.floor(1e6 * math.log((2 * n + 2) / (2 * df + 1)))
+
+
+def _w_fp(idf, tf, dl, n, t):
+    num = 10 * t * tf
+    den = num + 3 * t + 9 * dl * n
+    return (idf * num) // den
+
+
+def test_bm25_hand_scores(spark):
+    """N=3, T=9; query 'apple cherry' must rank d1 (rare apple) over
+    d3 (high-tf cherry) over d2, with the exact micro-unit scores."""
+    queries = spark.createDataFrame(
+        [(10, "apple cherry")], ["query_id", "text"]
+    )
+    got = [
+        (r["doc_id"], r["score_fp"], r["rank"])
+        for r in sorted(
+            bm25_topk(_corpus(spark), queries).collect(),
+            key=lambda r: r["rank"],
+        )
+    ]
+    ia, ic = _idf_fp(3, 1), _idf_fp(3, 2)
+    assert ia == 980829 and ic == 470003
+    exp = [
+        (1, _w_fp(ia, 2, 3, 3, 9), 1),
+        (3, _w_fp(ic, 4, 4, 3, 9), 2),
+        (2, _w_fp(ic, 1, 2, 3, 9), 3),
+    ]
+    assert got == exp
+    assert [s for _, s, _ in exp] == sorted(
+        (s for _, s, _ in exp), reverse=True
+    )
+
+
+def test_bm25_repeated_query_term_scores_once(spark):
+    """'cherry cherry cherry' is the set {cherry}: scores equal the
+    single-term query's exactly."""
+    q1 = spark.createDataFrame([(1, "cherry")], ["query_id", "text"])
+    q3 = spark.createDataFrame(
+        [(1, "cherry cherry cherry")], ["query_id", "text"]
+    )
+    s1 = {
+        (r["doc_id"], r["score_fp"])
+        for r in bm25_topk(_corpus(spark), q1).collect()
+    }
+    s3 = {
+        (r["doc_id"], r["score_fp"])
+        for r in bm25_topk(_corpus(spark), q3).collect()
+    }
+    assert s1 == s3 and len(s1) == 2
+
+
+def test_bm25_k_caps_and_tie_breaks(spark):
+    """k=1 keeps only the best doc; equal-score candidates order by
+    doc id ascending."""
+    docs = spark.createDataFrame(
+        [(5, "same words here"), (2, "same words here"), (9, "other")],
+        ["doc_id", "text"],
+    )
+    q = spark.createDataFrame([(1, "same")], ["query_id", "text"])
+    full = sorted(
+        (r["rank"], r["doc_id"])
+        for r in bm25_topk(docs, q, k=10).collect()
+    )
+    assert full == [(1, 2), (2, 5)]  # tie → lower doc_id first
+    top1 = bm25_topk(docs, q, k=1).collect()
+    assert [(r["doc_id"], r["rank"]) for r in top1] == [(2, 1)]
+
+
+def test_bm25_no_match_and_validation(spark):
+    q = spark.createDataFrame([(1, "zebra")], ["query_id", "text"])
+    assert bm25_topk(_corpus(spark), q).count() == 0
+    with pytest.raises(ValueError):
+        bm25_topk(_corpus(spark), q, k=0)
