@@ -770,6 +770,20 @@ def q_ann_lsh(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_knn_graph(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus self k-NN graph (``kg/ops/similarity.py::knn_graph``):
+    every vector's 5 nearest corpus neighbors by exact cosine within
+    banded-LSH candidate blocks — the construction step of graph-based
+    ANN indexes and semantic clustering.  Capped bucket self-join +
+    symmetrize + window top-k; never all-pairs."""
+    from kg.ops import knn_graph
+
+    return knn_graph(
+        _read(spark, sf, "embeddings"), "vec_id", "embedding",
+        dim=_EMB_DIM, k=5, planes=_ANN_PLANES, bands=_ANN_BANDS,
+    )
+
+
 # ---------------------------------------------------------------------------
 # graph queries over the materialized output
 # ---------------------------------------------------------------------------
@@ -2675,6 +2689,7 @@ def queries() -> dict[str, _T]:
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
+        "knn_graph": q_knn_graph,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
@@ -3456,6 +3471,29 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_keepers": _cluster_keepers_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
         "ann_lsh": _ann_lsh_sql(),
+        "knn_graph": (
+            # banded_lsh_pairs twin (both join sides capped, a<b,
+            # distinct) symmetrized + exact-cosine window top-k
+            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+            "FROM embeddings), "
+            "bands AS (" + _bands_sql("base", _ANN_PLANES, _ANN_BANDS) + "), "
+            "kept AS (SELECT band, key FROM bands GROUP BY band, key "
+            "         HAVING count(*) <= 1024), "
+            "sig AS (SELECT bands.* FROM bands JOIN kept USING (band, key)), "
+            "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
+            "         FROM sig x JOIN sig y ON x.band = y.band "
+            "         AND x.key = y.key AND x.vec_id < y.vec_id), "
+            "dir AS (SELECT a AS src, b AS nbr FROM cand "
+            "        UNION ALL SELECT b, a FROM cand), "
+            "scored AS (SELECT src, nbr, round(" + _COS_SQL + ", 6) AS cosine "
+            "           FROM dir JOIN base va ON va.vec_id = src "
+            "           JOIN base vb ON vb.vec_id = nbr), "
+            "ranked AS (SELECT src, nbr, cosine, row_number() OVER "
+            "           (PARTITION BY src ORDER BY cosine DESC, nbr ASC) AS rank "
+            "           FROM scored WHERE NOT isnan(cosine)) "
+            "SELECT src AS vec_id, nbr AS neighbor_id, cosine, "
+            "CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"
+        ),
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "ann_pq": _ann_pq_sql(),

@@ -74,6 +74,7 @@ from kg.ops.similarity import (  # noqa: F401
     ivf_pq_topk,
     ivf_sq_topk,
     ivf_topk,
+    knn_graph,
     lsh_ann_topk,
     pq_encode,
     pq_topk,

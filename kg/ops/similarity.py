@@ -888,3 +888,76 @@ def ivf_sq_topk(
         .filter(F.col("rk") <= k)
         .select("query_id", "neighbor_id", "sq_fp", "rk")
     )
+
+
+def knn_graph(
+    emb: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    k: int = 5,
+    planes: int = 64,
+    bands: int = 8,
+    max_bucket: int = 1024,
+) -> DataFrame:
+    """Corpus self k-NN graph → ``(<id_col>, neighbor_id, cosine,
+    rank)``: for every vector, its ``k`` most-cosine-similar corpus
+    neighbors — the construction step of graph-based ANN indexes,
+    embedding-space clustering and semantic-dedup pipelines.
+
+    Candidates come from the SAME banded hyperplane LSH blocking as
+    :func:`banded_lsh_pairs` (OR-of-ANDs, per-bucket ``max_bucket``
+    cap — never an all-pairs join), symmetrized to directed edges and
+    re-ranked with the EXACT cosine, so within the candidate set the
+    result is exact; recall per true neighbor is the banding curve
+    ``1-(1-p^r)^bands``.  Ranking on the 6dp-rounded cosine with
+    neighbor-id-asc tie-break (the repo's cross-engine ranking
+    contract).  Zero-norm vectors (NaN cosine) are excluded on both
+    sides.
+
+    Plan shape (100 TB): signatures are computed once and
+    localCheckpointed, the bucket self-join is capped, the candidate
+    frame is checkpointed before symmetrization (the union's two
+    branches must not re-run the self-join), and the per-source top-k
+    is a window over candidate edges only — O(|candidates|), never
+    O(n²)."""
+    from pyspark.sql import Window as W
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    cand = banded_lsh_pairs(
+        emb, id_col, vec_col, dim, planes=planes, bands=bands,
+        max_bucket=max_bucket,
+    ).localCheckpoint()
+    directed = cand.unionAll(
+        cand.select(F.col("b").alias("a"), F.col("a").alias("b"))
+    ).select(F.col("a").alias("src"), F.col("b").alias("nbr"))
+    va = emb.select(
+        F.col(id_col).alias("src"),
+        F.col(vec_col).cast("array<double>").alias("va"),
+    )
+    vb = emb.select(
+        F.col(id_col).alias("nbr"),
+        F.col(vec_col).cast("array<double>").alias("vb"),
+    )
+    scored = (
+        directed.join(va, "src")
+        .join(vb, "nbr")
+        .select(
+            "src",
+            "nbr",
+            F.round(_cosine(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+    )
+    w = W.partitionBy("src").orderBy(F.desc("cosine"), F.asc("nbr"))
+    return (
+        scored.filter(~F.isnan("cosine"))
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias(id_col),
+            F.col("nbr").alias("neighbor_id"),
+            "cosine",
+            "rank",
+        )
+    )

@@ -701,3 +701,54 @@ def test_ivf_sq_ranks_track_true_neighbors(spark, sf_dir):
         dim=64, k=1, nprobe=2,
     ).first()
     assert top["neighbor_id"] == 0
+
+
+# ------------------------------------------------------------- knn graph
+def test_knn_graph_cluster_neighbors(spark):
+    """Three tight clusters around orthogonal axes: every vector's k=3
+    neighbors are exactly its cluster peers (cross-cluster cosine ≈ 0,
+    in-cluster ≈ 1; near-identical vectors share every LSH band)."""
+    import pytest
+
+    from kg.ops import knn_graph
+
+    rows = []
+    for c in range(3):
+        for j in range(4):
+            v = [0.0] * 8
+            v[c] = 1.0
+            v[(c + 3) % 8] = 0.001 * (j + 1)  # tiny per-member wiggle
+            rows.append((c * 10 + j, v))
+    emb = spark.createDataFrame(rows, "vec_id long, v array<double>")
+    out = knn_graph(emb, "vec_id", "v", dim=8, k=3)
+    got = {}
+    for r in out.collect():
+        got.setdefault(r["vec_id"], []).append(
+            (r["rank"], r["neighbor_id"], r["cosine"])
+        )
+    assert set(got) == {c * 10 + j for c in range(3) for j in range(4)}
+    for vid, nbrs in got.items():
+        nbrs.sort()
+        cluster = vid // 10
+        assert {n for _, n, _ in nbrs} == {
+            cluster * 10 + j for j in range(4) if cluster * 10 + j != vid
+        }, vid
+        assert [rk for rk, _, _ in nbrs] == [1, 2, 3]
+        cosines = [c for _, _, c in nbrs]
+        assert cosines == sorted(cosines, reverse=True)
+        assert all(c > 0.999 for c in cosines)
+    with pytest.raises(ValueError):
+        knn_graph(emb, "vec_id", "v", dim=8, k=0)
+
+
+def test_knn_graph_matches_brute_force_within_candidates(spark, sf_dir):
+    """On the planted-twin corpus, every reported (src, neighbor, rank)
+    ranks candidates by exact cosine: the rank-1 neighbor of each twin
+    is its original (cosine ≈ 0.99 ≫ any natural pair ~0.6)."""
+    from kg.ops import knn_graph
+
+    aug = _planted_near_dups(spark, sf_dir, n_twins=20).localCheckpoint()
+    out = knn_graph(aug, "vec_id", "v", dim=64, k=1)
+    top1 = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
+    hits = sum(1 for t in range(20) if top1.get(100000 + t) == t)
+    assert hits >= 18  # LSH recall on near-identical pairs
