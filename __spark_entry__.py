@@ -1348,6 +1348,21 @@ def q_graph_khop(spark: SparkSession, sf: str) -> DataFrame:
     return k_hop(und, src, k=_KHOP_K)
 
 
+_WALK_LEN = 3
+
+
+def q_graph_walks(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic DeepWalk corpus (``kg/ops/graph.py::random_walks``):
+    one hash-ranked walk of ≤3 steps from every vertex with out-edges
+    over the directed c→o→p graph — the sentence-generation step of
+    graph-embedding training.  Every choice is argmin
+    md5(seed:walk_id:step:neighbor), so the fixed-length loop unrolls
+    into a FULL SQL twin (one argmin CTE per step)."""
+    from kg.ops import random_walks
+
+    return random_walks(_star_graph_edges(spark, sf), walk_length=_WALK_LEN)
+
+
 _HC_ROUNDS = 3
 
 
@@ -1864,6 +1879,34 @@ def _khop_sql(edges_sql: str, k: int, src_max: int) -> str:
             f"JOIN h{h - 1} ON e.s = h{h - 1}.id WHERE {seen})"
         )
         sel.append(f"SELECT id, CAST({h} AS INTEGER) AS hops FROM h{h}")
+    return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
+
+
+def _graph_walks_sql(edges_sql: str, walk_length: int, seed: int = 0) -> str:
+    """Twin of q_graph_walks: one argmin CTE per step — step t picks,
+    among the current vertex's out-neighbors, the one minimizing
+    md5(seed:walk_id:t:neighbor) (neighbor-asc tie-break), exactly
+    ``kg.ops.graph.random_walks``'s choice rule with
+    walks_per_vertex=1 (walk_id = start || '#0')."""
+    parts = [
+        "e AS (" + edges_sql + ")",
+        "s0 AS (SELECT DISTINCT out_id || '#0' AS walk_id, out_id AS v "
+        "FROM e)",
+    ]
+    sel = ["SELECT walk_id, CAST(0 AS INTEGER) AS step, v AS vertex FROM s0"]
+    for t in range(1, walk_length + 1):
+        parts.append(
+            f"s{t} AS MATERIALIZED (SELECT walk_id, dst AS v FROM ("
+            f"SELECT s{t - 1}.walk_id, e.in_id AS dst, "
+            f"md5('{seed}:' || s{t - 1}.walk_id || ':{t}:' || e.in_id) AS h "
+            f"FROM s{t - 1} JOIN e ON e.out_id = s{t - 1}.v) "
+            "QUALIFY row_number() OVER (PARTITION BY walk_id "
+            "ORDER BY h, dst) = 1)"
+        )
+        sel.append(
+            f"SELECT walk_id, CAST({t} AS INTEGER) AS step, v AS vertex "
+            f"FROM s{t}"
+        )
     return "WITH " + ", ".join(parts) + " " + " UNION ALL ".join(sel)
 
 
@@ -2690,6 +2733,7 @@ def queries() -> dict[str, _T]:
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
         "knn_graph": q_knn_graph,
+        "graph_walks": q_graph_walks,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
@@ -3255,6 +3299,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_katz": _katz_sql(),
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),
         "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
+        "graph_walks": _graph_walks_sql(_GRAPH_EDGES_SQL, _WALK_LEN),
         "graph_sssp": _sssp_sql(_SSSP_ROUNDS, _KHOP_SRC_MAX),
         "graph_harmonic": _harmonic_sql(
             _TRI_EDGES_SQL, _HC_ROUNDS, _KHOP_SRC_MAX

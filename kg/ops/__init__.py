@@ -56,6 +56,7 @@ from kg.ops.graph import (  # noqa: F401
     pagerank,
     personalized_pagerank,
     preferential_attachment,
+    random_walks,
     resource_allocation,
     shortest_paths,
     strongly_connected_components,

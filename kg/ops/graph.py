@@ -2070,3 +2070,93 @@ def assortativity(
             6,
         ).alias("assortativity"),
     )
+
+
+def random_walks(
+    edges: DataFrame,
+    walk_length: int = 4,
+    walks_per_vertex: int = 1,
+    seed: int = 0,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Deterministic DeepWalk-style random walks over the directed graph
+    → ``(walk_id, step, vertex)`` long format: ``walks_per_vertex``
+    walks of ≤ ``walk_length`` steps start at every vertex with at
+    least one out-edge — the corpus-generation step of
+    DeepWalk/node2vec graph-embedding training (walks are the
+    "sentences" a skip-gram model consumes).
+
+    Randomness contract (the repo's determinism rule — resume/golden
+    tests depend on reproducible output, and a seeded PRNG has no
+    cross-engine twin): the neighbor choice at step ``t`` of walk ``w``
+    is hash-ranked — among the current vertex's out-neighbors pick
+    ``argmin md5(seed:walk_id:t:neighbor)`` with neighbor-asc
+    tie-break.  Every choice is a pure function of (seed, walk, step,
+    candidate), so walks are reproducible, independent across walks and
+    steps (each step re-keys the hash), and exactly twinnable as
+    unrolled SQL CTEs.  Walks stop early at out-degree-0 vertices (no
+    padding rows).  Vertex ids are NOT dictionary-encoded here: the
+    choice hashes the id VALUE (same rationale as
+    :func:`label_propagation`'s min-label tie-break).
+
+    Plan shape (100 TB): per step ONE equi-join of the walk frame
+    (|V|·walks_per_vertex rows, narrow) against the edge list plus ONE
+    hash agg (argmin as ``min(struct(hash, dst))`` — no window over the
+    candidate blow-up); each round's walk frame is localCheckpointed so
+    the plan stays shallow (the k_hop/CC loop discipline).  Duplicate
+    edges need no pre-distinct: argmin over repeated identical
+    (hash, dst) pairs is unchanged, so the edge scan stays
+    shuffle-free."""
+    if walk_length < 1:
+        raise ValueError(f"walk_length must be >= 1, got {walk_length}")
+    if walks_per_vertex < 1:
+        raise ValueError(
+            f"walks_per_vertex must be >= 1, got {walks_per_vertex}"
+        )
+    e = edges.select(
+        F.col(out_col).alias("_src"), F.col(in_col).alias("_dst")
+    )
+    cur = (
+        e.select(F.col("_src").alias("v"))
+        .distinct()
+        .select(
+            "v",
+            F.explode(
+                F.sequence(F.lit(0), F.lit(walks_per_vertex - 1))
+            ).alias("_rep"),
+        )
+        .select(
+            F.concat_ws("#", F.col("v"), F.col("_rep")).alias("walk_id"),
+            "v",
+        )
+        .localCheckpoint()
+    )
+    out = cur.select("walk_id", F.lit(0).alias("step"), F.col("v").alias("vertex"))
+    for t in range(1, walk_length + 1):
+        h = F.md5(
+            F.concat_ws(
+                ":",
+                F.lit(str(seed)),
+                F.col("walk_id"),
+                F.lit(str(t)),
+                F.col("_dst"),
+            )
+        )
+        cur = (
+            cur.join(e, cur.v == e._src)
+            .groupBy("walk_id")
+            .agg(
+                F.min(
+                    F.struct(h.alias("h"), F.col("_dst").alias("d"))
+                ).alias("_m")
+            )
+            .select("walk_id", F.col("_m.d").alias("v"))
+            .localCheckpoint()
+        )
+        out = out.unionByName(
+            cur.select(
+                "walk_id", F.lit(t).alias("step"), F.col("v").alias("vertex")
+            )
+        )
+    return out

@@ -48,7 +48,7 @@ def main() -> None:
         "graph_scc", "graph_adamic_adar", "media_decode",
         "graph_resource_alloc", "graph_pagerank_weighted", "graph_ktruss",
         "graph_katz", "graph_pref_attach", "graph_harmonic", "ann_ivf_sq",
-        "chunk_docs", "bm25_search", "knn_graph",
+        "chunk_docs", "bm25_search", "knn_graph", "graph_walks",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

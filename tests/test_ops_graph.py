@@ -1510,3 +1510,94 @@ def test_harmonic_validates_rounds(spark):
     src = spark.createDataFrame([("a",)], "id string")
     with pytest.raises(ValueError):
         harmonic_centrality(e, src, rounds=0)
+
+
+# --------------------------------------------------------- random walks
+def _walk_replica(edges, walk_length, walks_per_vertex, seed):
+    """Python twin of random_walks' hash-ranked choice rule."""
+    import hashlib
+
+    adj = {}
+    for s, d in edges:
+        adj.setdefault(s, []).append(d)
+    rows = set()
+    for start in sorted(adj):
+        for rep in range(walks_per_vertex):
+            wid = f"{start}#{rep}"
+            v = start
+            rows.add((wid, 0, v))
+            for t in range(1, walk_length + 1):
+                cands = adj.get(v)
+                if not cands:
+                    break
+                v = min(
+                    cands,
+                    key=lambda d: (
+                        hashlib.md5(
+                            f"{seed}:{wid}:{t}:{d}".encode()
+                        ).hexdigest(),
+                        d,
+                    ),
+                )
+                rows.add((wid, t, v))
+    return rows
+
+
+def test_random_walks_hand_graph(spark):
+    """Branching + dead-end graph: walks follow the md5-argmin rule
+    exactly (python replica), stop at out-degree-0 vertices, and start
+    only at vertices with out-edges."""
+    from kg.ops import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("b", "d"), ("c", "a"), ("d", "b")]
+    df = spark.createDataFrame(edges, ["out_id", "in_id"])
+    got = {
+        (r["walk_id"], r["step"], r["vertex"])
+        for r in random_walks(df, walk_length=3).collect()
+    }
+    assert got == _walk_replica(edges, 3, 1, 0)
+    # every start vertex has a step-0 row; no walk starts at a sink
+    starts = {w.split("#")[0] for w, s, _ in got if s == 0}
+    assert starts == {"a", "b", "c", "d"}
+
+
+def test_random_walks_replicas_and_seed_are_independent(spark):
+    """walks_per_vertex=2 keys each replica's choices by its own
+    walk_id; a different seed re-keys every choice — both match the
+    replica rule."""
+    from kg.ops import random_walks
+
+    edges = [("a", "b"), ("a", "c"), ("a", "d"), ("b", "a"), ("c", "b"),
+             ("d", "c")]
+    df = spark.createDataFrame(edges, ["out_id", "in_id"])
+    for seed, reps in [(0, 2), (7, 1)]:
+        got = {
+            (r["walk_id"], r["step"], r["vertex"])
+            for r in random_walks(
+                df, walk_length=4, walks_per_vertex=reps, seed=seed
+            ).collect()
+        }
+        assert got == _walk_replica(edges, 4, reps, seed), (seed, reps)
+
+
+def test_random_walks_dead_end_stops_early(spark):
+    from kg.ops import random_walks
+
+    df = spark.createDataFrame([("a", "b")], ["out_id", "in_id"])
+    got = sorted(
+        (r["step"], r["vertex"])
+        for r in random_walks(df, walk_length=5).collect()
+    )
+    assert got == [(0, "a"), (1, "b")]
+
+
+def test_random_walks_validation(spark):
+    import pytest
+
+    from kg.ops import random_walks
+
+    df = spark.createDataFrame([("a", "b")], ["out_id", "in_id"])
+    with pytest.raises(ValueError):
+        random_walks(df, walk_length=0)
+    with pytest.raises(ValueError):
+        random_walks(df, walks_per_vertex=0)
