@@ -1348,6 +1348,26 @@ def q_graph_khop(spark: SparkSession, sf: str) -> DataFrame:
     return k_hop(und, src, k=_KHOP_K)
 
 
+_COOC_MIN, _COOC_FANOUT = 2, 256
+
+
+def q_graph_cooccur(spark: SparkSession, sf: str) -> DataFrame:
+    """Bipartite co-occurrence projection
+    (``kg/ops/graph.py::cooccurrence``): parts ordered together —
+    pairs of parts sharing an order, weighted by shared-order count,
+    fanout-capped and pruned to pairs seen ≥2 times.  The co-mention /
+    market-basket graph a KG link-prediction pass starts from."""
+    from kg.ops import cooccurrence
+
+    e = _read(spark, sf, "lineitem").select(
+        F.concat(F.lit("o_"), F.col("l_orderkey").cast("string")).alias("out_id"),
+        F.concat(F.lit("p_"), F.col("l_partkey").cast("string")).alias("in_id"),
+    )
+    return cooccurrence(
+        e, min_count=_COOC_MIN, max_fanout=_COOC_FANOUT
+    )
+
+
 _WALK_LEN = 3
 
 
@@ -2734,6 +2754,7 @@ def queries() -> dict[str, _T]:
         "bm25_search": q_bm25_search,
         "knn_graph": q_knn_graph,
         "graph_walks": q_graph_walks,
+        "graph_cooccur": q_graph_cooccur,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
@@ -3300,6 +3321,23 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),
         "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
         "graph_walks": _graph_walks_sql(_GRAPH_EDGES_SQL, _WALK_LEN),
+        "graph_cooccur": (
+            # same wedge: distinct edges → fanout-capped contexts →
+            # ctx self-join (item<item) → count → min_count prune;
+            # least/greatest canonicalization is a no-op here (x<y)
+            # but mirrors the Spark output contract
+            "WITH e AS (SELECT DISTINCT 'o_' || CAST(l_orderkey AS VARCHAR) "
+            "AS ctx, 'p_' || CAST(l_partkey AS VARCHAR) AS item "
+            "FROM lineitem), "
+            f"ok AS (SELECT ctx FROM e GROUP BY ctx "
+            f"       HAVING count(*) <= {_COOC_FANOUT}), "
+            "e2 AS (SELECT e.* FROM e JOIN ok USING (ctx)), "
+            "p AS (SELECT least(x.item, y.item) AS a, "
+            "      greatest(x.item, y.item) AS b, count(*) AS n_shared "
+            "      FROM e2 x JOIN e2 y ON x.ctx = y.ctx "
+            "      AND x.item < y.item GROUP BY 1, 2) "
+            f"SELECT a, b, n_shared FROM p WHERE n_shared >= {_COOC_MIN}"
+        ),
         "graph_sssp": _sssp_sql(_SSSP_ROUNDS, _KHOP_SRC_MAX),
         "graph_harmonic": _harmonic_sql(
             _TRI_EDGES_SQL, _HC_ROUNDS, _KHOP_SRC_MAX

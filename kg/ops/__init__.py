@@ -43,6 +43,7 @@ from kg.ops.graph import (  # noqa: F401
     assortativity,
     clustering_coefficient,
     components,
+    cooccurrence,
     degree_distribution,
     degrees,
     harmonic_centrality,

@@ -2160,3 +2160,71 @@ def random_walks(
             )
         )
     return out
+
+
+def cooccurrence(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    min_count: int = 1,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Bipartite co-occurrence projection → ``(a, b, n_shared)`` with
+    ``a < b``: pairs of ``in_col`` items appearing under the same
+    ``out_col`` context, weighted by the number of shared contexts —
+    the co-mention/market-basket graph (entities cited by the same
+    document, parts ordered together) that KG link prediction and
+    item-item recommenders start from.
+
+    ``max_fanout`` drops contexts with more than that many distinct
+    items BEFORE the wedge join: a 10^5-item context contributes
+    ~5·10^9 pairs (d·(d−1)/2 blow-up) and, like a super-node in
+    :func:`neighbor_jaccard`, carries almost no pairwise signal — the
+    same evidence the cap discards there.  ``min_count`` prunes the
+    long tail of single-context coincidences after the count.
+
+    Plan shape (100 TB): distinct → capped bucket self-join on the
+    context key → ONE hash agg; string ids are dictionary-encoded to
+    xxhash64 longs for the wedge shuffle (collision-checked, the
+    :func:`_encode_vertex_ids` contract) and pairs re-canonicalized as
+    (least, greatest) AFTER decoding, so the output orientation is
+    defined on the caller's ids, not on hash order."""
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    from kg.hints import maybe_broadcast
+
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    src, vocab = (enc[0], enc[1]) if enc is not None else (edges, None)
+    e = src.select(
+        F.col(out_col).alias("ctx"), F.col(in_col).alias("item")
+    ).distinct()
+    if max_fanout is not None:
+        ok = (
+            e.groupBy("ctx")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_fanout)
+            .select("ctx")
+        )
+        e = e.join(maybe_broadcast(ok), "ctx", "left_semi")
+    # consumed by both sides of the wedge join
+    e = e.localCheckpoint()
+    pairs = (
+        e.alias("x")
+        .join(
+            e.alias("y"),
+            (F.col("x.ctx") == F.col("y.ctx"))
+            & (F.col("x.item") < F.col("y.item")),
+        )
+        .groupBy(
+            F.col("x.item").alias("a"), F.col("y.item").alias("b")
+        )
+        .agg(F.count("*").alias("n_shared"))
+        .filter(F.col("n_shared") >= min_count)
+    )
+    if vocab is not None:
+        pairs = _decode_ids(pairs, vocab, ["a", "b"])
+    return pairs.select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        "n_shared",
+    )

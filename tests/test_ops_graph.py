@@ -1601,3 +1601,73 @@ def test_random_walks_validation(spark):
         random_walks(df, walk_length=0)
     with pytest.raises(ValueError):
         random_walks(df, walks_per_vertex=0)
+
+
+# -------------------------------------------------------- co-occurrence
+def test_cooccurrence_hand_counts(spark):
+    """o1{p1,p2,p3}, o2{p1,p2}, o3{p2,p3}: (p1,p2)=2, (p2,p3)=2,
+    (p1,p3)=1; min_count=2 drops the singleton pair; duplicate edge
+    rows collapse before counting."""
+    from kg.ops import cooccurrence
+
+    rows = [("o1", "p1"), ("o1", "p2"), ("o1", "p3"), ("o2", "p1"),
+            ("o2", "p2"), ("o3", "p2"), ("o3", "p3"), ("o1", "p1")]
+    df = spark.createDataFrame(rows, ["out_id", "in_id"])
+    got = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in cooccurrence(df).collect()
+    }
+    assert got == {("p1", "p2"): 2, ("p2", "p3"): 2, ("p1", "p3"): 1}
+    filt = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in cooccurrence(df, min_count=2).collect()
+    }
+    assert filt == {("p1", "p2"): 2, ("p2", "p3"): 2}
+
+
+def test_cooccurrence_fanout_cap_drops_hub_context(spark):
+    """A 4-item context is dropped at max_fanout=3; its exclusive pairs
+    vanish, shared pairs keep counts from surviving contexts only."""
+    from kg.ops import cooccurrence
+
+    rows = [("big", f"p{i}") for i in range(4)] + [
+        ("s1", "p0"), ("s1", "p1"), ("s2", "p0"), ("s2", "p1")]
+    df = spark.createDataFrame(rows, ["out_id", "in_id"])
+    got = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in cooccurrence(df, max_fanout=3).collect()
+    }
+    assert got == {("p0", "p1"): 2}
+
+
+def test_cooccurrence_integral_ids_match_string_path(spark):
+    """The integral-id (unencoded) path and the string-id (xxhash64-
+    encoded) path agree on the same structure, and output pairs are
+    canonicalized on the CALLER's ids in both."""
+    from kg.ops import cooccurrence
+
+    rows = [(1, 10), (1, 11), (2, 10), (2, 11), (2, 12)]
+    ints = spark.createDataFrame(rows, ["out_id", "in_id"])
+    strs = spark.createDataFrame(
+        [(f"c{o}", f"i{i}") for o, i in rows], ["out_id", "in_id"]
+    )
+    gi = {
+        (r["a"], r["b"]): r["n_shared"] for r in cooccurrence(ints).collect()
+    }
+    gs = {
+        (r["a"], r["b"]): r["n_shared"] for r in cooccurrence(strs).collect()
+    }
+    assert gi == {(10, 11): 2, (10, 12): 1, (11, 12): 1}
+    assert gs == {(f"i{a}", f"i{b}"): n for (a, b), n in gi.items()}
+    for a, b in gs:
+        assert a < b
+
+
+def test_cooccurrence_validation(spark):
+    import pytest
+
+    from kg.ops import cooccurrence
+
+    df = spark.createDataFrame([("a", "b")], ["out_id", "in_id"])
+    with pytest.raises(ValueError):
+        cooccurrence(df, min_count=0)
