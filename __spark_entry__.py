@@ -1383,6 +1383,21 @@ def q_graph_walks(spark: SparkSession, sf: str) -> DataFrame:
     return random_walks(_star_graph_edges(spark, sf), walk_length=_WALK_LEN)
 
 
+_SG_WINDOW = 2
+
+
+def q_graph_skipgrams(spark: SparkSession, sf: str) -> DataFrame:
+    """Skip-gram training pairs over the deterministic walk corpus
+    (``kg/ops/graph.py::skipgram_pairs`` ∘ ``random_walks``): every
+    (center, context, delta) within a 2-step window of the same walk —
+    the word2vec-style examples a DeepWalk embedding trainer consumes.
+    Pins the walks→pairs COMPOSITION, not just each stage."""
+    from kg.ops import random_walks, skipgram_pairs
+
+    walks = random_walks(_star_graph_edges(spark, sf), walk_length=_WALK_LEN)
+    return skipgram_pairs(walks, window=_SG_WINDOW)
+
+
 _HC_ROUNDS = 3
 
 
@@ -2755,6 +2770,7 @@ def queries() -> dict[str, _T]:
         "knn_graph": q_knn_graph,
         "graph_walks": q_graph_walks,
         "graph_cooccur": q_graph_cooccur,
+        "graph_skipgrams": q_graph_skipgrams,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
@@ -3321,6 +3337,16 @@ def oracle_sql() -> dict[str, str]:
         "graph_clustering": _clustering_sql(_TRI_EDGES_SQL),
         "graph_khop": _khop_sql(_TRI_EDGES_SQL, _KHOP_K, _KHOP_SRC_MAX),
         "graph_walks": _graph_walks_sql(_GRAPH_EDGES_SQL, _WALK_LEN),
+        "graph_skipgrams": (
+            # the verified walks twin as a nested-CTE derived table,
+            # then the same walk-local band self-join
+            "WITH w AS ("
+            + _graph_walks_sql(_GRAPH_EDGES_SQL, _WALK_LEN)
+            + ") SELECT x.walk_id, x.vertex AS center, y.vertex AS context, "
+            "CAST(y.step - x.step AS INTEGER) AS delta "
+            "FROM w x JOIN w y ON x.walk_id = y.walk_id "
+            f"AND x.step <> y.step AND abs(y.step - x.step) <= {_SG_WINDOW}"
+        ),
         "graph_cooccur": (
             # same wedge: distinct edges → fanout-capped contexts →
             # ctx self-join (item<item) → count → min_count prune;

@@ -60,6 +60,7 @@ from kg.ops.graph import (  # noqa: F401
     random_walks,
     resource_allocation,
     shortest_paths,
+    skipgram_pairs,
     strongly_connected_components,
     transitivity,
     triangles,

@@ -2228,3 +2228,49 @@ def cooccurrence(
         F.greatest("a", "b").alias("b"),
         "n_shared",
     )
+
+
+def skipgram_pairs(
+    walks: DataFrame,
+    window: int = 2,
+    walk_col: str = "walk_id",
+    step_col: str = "step",
+    vertex_col: str = "vertex",
+) -> DataFrame:
+    """Skip-gram training pairs from :func:`random_walks` output →
+    ``(walk_id, center, context, delta)``: for every walk position,
+    every other vertex of the SAME walk within ``window`` steps
+    (``delta`` = context step − center step, ∈ [−window, window] \\ 0)
+    — the (center, context) examples a word2vec/DeepWalk skip-gram
+    trainer consumes, with the walk as the sentence.
+
+    Plan shape: ONE equi-join of the walk frame with itself on the
+    walk id plus a step-distance band filter — per walk the candidate
+    set is |walk|² with |walk| ≤ walk_length+1 (a small constant), so
+    the join output is O(|walks| · walk_length · window), never
+    corpus-quadratic.  No Python, no window function."""
+    if window < 1:
+        raise ValueError(f"window must be >= 1, got {window}")
+    x = walks.select(
+        F.col(walk_col).alias("_w"),
+        F.col(step_col).alias("_s"),
+        F.col(vertex_col).alias("center"),
+    )
+    y = walks.select(
+        F.col(walk_col).alias("_w"),
+        F.col(step_col).alias("_t"),
+        F.col(vertex_col).alias("context"),
+    )
+    return (
+        x.join(y, "_w")
+        .filter(
+            (F.col("_t") != F.col("_s"))
+            & (F.abs(F.col("_t") - F.col("_s")) <= window)
+        )
+        .select(
+            F.col("_w").alias(walk_col),
+            "center",
+            "context",
+            (F.col("_t") - F.col("_s")).cast("int").alias("delta"),
+        )
+    )

@@ -1671,3 +1671,82 @@ def test_cooccurrence_validation(spark):
     df = spark.createDataFrame([("a", "b")], ["out_id", "in_id"])
     with pytest.raises(ValueError):
         cooccurrence(df, min_count=0)
+
+
+# ------------------------------------------------------- skip-gram pairs
+def test_skipgram_pairs_hand_walk(spark):
+    """One 4-step walk a,b,c,d with window=2: every in-window ordered
+    pair with its signed delta, nothing at distance 3."""
+    from kg.ops import skipgram_pairs
+
+    walk = [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c"), ("w", 3, "d")]
+    df = spark.createDataFrame(walk, ["walk_id", "step", "vertex"])
+    got = {
+        (r["center"], r["context"], r["delta"])
+        for r in skipgram_pairs(df, window=2).collect()
+    }
+    seq = {0: "a", 1: "b", 2: "c", 3: "d"}
+    exp = {
+        (seq[s], seq[t], t - s)
+        for s in seq
+        for t in seq
+        if t != s and abs(t - s) <= 2
+    }
+    assert got == exp
+    assert ("a", "d", 3) not in got
+
+
+def test_skipgram_pairs_never_cross_walks(spark):
+    from kg.ops import skipgram_pairs
+
+    rows = [("w1", 0, "a"), ("w1", 1, "b"), ("w2", 0, "x"), ("w2", 1, "y")]
+    df = spark.createDataFrame(rows, ["walk_id", "step", "vertex"])
+    got = {
+        (r["walk_id"], r["center"], r["context"])
+        for r in skipgram_pairs(df, window=2).collect()
+    }
+    assert got == {
+        ("w1", "a", "b"), ("w1", "b", "a"),
+        ("w2", "x", "y"), ("w2", "y", "x"),
+    }
+
+
+def test_skipgram_pairs_window_one_and_validation(spark):
+    import pytest
+
+    from kg.ops import skipgram_pairs
+
+    walk = [("w", 0, "a"), ("w", 1, "b"), ("w", 2, "c")]
+    df = spark.createDataFrame(walk, ["walk_id", "step", "vertex"])
+    got = {
+        (r["center"], r["context"], r["delta"])
+        for r in skipgram_pairs(df, window=1).collect()
+    }
+    assert got == {("a", "b", 1), ("b", "a", -1), ("b", "c", 1),
+                   ("c", "b", -1)}
+    with pytest.raises(ValueError):
+        skipgram_pairs(df, window=0)
+
+
+def test_skipgram_pairs_compose_with_random_walks(spark):
+    """End-to-end: walks → pairs; every pair's center/context are
+    adjacent-or-2-apart positions of an actual generated walk."""
+    from kg.ops import random_walks, skipgram_pairs
+
+    edges = [("a", "b"), ("b", "c"), ("c", "d"), ("d", "a")]
+    df = spark.createDataFrame(edges, ["out_id", "in_id"])
+    walks = random_walks(df, walk_length=3)
+    seqs = {}
+    for r in walks.collect():
+        seqs.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    exp = set()
+    for wid, seq in seqs.items():
+        for s in seq:
+            for t in seq:
+                if t != s and abs(t - s) <= 2:
+                    exp.add((wid, seq[s], seq[t], t - s))
+    got = {
+        (r["walk_id"], r["center"], r["context"], r["delta"])
+        for r in skipgram_pairs(walks, window=2).collect()
+    }
+    assert got == exp and len(got) > 0
