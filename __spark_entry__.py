@@ -1368,6 +1368,23 @@ def q_graph_cooccur(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_pmi(spark: SparkSession, sf: str) -> DataFrame:
+    """PMI association over the parts-ordered-together projection
+    (``kg/ops/graph.py::cooccurrence_pmi``): ln(n_shared·N/(cnt_a·cnt_b))
+    fixed-pointed to micro-units — the PPMI statistic embedding and KG
+    relatedness pipelines compute.  Marginals and N counted over the
+    SAME capped frame as the pairs."""
+    from kg.ops import cooccurrence_pmi
+
+    e = _read(spark, sf, "lineitem").select(
+        F.concat(F.lit("o_"), F.col("l_orderkey").cast("string")).alias("out_id"),
+        F.concat(F.lit("p_"), F.col("l_partkey").cast("string")).alias("in_id"),
+    )
+    return cooccurrence_pmi(
+        e, min_count=_COOC_MIN, max_fanout=_COOC_FANOUT
+    )
+
+
 _WALK_LEN = 3
 
 
@@ -2771,6 +2788,7 @@ def queries() -> dict[str, _T]:
         "graph_walks": q_graph_walks,
         "graph_cooccur": q_graph_cooccur,
         "graph_skipgrams": q_graph_skipgrams,
+        "graph_pmi": q_graph_pmi,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
@@ -3346,6 +3364,30 @@ def oracle_sql() -> dict[str, str]:
             "CAST(y.step - x.step AS INTEGER) AS delta "
             "FROM w x JOIN w y ON x.walk_id = y.walk_id "
             f"AND x.step <> y.step AND abs(y.step - x.step) <= {_SG_WINDOW}"
+        ),
+        "graph_pmi": (
+            # same capped frame for pairs AND marginals; one
+            # floor(1e6·ln(...)) with the ratio formed by the identical
+            # BIGINT→DOUBLE casts
+            "WITH e AS (SELECT DISTINCT 'o_' || CAST(l_orderkey AS VARCHAR) "
+            "AS ctx, 'p_' || CAST(l_partkey AS VARCHAR) AS item "
+            "FROM lineitem), "
+            f"ok AS (SELECT ctx FROM e GROUP BY ctx "
+            f"       HAVING count(*) <= {_COOC_FANOUT}), "
+            "e2 AS (SELECT e.* FROM e JOIN ok USING (ctx)), "
+            "p AS (SELECT least(x.item, y.item) AS a, "
+            "      greatest(x.item, y.item) AS b, count(*) AS n_shared "
+            "      FROM e2 x JOIN e2 y ON x.ctx = y.ctx "
+            "      AND x.item < y.item GROUP BY 1, 2), "
+            "cnt AS (SELECT item, count(*) AS c FROM e2 GROUP BY item), "
+            "n AS (SELECT count(DISTINCT ctx) AS n_ctx FROM e2) "
+            "SELECT a, b, n_shared, CAST(floor(1000000.0 * ln("
+            "(CAST(n_shared AS DOUBLE) * CAST(n_ctx AS DOUBLE)) / "
+            "(CAST(ca.c AS DOUBLE) * CAST(cb.c AS DOUBLE)))) AS BIGINT) "
+            "AS pmi_fp "
+            "FROM p JOIN cnt ca ON ca.item = p.a "
+            "JOIN cnt cb ON cb.item = p.b CROSS JOIN n "
+            f"WHERE n_shared >= {_COOC_MIN}"
         ),
         "graph_cooccur": (
             # same wedge: distinct edges → fanout-capped contexts →

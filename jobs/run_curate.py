@@ -96,6 +96,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="annotate each doc with its context-window span "
                          "(concatenation-model packing, PER SPLIT: a "
                          "trainer packs train/val/test independently)")
+    ap.add_argument("--chunk", default=None, metavar="WINDOW[:STRIDE]",
+                    help="also write <output>_chunks: overlapping "
+                         "WINDOW-token chunks every STRIDE tokens "
+                         "(default STRIDE=WINDOW, disjoint) carved from "
+                         "the curated corpus — the pre-embedding / RAG "
+                         "step; partitioned by split like the corpus")
     ap.add_argument("--stats", action="store_true",
                     help="count per-stage drops (extra corpus passes)")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
@@ -252,6 +258,31 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         "rows_out": spark.read.parquet(args.output).count(),
         "sec": round(sec, 3),
     }
+    if args.chunk is not None:
+        from kg.ops.curate import chunk_documents
+
+        w_spec, _, s_spec = args.chunk.partition(":")
+        try:
+            window = int(w_spec)
+            stride = int(s_spec) if s_spec else window
+        except ValueError:
+            raise SystemExit(
+                f"bad --chunk spec {args.chunk!r} (want WINDOW[:STRIDE])"
+            )
+        # chunk the DURABLE output, not the lazy curated chain: reading
+        # the just-written parquet back costs one scan and re-executes
+        # nothing (the --pack re-execution class, ADVICE r4)
+        written = spark.read.parquet(args.output)
+        chunks = chunk_documents(
+            written, args.id_col, args.text_col,
+            window=window, stride=stride,
+        ).join(written.select(args.id_col, "split"), args.id_col)
+        chunks.write.mode("overwrite").partitionBy("split").parquet(
+            args.output + "_chunks"
+        )
+        report["chunk_rows"] = spark.read.parquet(
+            args.output + "_chunks"
+        ).count()
     if args.stats:
         stages: dict[str, int] = {}
         cur = docs

@@ -51,6 +51,10 @@ QUERIES = (
     "ktruss",
     "assortativity",
     "transitivity",
+    "walks",
+    "skipgrams",
+    "cooccur",
+    "pmi",
 )
 
 
@@ -99,6 +103,17 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--min-common", type=int, default=1,
                     help="minimum shared neighbors "
                          "(jaccard/adamic-adar/pref-attach)")
+    ap.add_argument("--walk-length", type=int, default=4,
+                    help="steps per walk (walks/skipgrams)")
+    ap.add_argument("--walks-per-vertex", type=int, default=1,
+                    help="walk replicas per start vertex "
+                         "(walks/skipgrams)")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="hash-choice seed (walks/skipgrams)")
+    ap.add_argument("--window", type=int, default=2,
+                    help="skip-gram context window (skipgrams)")
+    ap.add_argument("--min-count", type=int, default=1,
+                    help="minimum shared contexts (cooccur)")
     ap.add_argument("--output", default=None,
                     help="write result parquet here instead of printing")
     ap.add_argument("--show", type=int, default=20,
@@ -217,6 +232,35 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         elif args.query == "scc":
             out = g.strongly_connected_components(
                 edges, trips=args.trips, rounds=args.rounds
+            )
+        elif args.query == "walks":
+            out = g.random_walks(
+                edges,
+                walk_length=args.walk_length,
+                walks_per_vertex=args.walks_per_vertex,
+                seed=args.seed,
+            )
+        elif args.query == "skipgrams":
+            out = g.skipgram_pairs(
+                g.random_walks(
+                    edges,
+                    walk_length=args.walk_length,
+                    walks_per_vertex=args.walks_per_vertex,
+                    seed=args.seed,
+                ),
+                window=args.window,
+            )
+        elif args.query == "cooccur":
+            out = g.cooccurrence(
+                edges,
+                min_count=args.min_count,
+                max_fanout=args.max_fanout,
+            )
+        elif args.query == "pmi":
+            out = g.cooccurrence_pmi(
+                edges,
+                min_count=args.min_count,
+                max_fanout=args.max_fanout,
             )
         else:  # components
             out = g.components(edges)

@@ -44,6 +44,7 @@ from kg.ops.graph import (  # noqa: F401
     clustering_coefficient,
     components,
     cooccurrence,
+    cooccurrence_pmi,
     degree_distribution,
     degrees,
     harmonic_centrality,

@@ -2189,6 +2189,30 @@ def cooccurrence(
     :func:`_encode_vertex_ids` contract) and pairs re-canonicalized as
     (least, greatest) AFTER decoding, so the output orientation is
     defined on the caller's ids, not on hash order."""
+    pairs, _, vocab = _cooc_pairs(
+        edges, out_col, in_col, min_count, max_fanout
+    )
+    if vocab is not None:
+        pairs = _decode_ids(pairs, vocab, ["a", "b"])
+    return pairs.select(
+        F.least("a", "b").alias("a"),
+        F.greatest("a", "b").alias("b"),
+        "n_shared",
+    )
+
+
+def _cooc_pairs(
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    min_count: int,
+    max_fanout: int | None,
+) -> tuple[DataFrame, DataFrame, DataFrame | None]:
+    """Shared co-occurrence scaffolding → ``(pairs, e, vocab)``:
+    ``pairs`` = (a, b, n_shared) in ENCODED id space (a < b by encoded
+    order), ``e`` = the capped distinct (ctx, item) frame the pairs were
+    counted over (localCheckpointed — callers may derive marginals from
+    it without re-running the cap), ``vocab`` = decode dim or None."""
     if min_count < 1:
         raise ValueError(f"min_count must be >= 1, got {min_count}")
     from kg.hints import maybe_broadcast
@@ -2206,7 +2230,7 @@ def cooccurrence(
             .select("ctx")
         )
         e = e.join(maybe_broadcast(ok), "ctx", "left_semi")
-    # consumed by both sides of the wedge join
+    # consumed by both sides of the wedge join (and marginal counts)
     e = e.localCheckpoint()
     pairs = (
         e.alias("x")
@@ -2221,12 +2245,84 @@ def cooccurrence(
         .agg(F.count("*").alias("n_shared"))
         .filter(F.col("n_shared") >= min_count)
     )
+    return pairs, e, vocab
+
+
+def cooccurrence_pmi(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    min_count: int = 1,
+    max_fanout: int | None = None,
+) -> DataFrame:
+    """Pointwise mutual information over the co-occurrence projection →
+    ``(a, b, n_shared, pmi_fp)``: the association statistic behind PPMI
+    word/entity embeddings and KG relatedness scoring,
+
+        ``pmi = ln( P(a,b) / (P(a)·P(b)) )
+              = ln( n_shared · N / (cnt_a · cnt_b) )``
+
+    with ``N`` = distinct contexts and ``cnt_x`` = contexts containing
+    ``x``, all counted over the SAME capped distinct edge frame the
+    pairs come from (so the distribution and its marginals agree).
+    ``pmi_fp`` is fixed-pointed to BIGINT micro-units the moment the
+    single ``ln`` is taken (the repo's one-transcendental discipline;
+    the ratio is formed as exact BIGINT products cast to double, an
+    identical IEEE expression on both engines).  Positive pmi_fp =
+    co-occurring more than independence predicts.
+
+    Plan shape: the :func:`cooccurrence` wedge + ONE item-marginal hash
+    agg over the checkpointed edge frame + a lazy 1-row context-count
+    scalar (no driver action), joined broadcast-gated."""
+    from kg.hints import maybe_broadcast
+
+    pairs, e, vocab = _cooc_pairs(
+        edges, out_col, in_col, min_count, max_fanout
+    )
+    cnt = e.groupBy("item").agg(F.count("*").alias("cnt"))
+    nctx = e.agg(F.countDistinct("ctx").alias("n_ctx"))
+    scored = (
+        pairs.join(
+            maybe_broadcast(
+                cnt.select(F.col("item").alias("a"), F.col("cnt").alias("_ca"))
+            ),
+            "a",
+        )
+        .join(
+            maybe_broadcast(
+                cnt.select(F.col("item").alias("b"), F.col("cnt").alias("_cb"))
+            ),
+            "b",
+        )
+        .crossJoin(F.broadcast(nctx))
+        .select(
+            "a",
+            "b",
+            "n_shared",
+            F.floor(
+                F.lit(1000000.0)
+                * F.log(
+                    (
+                        F.col("n_shared").cast("double")
+                        * F.col("n_ctx").cast("double")
+                    )
+                    / (
+                        F.col("_ca").cast("double")
+                        * F.col("_cb").cast("double")
+                    )
+                )
+            )
+            .cast("long")
+            .alias("pmi_fp"),
+        )
+    )
     if vocab is not None:
-        pairs = _decode_ids(pairs, vocab, ["a", "b"])
-    return pairs.select(
+        scored = _decode_ids(scored, vocab, ["a", "b"])
+    return scored.select(
         F.least("a", "b").alias("a"),
         F.greatest("a", "b").alias("b"),
         "n_shared",
+        "pmi_fp",
     )
 
 

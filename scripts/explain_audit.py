@@ -49,7 +49,7 @@ def main() -> None:
         "graph_resource_alloc", "graph_pagerank_weighted", "graph_ktruss",
         "graph_katz", "graph_pref_attach", "graph_harmonic", "ann_ivf_sq",
         "chunk_docs", "bm25_search", "knn_graph", "graph_walks",
-        "graph_cooccur", "graph_skipgrams",
+        "graph_cooccur", "graph_skipgrams", "graph_pmi",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

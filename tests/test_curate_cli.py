@@ -249,3 +249,37 @@ def test_cli_gopher_and_dsir(spark, tmp_path, capsys):
     report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert report["rows_out"] == 1
     assert spark.read.parquet(dout).first()["doc_id"] == 1
+
+
+def test_cli_chunk_writes_side_table(spark, corpus, tmp_path, capsys):
+    docs, _ = corpus
+    out = str(tmp_path / "curated_ck")
+    cli.main(
+        ["--input", docs, "--output", out, "--min-quality", "0.05",
+         "--dedup", "exact", "--chunk", "8:6"],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    chunks = spark.read.parquet(out + "_chunks")
+    assert report["chunk_rows"] == chunks.count() > 0
+    rows = chunks.collect()
+    assert {"doc_id", "chunk_idx", "start_tok", "n_tok", "chunk_text",
+            "split"} <= set(chunks.columns)
+    # stride rule: starts are multiples of 6, windows hold <= 8 tokens
+    for r in rows:
+        assert r["start_tok"] % 6 == 0 and 1 <= r["n_tok"] <= 8
+    # every curated doc with tokens has a chunk 0
+    curated_ids = {
+        r["doc_id"] for r in spark.read.parquet(out).collect()
+    }
+    assert {r["doc_id"] for r in rows if r["chunk_idx"] == 0} == curated_ids
+
+
+def test_cli_chunk_rejects_bad_spec(spark, corpus, tmp_path):
+    docs, _ = corpus
+    out = str(tmp_path / "curated_badck")
+    with pytest.raises(SystemExit):
+        cli.main(
+            ["--input", docs, "--output", out, "--chunk", "eight"],
+            spark=spark,
+        )

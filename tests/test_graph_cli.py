@@ -268,3 +268,42 @@ def test_cli_harmonic(spark, warehouse, tmp_path):
         cli.main(
             ["--warehouse", warehouse, "--query", "harmonic"], spark=spark
         )
+
+
+def test_cli_walks_and_skipgrams(spark, warehouse, tmp_path):
+    walks = _run(
+        spark, warehouse, tmp_path,
+        "--query", "walks", "--walk-length", "2",
+    ).collect()
+    seqs = {}
+    for r in walks:
+        seqs.setdefault(r["walk_id"], {})[r["step"]] = r["vertex"]
+    # the a→b→c chain is forced (single out-neighbors); d→c stops at c
+    assert seqs["a#0"] == {0: "a", 1: "b", 2: "c"}
+    assert seqs["d#0"] == {0: "d", 1: "c"}
+    sg = _run(
+        spark, warehouse, tmp_path,
+        "--query", "skipgrams", "--walk-length", "2", "--window", "1",
+    ).collect()
+    got = {
+        (r["walk_id"], r["center"], r["context"], r["delta"]) for r in sg
+    }
+    assert ("a#0", "a", "b", 1) in got and ("a#0", "c", "b", -1) in got
+    assert all(abs(r["delta"]) == 1 for r in sg)
+
+
+def test_cli_cooccur(spark, tmp_path):
+    wh = str(tmp_path / "whco")
+    rows = [("e1", "t", "o1", "p1"), ("e2", "t", "o1", "p2"),
+            ("e3", "t", "o2", "p1"), ("e4", "t", "o2", "p2"),
+            ("e5", "t", "o2", "p3")]
+    spark.createDataFrame(
+        rows, "id string, label string, out_id string, in_id string"
+    ).write.mode("overwrite").parquet(os.path.join(wh, "edges"))
+    got = {
+        (r["a"], r["b"]): r["n_shared"]
+        for r in _run(
+            spark, wh, tmp_path, "--query", "cooccur", "--min-count", "2"
+        ).collect()
+    }
+    assert got == {("p1", "p2"): 2}

@@ -1750,3 +1750,67 @@ def test_skipgram_pairs_compose_with_random_walks(spark):
         for r in skipgram_pairs(walks, window=2).collect()
     }
     assert got == exp and len(got) > 0
+
+
+def test_cooccurrence_pmi_hand_values(spark):
+    """o1{p1,p2}, o2{p1,p2}, o3{p1,p3}: N=3, cnt p1=3 p2=2 p3=1;
+    pmi(p1,p2)=ln(2·3/(3·2))=0, pmi(p1,p3)=ln(1·3/(3·1))=0 — and an
+    anti-correlated pair scores negative."""
+    import math
+
+    from kg.ops import cooccurrence_pmi
+
+    rows = [("o1", "p1"), ("o1", "p2"), ("o2", "p1"), ("o2", "p2"),
+            ("o3", "p1"), ("o3", "p3")]
+    df = spark.createDataFrame(rows, ["out_id", "in_id"])
+    got = {
+        (r["a"], r["b"]): (r["n_shared"], r["pmi_fp"])
+        for r in cooccurrence_pmi(df).collect()
+    }
+    assert got == {("p1", "p2"): (2, 0), ("p1", "p3"): (1, 0)}
+    # 4 contexts, a/b together once but each alone once more:
+    # pmi = ln(1·4/(2·2)) = 0; c pairs never → absent
+    rows2 = [("x1", "a"), ("x1", "b"), ("x2", "a"), ("x3", "b"),
+             ("x4", "c")]
+    df2 = spark.createDataFrame(rows2, ["out_id", "in_id"])
+    got2 = {
+        (r["a"], r["b"]): r["pmi_fp"]
+        for r in cooccurrence_pmi(df2).collect()
+    }
+    assert got2 == {("a", "b"): 0}
+    # perfect co-occurrence beats independence: 2 ctx, both items in
+    # both → pmi = ln(2·2/(2·2)) = 0... use 1 shared of 2 ctx with
+    # singleton marginals: pmi = ln(1·2/(1·1)) = ln 2 > 0
+    rows3 = [("y1", "u"), ("y1", "v"), ("y2", "w")]
+    df3 = spark.createDataFrame(rows3, ["out_id", "in_id"])
+    got3 = {
+        (r["a"], r["b"]): r["pmi_fp"]
+        for r in cooccurrence_pmi(df3).collect()
+    }
+    assert got3 == {("u", "v"): math.floor(1e6 * math.log(2.0))}
+
+
+def test_cooccurrence_pmi_respects_cap_and_encoding(spark):
+    """Marginals and N are counted over the SAME capped frame as the
+    pairs (a dropped hub context influences neither), on both the
+    string (encoded) and integral path."""
+    from kg.ops import cooccurrence_pmi
+
+    rows = [("big", f"p{i}") for i in range(5)] + [
+        ("s1", "p0"), ("s1", "p1"), ("s2", "p0")]
+    df = spark.createDataFrame(rows, ["out_id", "in_id"])
+    got = {
+        (r["a"], r["b"]): (r["n_shared"], r["pmi_fp"])
+        for r in cooccurrence_pmi(df, max_fanout=4).collect()
+    }
+    # capped frame: s1{p0,p1}, s2{p0} → N=2, cnt p0=2 p1=1
+    # pmi(p0,p1) = ln(1·2/(2·1)) = 0
+    assert got == {("p0", "p1"): (1, 0)}
+    ints = spark.createDataFrame(
+        [(1, 10), (1, 11), (2, 10)], ["out_id", "in_id"]
+    )
+    gi = {
+        (r["a"], r["b"]): r["pmi_fp"]
+        for r in cooccurrence_pmi(ints).collect()
+    }
+    assert gi == {(10, 11): 0}
