@@ -2322,6 +2322,22 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, max_tokens=_PACK_MAX_TOKENS)
 
 
+_VOCAB_TOP = 500
+
+
+def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
+    """Tokenizer-vocab coverage curve
+    (``kg/ops/text.py::vocab_coverage``): top-500 corpus tokens with
+    cumulative occurrence share — the "what vocab size covers 95%?"
+    profile run before training a tokenizer.  One token hash agg +
+    distributed TakeOrdered + a parameter-bounded rank/cumsum window."""
+    from kg.ops import vocab_coverage
+
+    return vocab_coverage(
+        _read_spread(spark, sf, "documents"), top_v=_VOCAB_TOP
+    )
+
+
 _BM25_K = 5
 
 
@@ -2784,6 +2800,7 @@ def queries() -> dict[str, _T]:
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
+        "vocab_coverage": q_vocab_coverage,
         "knn_graph": q_knn_graph,
         "graph_walks": q_graph_walks,
         "graph_cooccur": q_graph_cooccur,
@@ -3525,6 +3542,21 @@ def oracle_sql() -> dict[str, str]:
             f"s // {_PACK_MAX_TOKENS} AS first_pack, "
             f"(s + greatest(n - 1, 0)) // {_PACK_MAX_TOKENS} AS last_pack "
             "FROM o"
+        ),
+        "vocab_coverage": (
+            f"WITH t AS (SELECT unnest({tok}) AS token FROM documents), "
+            "c AS (SELECT token, CAST(count(*) AS BIGINT) AS n FROM t "
+            "      GROUP BY token), "
+            "tot AS (SELECT sum(n) AS tt FROM c), "
+            f"top AS (SELECT token, n FROM c ORDER BY n DESC, token "
+            f"        LIMIT {_VOCAB_TOP}), "
+            "r AS (SELECT token, n, row_number() OVER "
+            "      (ORDER BY n DESC, token) AS rank, "
+            "      sum(n) OVER (ORDER BY n DESC, token "
+            "      ROWS UNBOUNDED PRECEDING) AS cum FROM top) "
+            "SELECT CAST(rank AS INT) AS rank, token, n, "
+            "round(CAST(cum AS DOUBLE) / CAST(tt AS DOUBLE), 6) AS cum_frac "
+            "FROM r CROSS JOIN tot"
         ),
         "bm25_search": (
             # identical fixed-point BM25: one floor(1e6·ln(...)) idf,

@@ -95,5 +95,6 @@ from kg.ops.text import (  # noqa: F401
     repetition_stats,
     token_count,
     tokens_col,
+    vocab_coverage,
     winnow_fingerprints,
 )

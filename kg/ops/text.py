@@ -388,3 +388,53 @@ def bpe_token_count(text: Column) -> Column:
     return F.size(
         F.regexp_extract_all(text, F.lit(BPE_SPLIT_PATTERN), F.lit(0))
     )
+
+
+def vocab_coverage(
+    docs: DataFrame,
+    text_col: str = "text",
+    top_v: int = 1000,
+) -> DataFrame:
+    """Tokenizer-vocabulary induction → ``(rank, token, n, cum_frac)``:
+    the corpus' ``top_v`` most frequent tokens (count desc, token asc)
+    with each prefix's cumulative share of ALL token occurrences — the
+    coverage curve that answers "what vocab size covers 95% of this
+    corpus?" before training a tokenizer.  ``cum_frac`` at rank v is
+    Σ_{i≤v} n_i / total, with total over the WHOLE vocabulary (tail
+    included), 6dp.
+
+    Plan shape (100 TB): one explode + ONE token hash agg (map-side
+    combined); the grand total is a second constant-size agg joined as
+    a lazy 1-row broadcast scalar; top-v selection is a distributed
+    TakeOrdered (never a full sort), and the rank/cumsum window runs
+    over ≤ ``top_v`` already-selected rows — bounded by the parameter,
+    not the corpus (the pack_sequences single-partition-window rule
+    does not apply to parameter-bounded frames)."""
+    from pyspark.sql import Window
+
+    if top_v < 1:
+        raise ValueError(f"top_v must be >= 1, got {top_v}")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("token"))
+        .groupBy("token")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("_tot"))
+    top = counts.orderBy(F.desc("n"), F.asc("token")).limit(top_v)
+    w = Window.orderBy(F.desc("n"), F.asc("token"))
+    cum = Window.orderBy(F.desc("n"), F.asc("token")).rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    return (
+        top.crossJoin(F.broadcast(total))
+        .select(
+            F.row_number().over(w).alias("rank"),
+            "token",
+            "n",
+            F.round(
+                F.sum("n").over(cum).cast("double")
+                / F.col("_tot").cast("double"),
+                6,
+            ).alias("cum_frac"),
+        )
+    )

@@ -235,3 +235,44 @@ def test_bpe_token_count_hand_pieces(spark):
         ).collect()
     }
     assert got == {1: 4, 2: 3, 3: 0, 4: 2, 5: 0}
+
+
+# --------------------------------------------------------- vocab coverage
+def test_vocab_coverage_hand_curve(spark):
+    """Corpus 'a a a b b c': ranks by count desc then token asc, with
+    exact cumulative fractions of the WHOLE corpus."""
+    import pytest
+
+    from kg.ops import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "a a a b"), (2, "b c")], ["doc_id", "text"]
+    )
+    got = [
+        (r["rank"], r["token"], r["n"], r["cum_frac"])
+        for r in sorted(
+            vocab_coverage(df).collect(), key=lambda r: r["rank"]
+        )
+    ]
+    assert got == [
+        (1, "a", 3, 0.5),
+        (2, "b", 2, round(5 / 6, 6)),
+        (3, "c", 1, 1.0),
+    ]
+    with pytest.raises(ValueError):
+        vocab_coverage(df, top_v=0)
+
+
+def test_vocab_coverage_top_v_truncates_but_total_is_global(spark):
+    """top_v=1 returns only the head token, yet its cum_frac is still a
+    fraction of ALL occurrences (tail included) — and count ties break
+    token-ascending."""
+    from kg.ops import vocab_coverage
+
+    df = spark.createDataFrame(
+        [(1, "z y z y x")], ["doc_id", "text"]
+    )
+    got = vocab_coverage(df, top_v=1).collect()
+    assert [(r["rank"], r["token"], r["n"], r["cum_frac"]) for r in got] == [
+        (1, "y", 2, 0.4)
+    ]
