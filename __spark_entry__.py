@@ -1368,6 +1368,16 @@ def q_graph_cooccur(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_graph_summary(spark: SparkSession, sf: str) -> DataFrame:
+    """One-row graph profile (``kg/ops/graph.py::graph_summary``):
+    vertex/edge/self-loop counts, directed simple-graph density and
+    edge reciprocity over the materialized-style c→o→p graph — the
+    first query anyone runs against a new graph sink."""
+    from kg.ops import graph_summary
+
+    return graph_summary(_star_graph_edges(spark, sf))
+
+
 def q_graph_pmi(spark: SparkSession, sf: str) -> DataFrame:
     """PMI association over the parts-ordered-together projection
     (``kg/ops/graph.py::cooccurrence_pmi``): ln(n_shared·N/(cnt_a·cnt_b))
@@ -2806,6 +2816,7 @@ def queries() -> dict[str, _T]:
         "graph_cooccur": q_graph_cooccur,
         "graph_skipgrams": q_graph_skipgrams,
         "graph_pmi": q_graph_pmi,
+        "graph_summary": q_graph_summary,
         "curate_corpus": q_curate_corpus,
         "corpus_profile": q_corpus_profile,
         "sample_weighted": q_sample_weighted,
@@ -3381,6 +3392,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(y.step - x.step AS INTEGER) AS delta "
             "FROM w x JOIN w y ON x.walk_id = y.walk_id "
             f"AND x.step <> y.step AND abs(y.step - x.step) <= {_SG_WINDOW}"
+        ),
+        "graph_summary": (
+            "WITH t AS (" + _GRAPH_EDGES_SQL + "), "
+            "e AS (SELECT DISTINCT out_id AS s, in_id AS d FROM t), "
+            "v AS (SELECT CAST(count(DISTINCT id) AS BIGINT) AS n_vertices "
+            "      FROM (SELECT s AS id FROM e UNION ALL SELECT d FROM e)), "
+            "c AS (SELECT CAST(count(*) AS BIGINT) AS n_edges, "
+            "      CAST(coalesce(sum(CASE WHEN s = d THEN 1 ELSE 0 END), 0) "
+            "      AS BIGINT) AS n_self_loops FROM e), "
+            "nl AS (SELECT s, d FROM e WHERE s <> d), "
+            "r AS (SELECT count(*) AS nr FROM nl x WHERE EXISTS "
+            "      (SELECT 1 FROM nl y WHERE y.s = x.d AND y.d = x.s)) "
+            "SELECT n_vertices, n_edges, n_self_loops, "
+            "round(CASE WHEN n_vertices > 1 THEN "
+            "CAST(n_edges - n_self_loops AS DOUBLE) / "
+            "(CAST(n_vertices AS DOUBLE) * CAST(n_vertices - 1 AS DOUBLE)) "
+            "END, 6) AS density, "
+            "round(CASE WHEN n_edges - n_self_loops > 0 THEN "
+            "CAST(nr AS DOUBLE) / CAST(n_edges - n_self_loops AS DOUBLE) "
+            "END, 6) AS reciprocity "
+            "FROM c CROSS JOIN v CROSS JOIN r"
         ),
         "graph_pmi": (
             # same capped frame for pairs AND marginals; one

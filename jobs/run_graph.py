@@ -55,6 +55,7 @@ QUERIES = (
     "skipgrams",
     "cooccur",
     "pmi",
+    "summary",
 )
 
 
@@ -262,6 +263,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 min_count=args.min_count,
                 max_fanout=args.max_fanout,
             )
+        elif args.query == "summary":
+            out = g.graph_summary(edges)
         else:  # components
             out = g.components(edges)
         if args.output:

@@ -46,6 +46,7 @@ from kg.ops.graph import (  # noqa: F401
     cooccurrence,
     cooccurrence_pmi,
     degree_distribution,
+    graph_summary,
     degrees,
     harmonic_centrality,
     hits,

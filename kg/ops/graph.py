@@ -2370,3 +2370,76 @@ def skipgram_pairs(
             (F.col("_t") - F.col("_s")).cast("int").alias("delta"),
         )
     )
+
+
+def graph_summary(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """One-row graph profile → ``(n_vertices, n_edges, n_self_loops,
+    density, reciprocity)`` — the first query anyone runs on a new
+    graph sink.
+
+    Semantics (directed, on the DISTINCT edge set): ``n_edges`` counts
+    distinct (src, dst) pairs including self-loops; ``density`` =
+    n_edges / (n·(n−1)) over non-loop edges (the directed simple-graph
+    convention); ``reciprocity`` = fraction of non-loop distinct edges
+    whose reverse edge also exists.  Ratios 6dp, NULL when undefined
+    (single-vertex / zero-edge graphs), the assortativity contract.
+
+    Plan shape: ONE distinct, a vertex-set agg, and a self-join on the
+    reversed key for reciprocity — all counts reduced to one row, no
+    driver action until the caller collects.  Ids are not encoded: the
+    op is two hash aggs + one equi-join, not an iterative chain."""
+    e = edges.select(
+        F.col(out_col).alias("s"), F.col(in_col).alias("d")
+    ).distinct().localCheckpoint()
+    verts = (
+        e.select(F.col("s").alias("id"))
+        .unionAll(e.select("d"))
+        .agg(F.countDistinct("id").alias("n_vertices"))
+    )
+    nonloop = e.filter(F.col("s") != F.col("d"))
+    recip = nonloop.alias("x").join(
+        nonloop.alias("y"),
+        (F.col("x.s") == F.col("y.d")) & (F.col("x.d") == F.col("y.s")),
+        "left_semi",
+    )
+    counts = e.agg(
+        F.count("*").alias("n_edges"),
+        F.sum(F.when(F.col("s") == F.col("d"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_self_loops"),
+    )
+    rc = recip.agg(F.count("*").alias("_nr"))
+    return (
+        counts.crossJoin(F.broadcast(verts))
+        .crossJoin(F.broadcast(rc))
+        .select(
+            "n_vertices",
+            "n_edges",
+            "n_self_loops",
+            F.round(
+                F.when(
+                    F.col("n_vertices") > 1,
+                    (F.col("n_edges") - F.col("n_self_loops")).cast("double")
+                    / (
+                        F.col("n_vertices").cast("double")
+                        * (F.col("n_vertices") - 1).cast("double")
+                    ),
+                ),
+                6,
+            ).alias("density"),
+            F.round(
+                F.when(
+                    (F.col("n_edges") - F.col("n_self_loops")) > 0,
+                    F.col("_nr").cast("double")
+                    / (F.col("n_edges") - F.col("n_self_loops")).cast(
+                        "double"
+                    ),
+                ),
+                6,
+            ).alias("reciprocity"),
+        )
+    )

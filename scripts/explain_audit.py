@@ -50,7 +50,7 @@ def main() -> None:
         "graph_katz", "graph_pref_attach", "graph_harmonic", "ann_ivf_sq",
         "chunk_docs", "bm25_search", "vocab_coverage", "knn_graph",
         "graph_walks",
-        "graph_cooccur", "graph_skipgrams", "graph_pmi",
+        "graph_cooccur", "graph_skipgrams", "graph_pmi", "graph_summary",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

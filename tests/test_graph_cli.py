@@ -307,3 +307,10 @@ def test_cli_cooccur(spark, tmp_path):
         ).collect()
     }
     assert got == {("p1", "p2"): 2}
+
+
+def test_cli_summary(spark, warehouse, tmp_path):
+    r = _run(spark, warehouse, tmp_path, "--query", "summary").collect()[0]
+    # a→b→c chain + d→c: 4 vertices, 3 edges, no loops, no reciprocals
+    assert (r["n_vertices"], r["n_edges"], r["n_self_loops"]) == (4, 3, 0)
+    assert r["density"] == 0.25 and r["reciprocity"] == 0.0

@@ -1814,3 +1814,31 @@ def test_cooccurrence_pmi_respects_cap_and_encoding(spark):
         for r in cooccurrence_pmi(ints).collect()
     }
     assert gi == {(10, 11): 0}
+
+
+# --------------------------------------------------------- graph summary
+def test_graph_summary_hand_values(spark):
+    """a→b, b→a (reciprocal pair), a→c, c→c (self-loop), dup a→b row:
+    3 vertices, 4 distinct edges, 1 loop, density 3/6, reciprocity
+    2/3."""
+    from kg.ops import graph_summary
+
+    rows = [("a", "b"), ("b", "a"), ("a", "c"), ("c", "c"), ("a", "b")]
+    df = spark.createDataFrame(rows, ["out_id", "in_id"])
+    r = graph_summary(df).collect()[0]
+    assert (
+        r["n_vertices"], r["n_edges"], r["n_self_loops"]
+    ) == (3, 4, 1)
+    assert r["density"] == 0.5
+    assert r["reciprocity"] == round(2 / 3, 6)
+
+
+def test_graph_summary_degenerate_graphs(spark):
+    """Single-vertex self-loop graph: density and reciprocity are NULL,
+    not a division blow-up."""
+    from kg.ops import graph_summary
+
+    df = spark.createDataFrame([("a", "a")], ["out_id", "in_id"])
+    r = graph_summary(df).collect()[0]
+    assert (r["n_vertices"], r["n_edges"], r["n_self_loops"]) == (1, 1, 1)
+    assert r["density"] is None and r["reciprocity"] is None
