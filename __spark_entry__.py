@@ -2332,6 +2332,23 @@ def q_pack_sequences(spark: SparkSession, sf: str) -> DataFrame:
     return pack_sequences(d, max_tokens=_PACK_MAX_TOKENS)
 
 
+_BIGRAM_K, _BIGRAM_MIN = 3, 2
+
+
+def q_bigram_lm(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus bigram LM table (``kg/ops/text.py::bigram_next_tokens``):
+    each token's top-3 successors with exact conditional probability —
+    the n-gram statistic behind autocomplete baselines and template
+    detection.  Bigrams zipped in-array per doc (no corpus self-join);
+    singleton bigrams pruned but their mass kept in the denominator."""
+    from kg.ops import bigram_next_tokens
+
+    return bigram_next_tokens(
+        _read_spread(spark, sf, "documents"), k=_BIGRAM_K,
+        min_count=_BIGRAM_MIN,
+    )
+
+
 _VOCAB_TOP = 500
 
 
@@ -2811,6 +2828,7 @@ def queries() -> dict[str, _T]:
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
         "vocab_coverage": q_vocab_coverage,
+        "bigram_lm": q_bigram_lm,
         "knn_graph": q_knn_graph,
         "graph_walks": q_graph_walks,
         "graph_cooccur": q_graph_cooccur,
@@ -3574,6 +3592,25 @@ def oracle_sql() -> dict[str, str]:
             f"s // {_PACK_MAX_TOKENS} AS first_pack, "
             f"(s + greatest(n - 1, 0)) // {_PACK_MAX_TOKENS} AS last_pack "
             "FROM o"
+        ),
+        "bigram_lm": (
+            # in-array bigrams via 1-based position unnest; marginal
+            # over ALL successors, min_count prune BEFORE the window
+            f"WITH t AS (SELECT {tok} AS toks FROM documents), "
+            "p0 AS (SELECT toks, unnest(range(1, len(toks))) AS i FROM t), "
+            "p AS (SELECT toks[i] AS token, toks[i + 1] AS next_token "
+            "      FROM p0), "
+            "c AS (SELECT token, next_token, CAST(count(*) AS BIGINT) AS n "
+            "      FROM p GROUP BY 1, 2), "
+            "m AS (SELECT token, sum(n) AS tot FROM c GROUP BY token), "
+            "r AS (SELECT c.token, next_token, n, "
+            "      round(CAST(n AS DOUBLE) / CAST(tot AS DOUBLE), 6) "
+            "      AS p_next, "
+            "      CAST(row_number() OVER (PARTITION BY c.token "
+            "      ORDER BY n DESC, next_token ASC) AS INT) AS rank "
+            f"      FROM c JOIN m USING (token) WHERE n >= {_BIGRAM_MIN}) "
+            f"SELECT token, next_token, n, p_next, rank FROM r "
+            f"WHERE rank <= {_BIGRAM_K}"
         ),
         "vocab_coverage": (
             f"WITH t AS (SELECT unnest({tok}) AS token FROM documents), "

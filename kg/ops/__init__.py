@@ -8,12 +8,16 @@ a k-means trainer, PQ ADC, IVF-PQ residual composite), text analysis
 fingerprinting, PII redaction), curation (decontamination, splits,
 sampling, domain mixing, TF-IDF, LM scoring, DSIR selection, C4 line
 cleaning, sequence packing, profiling), multimodal column plumbing, and
+full-text retrieval (exact fixed-point BM25 top-k), and
 graph queries over the materialized vertex/edge output (degrees, typed
 2-hop, k-hop, shortest paths, PageRank plain/weighted/personalized,
-HITS, triangles, clustering coefficient, neighbor Jaccard, Adamic-Adar,
-resource allocation, label propagation, components, strongly connected
+HITS, Katz, harmonic, triangles, clustering coefficient, neighbor
+Jaccard, Adamic-Adar,
+resource allocation, preferential attachment, label propagation,
+components, strongly connected
 components, bounded k-core and k-truss peeling, degree assortativity,
-global transitivity).
+global transitivity, one-row graph profile, deterministic DeepWalk
+random walks + skip-gram pairs, bipartite co-occurrence + PMI).
 """
 
 from kg.ops.curate import (  # noqa: F401
@@ -88,6 +92,7 @@ from kg.ops.similarity import (  # noqa: F401
     subvectors,
 )
 from kg.ops.text import (  # noqa: F401
+    bigram_next_tokens,
     doc_fingerprint,
     gopher_quality,
     language_id,

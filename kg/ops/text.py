@@ -438,3 +438,76 @@ def vocab_coverage(
             ).alias("cum_frac"),
         )
     )
+
+
+def bigram_next_tokens(
+    docs: DataFrame,
+    text_col: str = "text",
+    k: int = 3,
+    min_count: int = 1,
+) -> DataFrame:
+    """Corpus bigram language-model table → ``(token, next_token, n,
+    p_next, rank)``: for every token, its ``k`` most frequent successors
+    with the exact conditional probability ``P(next | token) =
+    n(token, next) / Σ_next n(token, ·)`` (6dp) — the n-gram LM
+    statistic behind autocomplete evaluation, perplexity baselines and
+    boilerplate detection (a token whose top successor carries most of
+    its mass is template text).  Bigrams never cross document
+    boundaries.  ``min_count`` prunes singleton bigrams before ranking;
+    ranking is (count desc, next_token asc), the repo's cross-engine
+    contract.
+
+    Plan shape (100 TB): bigrams are zipped IN-ARRAY per document
+    (``slice``+``zip_with`` over the bound token array — no self-join,
+    no window over the corpus), then ONE hash agg on (token, next),
+    ONE per-token marginal agg joined broadcast-gated, and a top-k
+    window partitioned by token."""
+    from pyspark.sql import DataFrame as _DF  # noqa: F401
+    from pyspark.sql import Window
+
+    from kg.hints import maybe_broadcast
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if min_count < 1:
+        raise ValueError(f"min_count must be >= 1, got {min_count}")
+    toks = tokens_col(F.col(text_col))
+    pairs = (
+        docs.select(toks.alias("_t"))
+        .select(
+            F.explode(
+                F.zip_with(
+                    F.slice(F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))),
+                    F.slice(
+                        F.col("_t"),
+                        2,
+                        F.greatest(F.size("_t") - 1, F.lit(0)),
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_p")
+        )
+        .select(F.col("_p.w1").alias("token"), F.col("_p.w2").alias("next_token"))
+    )
+    counts = pairs.groupBy("token", "next_token").agg(
+        F.count("*").alias("n")
+    )
+    marg = counts.groupBy("token").agg(F.sum("n").alias("_tot"))
+    w = Window.partitionBy("token").orderBy(
+        F.desc("n"), F.asc("next_token")
+    )
+    return (
+        counts.filter(F.col("n") >= min_count)
+        .join(maybe_broadcast(marg), "token")
+        .withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "token",
+            "next_token",
+            "n",
+            F.round(
+                F.col("n").cast("double") / F.col("_tot").cast("double"), 6
+            ).alias("p_next"),
+            "rank",
+        )
+    )

@@ -48,7 +48,8 @@ def main() -> None:
         "graph_scc", "graph_adamic_adar", "media_decode",
         "graph_resource_alloc", "graph_pagerank_weighted", "graph_ktruss",
         "graph_katz", "graph_pref_attach", "graph_harmonic", "ann_ivf_sq",
-        "chunk_docs", "bm25_search", "vocab_coverage", "knn_graph",
+        "chunk_docs", "bm25_search", "vocab_coverage", "bigram_lm",
+        "knn_graph",
         "graph_walks",
         "graph_cooccur", "graph_skipgrams", "graph_pmi", "graph_summary",
     ]

@@ -276,3 +276,54 @@ def test_vocab_coverage_top_v_truncates_but_total_is_global(spark):
     assert [(r["rank"], r["token"], r["n"], r["cum_frac"]) for r in got] == [
         (1, "y", 2, 0.4)
     ]
+
+
+# ------------------------------------------------------------ bigram LM
+def test_bigram_next_tokens_hand_counts(spark):
+    """'a b a b a c' + 'a b': bigrams ab,ba,ab,ba,ac + ab → counts
+    ab=3, ba=2, ac=1; P(·|a) over total 4 includes the pruned tail."""
+    import pytest
+
+    from kg.ops import bigram_next_tokens
+
+    df = spark.createDataFrame(
+        [(1, "a b a b a c"), (2, "a b")], ["doc_id", "text"]
+    )
+    got = {
+        (r["token"], r["next_token"]): (r["n"], r["p_next"], r["rank"])
+        for r in bigram_next_tokens(df, k=3).collect()
+    }
+    assert got == {
+        ("a", "b"): (3, 0.75, 1),
+        ("a", "c"): (1, 0.25, 2),
+        ("b", "a"): (2, 1.0, 1),
+    }
+    # min_count prunes the pair but NOT its mass in the denominator
+    pruned = {
+        (r["token"], r["next_token"]): (r["n"], r["p_next"], r["rank"])
+        for r in bigram_next_tokens(df, k=3, min_count=2).collect()
+    }
+    assert pruned == {
+        ("a", "b"): (3, 0.75, 1),
+        ("b", "a"): (2, 1.0, 1),
+    }
+    with pytest.raises(ValueError):
+        bigram_next_tokens(df, k=0)
+    with pytest.raises(ValueError):
+        bigram_next_tokens(df, min_count=0)
+
+
+def test_bigram_next_tokens_no_cross_doc_and_k_cap(spark):
+    """Bigrams never span documents; k=1 keeps only the plurality
+    successor with token-asc tie-break."""
+    from kg.ops import bigram_next_tokens
+
+    df = spark.createDataFrame(
+        [(1, "x y"), (2, "y z"), (3, "x w"), (4, "x")], ["doc_id", "text"]
+    )
+    got = {
+        (r["token"], r["next_token"]): r["rank"]
+        for r in bigram_next_tokens(df, k=1).collect()
+    }
+    # x→{y,w} tie at 1 each → 'w' wins asc; no (y,x) or (w,?) bigrams
+    assert got == {("x", "w"): 1, ("y", "z"): 1}
