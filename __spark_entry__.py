@@ -392,6 +392,25 @@ def q_dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_EDIT_MAX_DIST = 16
+
+
+def q_dedup_edit_distance(spark: SparkSession, sf: str) -> DataFrame:
+    """Character-level fuzzy dedup
+    (``kg/ops/dedup.py::edit_distance_duplicates``): portable
+    MinHash-LSH blocking, the lossless length prefilter, then Spark's
+    banded-DP Levenshtein at ≤ 16 edits — the ORDER-sensitive near-dup
+    tier (typo reposts / template fills) next to the set-based Jaccard
+    ops.  Full twin: DuckDB blocks with identical md5 signatures and
+    scores with its unit-cost levenshtein()."""
+    from kg.ops import edit_distance_duplicates
+
+    return edit_distance_duplicates(
+        _read_spread(spark, sf, "documents"), "doc_id", "text",
+        max_dist=_EDIT_MAX_DIST, portable=True,
+    )
+
+
 def q_dedup_cluster_keepers(spark: SparkSession, sf: str) -> DataFrame:
     """Cluster-consistent near-dup keeper selection — the decision the
     pipeline's ``--dedup minhash`` clean stage applies
@@ -1488,6 +1507,96 @@ def _harmonic_sql(edges_sql: str, rounds: int, src_max: int) -> str:
     )
 
 
+_BC_ROUNDS = 3
+
+
+def q_graph_betweenness(spark: SparkSession, sf: str) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001 dependency
+    accumulation, Brandes–Pich 2007 source sampling, horizon-truncated
+    — ``kg/ops/graph.py::betweenness``) over the UNDIRECTED tripartite
+    graph from the order seed set: the broker/bridge score every graph
+    sink exposes next to PageRank.  Forward = the per-source TRACKED
+    BFS with exact integer σ path counts; backward = Brandes' δ
+    accumulation in BIGINT micro-units with decimal(38,0)·div
+    arithmetic — association-order-free, so the whole two-phase
+    algorithm unrolls into a FULL CTE twin."""
+    from kg.ops import betweenness
+
+    e = _tri_graph_edges(spark, sf)
+    und = e.unionByName(
+        e.select(F.col("in_id").alias("out_id"), F.col("out_id").alias("in_id"))
+    )
+    src = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= _KHOP_SRC_MAX)
+        .select(F.concat(F.lit("o_"), F.col("o_orderkey").cast("string")).alias("id"))
+    )
+    return betweenness(und, src, rounds=_BC_ROUNDS)
+
+
+def _betweenness_sql(edges_sql: str, rounds: int, src_max: int) -> str:
+    """Twin of q_graph_betweenness: forward per-source BFS with σ path
+    counts (NOT EXISTS anti-join keeps first-level-only entry, the
+    Spark loop's left_anti), then Brandes' backward accumulation with
+    HUGEINT ``//`` — the same floor division as Spark's decimal
+    ``div`` (all values non-negative)."""
+    parts = [
+        "t AS (" + edges_sql + ")",
+        "e AS (SELECT DISTINCT src, dst FROM (SELECT out_id AS src, "
+        "in_id AS dst FROM t UNION ALL SELECT in_id, out_id FROM t))",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        "srcs AS (SELECT id FROM verts WHERE id IN "
+        "(SELECT DISTINCT 'o_' || CAST(o_orderkey AS VARCHAR) "
+        f"FROM orders WHERE o_orderkey <= {src_max}))",
+        "f0 AS MATERIALIZED (SELECT id AS s, id, 0 AS dist, "
+        "CAST(1 AS BIGINT) AS sigma FROM srcs)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"c{i} AS (SELECT f.s, e.dst AS id, "
+            "CAST(sum(f.sigma) AS BIGINT) AS sigma "
+            f"FROM e JOIN f{i - 1} f ON f.id = e.src AND f.dist = {i - 1} "
+            "GROUP BY f.s, e.dst)"
+        )
+        parts.append(
+            f"f{i} AS MATERIALIZED (SELECT s, id, dist, sigma FROM f{i - 1} "
+            f"UNION ALL SELECT c.s, c.id, {i} AS dist, c.sigma FROM c{i} c "
+            f"WHERE NOT EXISTS (SELECT 1 FROM f{i - 1} p "
+            "WHERE p.s = c.s AND p.id = c.id))"
+        )
+    parts.append(
+        f"dl{rounds} AS (SELECT s, id, sigma, CAST(0 AS BIGINT) AS delta "
+        f"FROM f{rounds} WHERE dist = {rounds})"
+    )
+    for lvl in range(rounds - 1, 0, -1):
+        parts.append(
+            f"dl{lvl} AS MATERIALIZED (SELECT p.s, p.id, p.sigma, "
+            "CAST(COALESCE(x.d, 0) AS BIGINT) AS delta FROM "
+            f"(SELECT s, id, sigma FROM f{rounds} WHERE dist = {lvl}) p "
+            "LEFT JOIN (SELECT p2.s, p2.id, "
+            "CAST(sum((p2.sigma::HUGEINT * (1000000::HUGEINT + w.delta)) "
+            "// w.sigma::HUGEINT) AS BIGINT) AS d FROM "
+            f"(SELECT s, id, sigma FROM f{rounds} WHERE dist = {lvl}) p2 "
+            f"JOIN e ON e.src = p2.id "
+            f"JOIN dl{lvl + 1} w ON w.s = p2.s AND w.id = e.dst "
+            "GROUP BY p2.s, p2.id) x ON x.s = p.s AND x.id = p.id)"
+        )
+    acc = " UNION ALL ".join(
+        f"SELECT id, delta FROM dl{lvl}" for lvl in range(1, rounds + 1)
+    )
+    parts.append(
+        f"bc AS (SELECT id, CAST(sum(delta) AS BIGINT) AS bc_fp, "
+        f"CAST(count(*) AS BIGINT) AS n_sources FROM ({acc}) GROUP BY id)"
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT v.id, COALESCE(bc.bc_fp, 0) AS bc_fp, "
+        "COALESCE(bc.n_sources, 0) AS n_sources "
+        "FROM verts v LEFT JOIN bc USING (id)"
+    )
+
+
 def _cn_graph_edges(spark: SparkSession, sf: str) -> DataFrame:
     """customer→nation→region membership edges: a graph whose weakly
     connected components are exactly the five region clusters — planted
@@ -2365,6 +2474,20 @@ def q_vocab_coverage(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language unigram entropy / diversity profile
+    (``kg/ops/text.py::token_entropy``): token totals, distinct types,
+    type-token ratio and Shannon entropy in exact integer micro-nats —
+    the information-density signal that flags template/boilerplate
+    corpus slices.  One (lang, token) hash agg + a |langs|-row
+    broadcast totals dim; entropy is an association-order-free
+    decimal(38,0) sum floored by ``div``, bit-equal to the HUGEINT
+    ``//`` twin."""
+    from kg.ops import token_entropy
+
+    return token_entropy(_read_spread(spark, sf, "documents"))
+
+
 _BM25_K = 5
 
 
@@ -2392,6 +2515,51 @@ def q_bm25_search(spark: SparkSession, sf: str) -> DataFrame:
         ).alias("text"),
     )
     return bm25_topk(d, qs, k=_BM25_K)
+
+
+_HYBRID_LEG_K, _HYBRID_K, _RRF_K = 10, 5, 60
+
+
+def q_hybrid_search(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid retrieval via reciprocal-rank fusion
+    (``kg/ops/retrieval.py::rrf_fuse``): the q_bm25_search lexical leg
+    (top-10 per query) fused with an exact-cosine embedding leg over
+    the same query ids (every 97th vector, the aligned vec_id↔doc_id
+    id space) — the standard two-tower search stack (BM25 + dense ANN
+    → RRF), scored as exact integer ``1e6 div (60 + rank)``
+    contributions so the fusion is bit-reproducible.  Both legs are
+    already top-k-per-query, so fusion touches O(queries·k) rows."""
+    from kg.ops import bm25_topk, brute_force_topk, rrf_fuse
+
+    d = _read_spread(spark, sf, "documents")
+    qs = d.filter(F.pmod(F.col("doc_id"), F.lit(97)) == 0).select(
+        F.col("doc_id").alias("query_id"),
+        F.concat_ws(
+            " ",
+            F.slice(
+                F.array_sort(F.array_distinct(tokens_col(F.col("text")))),
+                3,
+                4,
+            ),
+        ).alias("text"),
+    )
+    lex = bm25_topk(d, qs, k=_HYBRID_LEG_K).select(
+        "query_id", "doc_id", "rank"
+    )
+    emb = _read(spark, sf, "embeddings")
+    sem = brute_force_topk(
+        emb.filter(F.pmod(F.col("vec_id"), F.lit(97)) == 0),
+        emb,
+        "vec_id",
+        "vec_id",
+        "embedding",
+        k=_HYBRID_LEG_K,
+    ).select(
+        "query_id",
+        F.col("neighbor_id").alias("doc_id"),
+        F.col("rk").alias("rank"),
+    )
+    return rrf_fuse([lex, sem], k=_HYBRID_K, rrf_k=_RRF_K)
 
 
 _CHUNK_WINDOW, _CHUNK_STRIDE = 64, 48
@@ -2778,6 +2946,7 @@ def queries() -> dict[str, _T]:
         "dedup_minhash": q_dedup_minhash,
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
+        "dedup_edit_distance": q_dedup_edit_distance,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_embedding": q_dedup_embedding,
@@ -2806,6 +2975,7 @@ def queries() -> dict[str, _T]:
         "graph_khop": q_graph_khop,
         "graph_sssp": q_graph_sssp,
         "graph_harmonic": q_graph_harmonic,
+        "graph_betweenness": q_graph_betweenness,
         "graph_hits": q_graph_hits,
         "graph_lpa": q_graph_lpa,
         "graph_components": q_graph_components,
@@ -2827,7 +2997,9 @@ def queries() -> dict[str, _T]:
         "pack_sequences": q_pack_sequences,
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
+        "hybrid_search": q_hybrid_search,
         "vocab_coverage": q_vocab_coverage,
+        "token_entropy": q_token_entropy,
         "bigram_lm": q_bigram_lm,
         "knn_graph": q_knn_graph,
         "graph_walks": q_graph_walks,
@@ -2901,14 +3073,14 @@ def _dedup_embedding_sql() -> str:
     )
 
 
-def _minhash_portable_sql(
-    threshold: float = 0.5, perms: int = 64, bands: int = 16,
-    max_bucket: int = 64,
+def _minhash_cand_prefix(
+    perms: int = 64, bands: int = 16, max_bucket: int = 64
 ) -> str:
-    """DuckDB twin of minhash_duplicates(portable=True): identical base
-    hash (top-60-bit md5 mod PRIME), identical affine permutation
-    constants, identical comma-joined band keys, bucket cap, string-id
-    ordering and exact-Jaccard re-score."""
+    """Shared CTE chain of the portable-minhash blocking (through
+    ``cand``): identical base hash (top-60-bit md5 mod PRIME), affine
+    permutation constants, comma-joined band keys, bucket cap and
+    string-id pair ordering as ``kg.ops.minhash`` with
+    ``portable_keys=True``."""
     from kg.ops.minhash import _PRIME, _affine_params
 
     r = perms // bands
@@ -2924,7 +3096,7 @@ def _minhash_portable_sql(
         for b in range(bands)
     )
     return (
-        "WITH toks AS (SELECT doc_id, " + tok + " AS t FROM documents), "
+        "toks AS (SELECT doc_id, " + tok + " AS t FROM documents), "
         "shs AS (SELECT CAST(doc_id AS VARCHAR) AS doc_id, "
         "        CASE WHEN len(t) = 0 THEN CAST([] AS VARCHAR[]) "
         "        WHEN len(t) <= 3 THEN [array_to_string(t, ' ')] "
@@ -2939,12 +3111,43 @@ def _minhash_portable_sql(
         f"kept AS (SELECT band, key FROM bands GROUP BY band, key HAVING count(*) <= {max_bucket}), "
         "sig2 AS (SELECT bands.* FROM bands JOIN kept USING (band, key)), "
         "cand AS (SELECT DISTINCT x.doc_id AS a, y.doc_id AS b FROM sig2 x "
-        "         JOIN sig2 y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id), "
+        "         JOIN sig2 y ON x.band = y.band AND x.key = y.key AND x.doc_id < y.doc_id)"
+    )
+
+
+def _minhash_portable_sql(
+    threshold: float = 0.5, perms: int = 64, bands: int = 16,
+    max_bucket: int = 64,
+) -> str:
+    """DuckDB twin of minhash_duplicates(portable=True): the shared
+    blocking prefix + exact-Jaccard re-score."""
+    return (
+        "WITH " + _minhash_cand_prefix(perms, bands, max_bucket) + ", "
         "scored AS (SELECT a, b, CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) / "
         "           len(list_distinct(list_concat(sa.shset, sb.shset))) AS j "
         "           FROM cand JOIN shs sa ON sa.doc_id = cand.a "
         "           JOIN shs sb ON sb.doc_id = cand.b) "
         f"SELECT a, b, round(j, 6) AS jaccard FROM scored WHERE j >= {threshold}"
+    )
+
+
+def _edit_distance_sql(max_dist: int) -> str:
+    """DuckDB twin of q_dedup_edit_distance: the shared portable-minhash
+    blocking prefix, the lossless |len(a)−len(b)| ≤ max_dist prefilter,
+    then unit-cost Levenshtein — the same distance Spark's banded DP
+    computes for every pair the filter keeps."""
+    return (
+        "WITH " + _minhash_cand_prefix() + ", "
+        "scored AS (SELECT a, b, "
+        "           CAST(levenshtein(da.text, db.text) AS INT) AS dist, "
+        "           greatest(length(da.text), length(db.text), 1) AS ln "
+        "           FROM cand "
+        "           JOIN documents da ON CAST(da.doc_id AS VARCHAR) = cand.a "
+        "           JOIN documents db ON CAST(db.doc_id AS VARCHAR) = cand.b "
+        "           WHERE abs(length(da.text) - length(db.text)) "
+        f"                 <= {max_dist}) "
+        "SELECT a, b, dist, round(1.0 - dist::DOUBLE / ln, 6) AS sim "
+        f"FROM scored WHERE dist <= {max_dist}"
     )
 
 
@@ -3122,6 +3325,74 @@ def _lang_case() -> str:
         for lang, c in conds.items()
     )
     return f"CASE {whens} ELSE 'und' END"
+
+
+def _hybrid_search_sql() -> str:
+    """DuckDB twin of q_hybrid_search: the verified BM25 chain and the
+    verified brute-force-cosine chain, each ranked to the leg depth,
+    fused with integer ``1000000 // (rrf_k + rank)`` contributions —
+    bit-equal to Spark's ``div`` path."""
+    tok = _TOK.format(c="text")
+    return (
+        f"WITH t AS (SELECT doc_id, {tok} AS toks FROM documents), "
+        "body AS (SELECT doc_id, toks, len(toks) AS dl FROM t), "
+        "stats AS (SELECT count(*) AS n, "
+        "          coalesce(sum(len(toks)), 0) AS tt FROM t), "
+        "q AS (SELECT doc_id AS query_id, "
+        "      list_sort(list_distinct(toks))[3:6] AS qt "
+        "      FROM t WHERE doc_id % 97 = 0), "
+        "qterms AS (SELECT query_id, unnest(qt) AS token FROM q), "
+        "ex AS (SELECT doc_id, dl, unnest(toks) AS token FROM body), "
+        "tf AS (SELECT doc_id, dl, token, count(*) AS cnt FROM ex "
+        "       WHERE token IN (SELECT DISTINCT token FROM qterms) "
+        "       GROUP BY doc_id, dl, token), "
+        "dfd AS (SELECT token, count(*) AS df FROM tf GROUP BY token), "
+        "idf AS (SELECT token, CAST(floor(1e6 * ln((2.0 * n + 2.0) / "
+        "        CAST(2 * df + 1 AS DOUBLE))) AS BIGINT) AS idf_fp, "
+        "        n, tt FROM dfd, stats), "
+        "wts AS (SELECT tf.doc_id, tf.token, CAST("
+        "        (idf_fp::HUGEINT * (10::HUGEINT * tt * cnt)) // "
+        "        (10::HUGEINT * tt * cnt + 3::HUGEINT * tt + "
+        "         9::HUGEINT * dl * n) AS BIGINT) AS w_fp "
+        "        FROM tf JOIN idf USING (token)), "
+        "s AS (SELECT query_id, doc_id, "
+        "      CAST(sum(w_fp) AS BIGINT) AS score_fp "
+        "      FROM qterms JOIN wts USING (token) "
+        "      GROUP BY query_id, doc_id), "
+        "lexr AS (SELECT query_id, doc_id, row_number() OVER "
+        "         (PARTITION BY query_id ORDER BY score_fp DESC, "
+        "         doc_id ASC) AS rank FROM s), "
+        f"lex AS (SELECT query_id, doc_id, rank FROM lexr "
+        f"        WHERE rank <= {_HYBRID_LEG_K}), "
+        "qv AS (SELECT vec_id AS query_id, embedding AS qvec "
+        "       FROM embeddings WHERE vec_id % 97 = 0), "
+        "semsc AS (SELECT query_id, e.vec_id AS doc_id, "
+        "round(list_dot_product(CAST(qvec AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(qvec AS DOUBLE[]), "
+        "CAST(qvec AS DOUBLE[]))) * "
+        "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+        "CAST(e.embedding AS DOUBLE[])))), 6) AS cosine "
+        "FROM qv CROSS JOIN embeddings e WHERE e.vec_id <> query_id), "
+        "semr AS (SELECT query_id, doc_id, row_number() OVER "
+        "         (PARTITION BY query_id ORDER BY cosine DESC, "
+        "         doc_id ASC) AS rank FROM semsc "
+        "         WHERE NOT isnan(cosine)), "
+        f"sem AS (SELECT query_id, doc_id, rank FROM semr "
+        f"        WHERE rank <= {_HYBRID_LEG_K}), "
+        f"u AS (SELECT query_id, doc_id, 1000000 // ({_RRF_K} + rank) "
+        "      AS contrib FROM lex UNION ALL "
+        f"      SELECT query_id, doc_id, 1000000 // ({_RRF_K} + rank) "
+        "      FROM sem), "
+        "c AS (SELECT query_id, doc_id, CAST(count(*) AS INT) AS legs, "
+        "      CAST(sum(contrib) AS BIGINT) AS rrf_fp FROM u "
+        "      GROUP BY query_id, doc_id), "
+        "r AS (SELECT query_id, doc_id, legs, rrf_fp, "
+        "      CAST(row_number() OVER (PARTITION BY query_id "
+        "      ORDER BY rrf_fp DESC, doc_id ASC) AS INT) AS rank FROM c) "
+        "SELECT query_id, doc_id, legs, rrf_fp, rank FROM r "
+        f"WHERE rank <= {_HYBRID_K}"
+    )
 
 
 def _curate_corpus_sql() -> str:
@@ -3477,6 +3748,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_harmonic": _harmonic_sql(
             _TRI_EDGES_SQL, _HC_ROUNDS, _KHOP_SRC_MAX
         ),
+        "graph_betweenness": _betweenness_sql(
+            _TRI_EDGES_SQL, _BC_ROUNDS, _KHOP_SRC_MAX
+        ),
         "graph_hits": _hits_sql(),
         "graph_lpa": _lpa_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),
@@ -3662,6 +3936,28 @@ def oracle_sql() -> dict[str, str]:
             "      FROM s) "
             f"SELECT query_id, doc_id, score_fp, rank FROM r WHERE rank <= {_BM25_K}"
         ),
+        "hybrid_search": _hybrid_search_sql(),
+        "token_entropy": (
+            # identical fixed-point rule: floor(1e6·ln(T/n)) per distinct
+            # (lang, token), HUGEINT Σ n·term // T — bit-equal to Spark's
+            # decimal(38,0) div path
+            f"WITH e AS (SELECT lang, unnest({tok}) AS token FROM documents), "
+            "c AS (SELECT lang, token, count(*) AS n FROM e "
+            "      GROUP BY lang, token), "
+            "t AS (SELECT lang, CAST(sum(n) AS BIGINT) AS tot, "
+            "      count(*) AS types FROM c GROUP BY lang), "
+            "term AS (SELECT c.lang, n, tot, types, "
+            "         CAST(floor(1e6 * ln(CAST(tot AS DOUBLE) / "
+            "         CAST(n AS DOUBLE))) AS BIGINT) AS term_fp "
+            "         FROM c JOIN t USING (lang)) "
+            "SELECT lang, CAST(max(tot) AS BIGINT) AS n_tokens, "
+            "CAST(max(types) AS BIGINT) AS n_types, "
+            "round(CAST(max(types) AS DOUBLE) / CAST(max(tot) AS DOUBLE), 6) "
+            "AS ttr, "
+            "CAST(sum(n::HUGEINT * term_fp::HUGEINT) // max(tot)::HUGEINT "
+            "AS BIGINT) AS entropy_fp "
+            "FROM term GROUP BY lang"
+        ),
         "chunk_docs": (
             # same chunk rule: stride multiples, drop starts past the
             # end or fully covered by the previous window (tail kept
@@ -3720,6 +4016,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_embedding": _dedup_embedding_sql(),
         "dedup_paragraphs": _dedup_paragraphs_sql(),
         "dedup_minhash_portable": _minhash_portable_sql(),
+        "dedup_edit_distance": _edit_distance_sql(_EDIT_MAX_DIST),
         "dedup_cluster_keepers": _cluster_keepers_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
         "ann_lsh": _ann_lsh_sql(),

@@ -32,6 +32,7 @@ from kg.ops.curate import (  # noqa: F401
     word_ngrams,
 )
 from kg.ops.dedup import (  # noqa: F401
+    edit_distance_duplicates,
     embedding_near_duplicates,
     exact_duplicates,
     minhash_duplicates,
@@ -45,6 +46,7 @@ from kg.ops.dedup import (  # noqa: F401
 from kg.ops.graph import (  # noqa: F401
     adamic_adar,
     assortativity,
+    betweenness,
     clustering_coefficient,
     components,
     cooccurrence,
@@ -74,7 +76,7 @@ from kg.ops.graph import (  # noqa: F401
 )
 from kg.ops.kmeans import kmeans_fit  # noqa: F401
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
-from kg.ops.retrieval import bm25_topk  # noqa: F401
+from kg.ops.retrieval import bm25_topk, rrf_fuse  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401
     banded_lsh_pairs,
     banded_signatures,
@@ -100,6 +102,7 @@ from kg.ops.text import (  # noqa: F401
     redact_pii,
     repetition_stats,
     token_count,
+    token_entropy,
     tokens_col,
     vocab_coverage,
     winnow_fingerprints,

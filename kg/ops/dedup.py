@@ -517,3 +517,77 @@ def winnow_duplicates(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def edit_distance_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    max_dist: int = 16,
+    perms: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Character-level near-dup pairs: MinHash-LSH candidate blocking,
+    then an EXACT Levenshtein re-rank → ``(a, b, dist, sim)`` for pairs
+    within ``max_dist`` edits (``sim = 1 − dist/max(len_a, len_b)``,
+    6dp).  The edit-distance tier catches what set-based Jaccard
+    can't distinguish: small in-place mutations (typo reposts,
+    template fills, OCR shifts) where ORDER matters, the classic
+    fuzzy-dedup complement to shingle overlap.
+
+    Cost discipline (100 TB): Levenshtein is O(len·max_dist) per pair
+    (Spark's banded DP via the threshold argument) and runs ONLY on
+    LSH-blocked candidates that survive the exact length prefilter
+    ``|len_a − len_b| ≤ max_dist`` (a lower bound on the distance, so
+    the prefilter is lossless) — never corpus-quadratic, never full-DP
+    on a hopeless pair.  Everything is JVM expressions; zero Python.
+
+    ``portable=True`` switches the blocking to the md5 base hash with
+    raw band keys (the :func:`minhash_duplicates` contract) so the
+    WHOLE operator — blocking, prefilter, distance — has a DuckDB twin
+    (both engines implement unit-cost Levenshtein).
+    """
+    if max_dist < 0:
+        raise ValueError(f"max_dist must be >= 0, got {max_dist}")
+    from kg.hints import spread_to_slots
+    from kg.ops.minhash import md5_base, xxhash64_base
+
+    base = spread_to_slots(df).select(
+        F.col(id_col).cast("string").alias(id_col),
+        F.col(text_col).alias("_txt"),
+        token_ngrams(F.col(text_col), ngram).alias("sh"),
+    ).localCheckpoint()  # scanned 3× (candidates + both score sides)
+    cands = minhash_candidate_pairs(
+        base, id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
+        base_hash=md5_base if portable else xxhash64_base,
+        portable_keys=portable,
+    )
+    a = base.select(F.col(id_col).alias("a"), F.col("_txt").alias("_ta"))
+    b = base.select(F.col(id_col).alias("b"), F.col("_txt").alias("_tb"))
+    scored = (
+        cands.join(a, "a")
+        .join(b, "b")
+        .filter(
+            F.abs(F.length("_ta") - F.length("_tb")) <= F.lit(max_dist)
+        )
+        .select(
+            "a",
+            "b",
+            F.levenshtein("_ta", "_tb", max_dist).alias("dist"),
+            F.greatest(
+                F.length("_ta"), F.length("_tb"), F.lit(1)
+            ).alias("_len"),
+        )
+        # banded DP returns -1 when the true distance exceeds max_dist
+        .filter((F.col("dist") >= 0) & (F.col("dist") <= max_dist))
+    )
+    return scored.select(
+        "a",
+        "b",
+        "dist",
+        F.round(
+            F.lit(1.0) - F.col("dist").cast("double") / F.col("_len"), 6
+        ).alias("sim"),
+    )

@@ -2443,3 +2443,192 @@ def graph_summary(
             ).alias("reciprocity"),
         )
     )
+
+
+def betweenness(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Sampled-source betweenness centrality (Brandes 2001 dependency
+    accumulation; source sampling per Brandes & Pich 2007; horizon
+    truncated at ``rounds`` hops — the "k-betweenness" bounded-distance
+    variant, the only tractable form at web scale where exact
+    betweenness is O(V·E)) → ``(id, bc_fp, n_sources)`` for EVERY graph
+    vertex.
+
+    ``bc_fp = Σ_s δ_s(v)`` in exact BIGINT micro-units, where δ_s is
+    Brandes' dependency of source s on v over the ≤``rounds``-hop
+    shortest-path DAG: walking levels top-down,
+    ``δ(u) = Σ_{w ∈ succ(u)} floor(σ(u) · (10⁶ + δ(w)) / σ(w))`` with
+    σ the exact integer shortest-path counts from the forward BFS.
+    Every multiply runs in decimal(38,0) and every division is SQL
+    ``div`` (exact floor), so δ — and therefore the whole op — is
+    association-order-free, bit-reproducible, and carries a FULL
+    unrolled-CTE DuckDB twin (the :func:`pagerank`
+    determinism-buys-an-oracle design).  ``n_sources`` counts the
+    sampled sources whose DAG contains the vertex at depth ≥ 1 (the
+    estimator's per-vertex support).
+
+    Plan shape (100 TB): the forward phase is the per-source TRACKED
+    BFS of :func:`harmonic_centrality` — state keyed (source, vertex) —
+    plus a σ path-count sum per frontier; each of the ``rounds``
+    forward rounds is one frontier⋈edges equi-join + one hash agg + one
+    anti-join against the seen set (frontier state localCheckpointed
+    per round so the growing plan never re-inlines).  The backward
+    phase is ``rounds`` more joins, each level-(ℓ+1)-sized, never
+    corpus-sized.  State is bounded by |sources|·|reached| — keep the
+    sample small (tens to thousands), which is the estimator's regime.
+
+    Distances follow directed out-edges (symmetrize first for the
+    undirected form); sources not in the edge set are ignored (the
+    :func:`personalized_pagerank` contract); multi-edges collapse (BFS
+    DAG).  String ids run dictionary-encoded to longs; bc_fp is
+    id-independent (sums only, no id tie-breaks), so output is
+    bit-identical either way.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    src = sources.select(F.col(id_col).alias("id")).distinct()
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        src_enc = src.select(
+            F.xxhash64(F.col("id").cast("string")).alias("id")
+        )
+        verts = vocab.select(F.col("enc").alias("id"))
+        seed = verts.join(src_enc, "id", "left_semi")
+        out = _betweenness_loop(encoded, seed, verts, rounds, out_col, in_col)
+        return _decode_ids(out, vocab, ["id"])
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    seed = verts.join(src, "id", "left_semi")
+    return _betweenness_loop(edges, seed, verts, rounds, out_col, in_col)
+
+
+def _betweenness_loop(
+    edges: DataFrame,
+    seed: DataFrame,
+    verts: DataFrame,
+    rounds: int,
+    out_col: str,
+    in_col: str,
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    dec = "decimal(38,0)"
+    e = (
+        edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    # forward: (s, id, dist, sigma) — sigma = #shortest s→id paths.
+    # A vertex enters the state at its FIRST (= shortest) level only:
+    # the anti-join drops re-reached vertices, so dist is the true BFS
+    # distance and sigma sums exactly the DAG's path counts.
+    state = seed.select(
+        F.col("id").alias("s"),
+        F.col("id"),
+        F.lit(0).cast("int").alias("dist"),
+        F.lit(1).cast("long").alias("sigma"),
+    ).localCheckpoint()
+    for lvl in range(1, rounds + 1):
+        frontier = state.filter(F.col("dist") == lvl - 1)
+        cand = (
+            frontier.join(e, frontier["id"] == e["src"])
+            .groupBy("s", "dst")
+            .agg(F.sum("sigma").alias("sigma"))
+        )
+        seen = state.select(
+            F.col("s").alias("_seen_s"), F.col("id").alias("_seen_id")
+        )
+        new = cand.join(
+            seen,
+            on=[
+                cand["s"] == F.col("_seen_s"),
+                cand["dst"] == F.col("_seen_id"),
+            ],
+            how="left_anti",
+        ).select(
+            "s",
+            F.col("dst").alias("id"),
+            F.lit(lvl).cast("int").alias("dist"),
+            "sigma",
+        )
+        # referenced 3× next round (filter / anti-join / union) and the
+        # anti-join grows the lineage — checkpoint every round
+        state = state.unionByName(new).localCheckpoint()
+
+    # backward: level ℓ's delta from level ℓ+1's (sigma, delta)
+    delta = state.filter(F.col("dist") == rounds).select(
+        "s", "id", "sigma", F.lit(0).cast("long").alias("delta_fp")
+    )
+    acc = delta
+    for lvl in range(rounds - 1, 0, -1):
+        preds = state.filter(F.col("dist") == lvl).select(
+            "s", "id", "sigma"
+        )
+        contrib = (
+            preds.join(e, preds["id"] == e["src"])
+            .select(
+                preds["s"],
+                preds["id"],
+                preds["sigma"].alias("sigma_u"),
+                F.col("dst"),
+            )
+            .join(
+                delta.select(
+                    F.col("s").alias("_ws"),
+                    F.col("id").alias("_w"),
+                    F.col("sigma").alias("sigma_w"),
+                    F.col("delta_fp").alias("delta_w"),
+                ),
+                on=[
+                    F.col("s") == F.col("_ws"),
+                    F.col("dst") == F.col("_w"),
+                ],
+            )
+            .select(
+                "s",
+                "id",
+                F.expr(
+                    f"(cast(sigma_u as {dec}) * "
+                    f"(cast(1000000 as {dec}) + cast(delta_w as {dec}))) "
+                    f"div cast(sigma_w as {dec})"
+                )
+                .cast("long")
+                .alias("_d"),
+            )
+            .groupBy("s", "id")
+            .agg(F.sum("_d").alias("_delta"))
+        )
+        delta = (
+            preds.join(contrib, ["s", "id"], "left")
+            .select(
+                "s",
+                "id",
+                "sigma",
+                F.coalesce("_delta", F.lit(0)).cast("long").alias("delta_fp"),
+            )
+            .localCheckpoint()
+        )
+        acc = acc.unionByName(delta)
+
+    # depth-0 rows (the sources themselves) never enter acc: Brandes'
+    # δ_s accumulates only over vertices strictly between pairs
+    bc = acc.groupBy("id").agg(
+        F.sum("delta_fp").alias("bc_fp"),
+        F.count("*").cast("long").alias("n_sources"),
+    )
+    return verts.join(maybe_broadcast(bc), "id", "left").select(
+        "id",
+        F.coalesce("bc_fp", F.lit(0)).cast("long").alias("bc_fp"),
+        F.coalesce("n_sources", F.lit(0)).cast("long").alias("n_sources"),
+    )

@@ -162,3 +162,68 @@ def bm25_topk(
         .where(F.col("_rn") <= k)
         .select("query_id", id_col, "score_fp", F.col("_rn").alias("rank"))
     )
+
+
+def rrf_fuse(
+    rankings: list[DataFrame],
+    k: int = 10,
+    rrf_k: int = 60,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+) -> DataFrame:
+    """Reciprocal-rank fusion (Cormack, Clarke & Büttcher, SIGIR 2009)
+    of N per-query rankings → ``(query_col, id_col, legs, rrf_fp,
+    rank)`` — the standard hybrid-retrieval combiner (lexical BM25 +
+    embedding ANN, or any mix of rankers) that needs only RANKS, never
+    commensurable scores.
+
+    Exactness contract: each leg contributes
+    ``1_000_000 div (rrf_k + rank)`` — integer floor division, no
+    float anywhere — so the fused score is an association-order-free
+    BIGINT sum and the op carries a bit-exact DuckDB twin
+    (``1000000 // (rrf_k + rank)``).  ``legs`` counts how many input
+    rankings surfaced the document (the agreement signal callers
+    threshold on).  Final ranking: fused score desc, id asc — the
+    reproducible-top-k tie-break used across this repo.
+
+    Plan shape (100 TB): each input ranking is already top-k-per-query
+    (O(queries·k) rows — tiny relative to the corpora that produced
+    them), so the fusion is one union + ONE hash agg + a per-query
+    window over ≤ N·k candidates.  No corpus-sized frame is touched.
+    """
+    if not rankings:
+        raise ValueError("rrf_fuse needs at least one ranking")
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if rrf_k < 0:
+        raise ValueError(f"rrf_k must be >= 0, got {rrf_k}")
+    legs = []
+    for r in rankings:
+        missing = {query_col, id_col, rank_col} - set(r.columns)
+        if missing:
+            raise ValueError(f"ranking missing columns {sorted(missing)}")
+        legs.append(
+            r.select(
+                query_col,
+                id_col,
+                F.expr(
+                    f"1000000 div ({rrf_k} + cast(`{rank_col}` as bigint))"
+                ).alias("_contrib"),
+            )
+        )
+    u = legs[0]
+    for extra in legs[1:]:
+        u = u.unionByName(extra)
+    fused = u.groupBy(query_col, id_col).agg(
+        F.count("*").cast("int").alias("legs"),
+        F.sum("_contrib").alias("rrf_fp"),
+    )
+    w = Window.partitionBy(query_col).orderBy(
+        F.col("rrf_fp").desc(), F.col(id_col).asc()
+    )
+    return (
+        fused.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") <= k)
+        .select(query_col, id_col, "legs", "rrf_fp", F.col("_rn").alias("rank"))
+    )

@@ -511,3 +511,82 @@ def bigram_next_tokens(
             "rank",
         )
     )
+
+
+def token_entropy(
+    docs: DataFrame,
+    group_col: str = "lang",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-group unigram token statistics →
+    ``(group_col, n_tokens, n_types, ttr, entropy_fp)``: total token
+    occurrences, distinct types, type-token ratio (6dp), and the
+    Shannon entropy of the unigram distribution in exact integer
+    micro-nats — the information-density / diversity profile that
+    flags template-generated or boilerplate-heavy corpus slices
+    (low entropy, low TTR) before training.
+
+    Exactness contract (the bm25 discipline): ONE transcendental per
+    distinct (group, token) — ``term_fp = floor(1e6 · ln(T/n))`` on
+    the exact double ratio — after which the entropy is the
+    association-order-free decimal(38,0) sum ``Σ n·term_fp`` floored
+    by ``div T`` into BIGINT micro-nats, so the op carries a bit-exact
+    DuckDB twin (HUGEINT ``//``).  H = (1/T)·Σ n·ln(T/n) is the
+    standard plug-in estimator.
+
+    Plan shape (100 TB): one explode + ONE (group, token) hash agg
+    (map-side combined); group totals are a second constant-size agg
+    broadcast back as a dim (|groups| rows); the final per-group agg
+    reduces the token frame without another shuffle of the corpus.
+    Zero-token groups cannot occur (groups exist only via tokens).
+    """
+    counts = (
+        docs.select(
+            F.col(group_col),
+            F.explode(tokens_col(F.col(text_col))).alias("token"),
+        )
+        .groupBy(group_col, "token")
+        .agg(F.count("*").alias("n"))
+    )
+    totals = counts.groupBy(group_col).agg(
+        F.sum("n").cast("long").alias("_tot"),
+        F.count("*").cast("long").alias("_types"),
+    )
+    from kg.hints import maybe_broadcast
+
+    term = counts.join(maybe_broadcast(totals), group_col).select(
+        group_col,
+        "n",
+        "_tot",
+        "_types",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(F.col("_tot").cast("double") / F.col("n").cast("double"))
+        )
+        .cast("long")
+        .alias("_term_fp"),
+    )
+    dec = "decimal(38,0)"
+    return (
+        term.groupBy(group_col)
+        .agg(
+            F.first("_tot").alias("n_tokens"),
+            F.first("_types").alias("n_types"),
+            F.sum(
+                (F.col("n").cast(dec) * F.col("_term_fp").cast(dec)).cast(dec)
+            ).alias("_h_sum"),
+        )
+        .select(
+            group_col,
+            "n_tokens",
+            "n_types",
+            F.round(
+                F.col("n_types").cast("double")
+                / F.col("n_tokens").cast("double"),
+                6,
+            ).alias("ttr"),
+            F.expr("_h_sum div cast(n_tokens as decimal(38,0))")
+            .cast("long")
+            .alias("entropy_fp"),
+        )
+    )

@@ -752,3 +752,53 @@ def test_knn_graph_matches_brute_force_within_candidates(spark, sf_dir):
     top1 = {r["vec_id"]: r["neighbor_id"] for r in out.collect()}
     hits = sum(1 for t in range(20) if top1.get(100000 + t) == t)
     assert hits >= 18  # LSH recall on near-identical pairs
+
+
+# ---------------------------------------------------------------------------
+# edit-distance (Levenshtein) fuzzy dedup
+# ---------------------------------------------------------------------------
+_ED_BASE = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+
+
+def _ed_corpus(spark):
+    return spark.createDataFrame(
+        [
+            (1, _ED_BASE),
+            (2, _ED_BASE.replace("epsilon", "epsilonx")),  # 1 insert
+            (3, "totally unrelated words about something else entirely"),
+        ],
+        ["doc_id", "text"],
+    )
+
+
+def test_edit_distance_hand_pair(spark):
+    from kg.ops import edit_distance_duplicates
+
+    got = edit_distance_duplicates(
+        _ed_corpus(spark), "doc_id", "text", max_dist=16, portable=True
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    ln = max(len(_ED_BASE) + 1, len(_ED_BASE))
+    assert (r["a"], r["b"], r["dist"]) == ("1", "2", 1)
+    assert r["sim"] == round(1.0 - 1.0 / ln, 6)
+
+
+def test_edit_distance_max_dist_zero_drops_near_pair(spark):
+    from kg.ops import edit_distance_duplicates
+
+    got = edit_distance_duplicates(
+        _ed_corpus(spark), "doc_id", "text", max_dist=0, portable=True
+    ).collect()
+    assert got == []
+
+
+def test_edit_distance_validates(spark):
+    import pytest
+
+    from kg.ops import edit_distance_duplicates
+
+    with pytest.raises(ValueError, match="max_dist"):
+        edit_distance_duplicates(
+            _ed_corpus(spark), "doc_id", "text", max_dist=-1
+        )

@@ -1842,3 +1842,94 @@ def test_graph_summary_degenerate_graphs(spark):
     r = graph_summary(df).collect()[0]
     assert (r["n_vertices"], r["n_edges"], r["n_self_loops"]) == (1, 1, 1)
     assert r["density"] is None and r["reciprocity"] is None
+
+
+# ---------------------------------------------------------------------------
+# betweenness (sampled Brandes)
+# ---------------------------------------------------------------------------
+def test_betweenness_diamond_hand_graph(spark):
+    """Diamond a→{b,d}→c→e, source {a}: σ(c)=2 via both arms.
+    Brandes: δ(c) = (2/2)(1+δ(e)) = 1e6; δ(b) = δ(d) = (1/2)(1+δ(c))
+    = 1e6 exactly at the micro-unit floor."""
+    from kg.ops import betweenness
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "d"), ("b", "c"), ("d", "c"), ("c", "e")],
+        "out_id string, in_id string",
+    )
+    src = spark.createDataFrame([("a",)], "id string")
+    got = {
+        r["id"]: (r["bc_fp"], r["n_sources"])
+        for r in betweenness(e, src, rounds=3).collect()
+    }
+    assert got == {
+        "a": (0, 0),  # the source itself accumulates nothing
+        "b": (1_000_000, 1),
+        "d": (1_000_000, 1),
+        "c": (1_000_000, 1),
+        "e": (0, 1),
+    }
+
+
+def test_betweenness_truncation_and_multi_source(spark):
+    from kg.ops import betweenness
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "d"), ("b", "c"), ("d", "c"), ("c", "e")],
+        "out_id string, in_id string",
+    )
+    # rounds=2 cuts e out of a's DAG: δ(c)=0,
+    # δ(b) = δ(d) = floor(1·(1e6+0)/2) = 500000
+    src = spark.createDataFrame([("a",)], "id string")
+    got = {
+        r["id"]: r["bc_fp"]
+        for r in betweenness(e, src, rounds=2).collect()
+    }
+    assert got == {
+        "a": 0, "b": 500_000, "d": 500_000, "c": 0, "e": 0,
+    }
+    # second source c adds nothing to bc (e is a leaf) but raises e's
+    # support count; unknown sources are ignored
+    src2 = spark.createDataFrame([("a",), ("c",), ("zz",)], "id string")
+    got2 = {
+        r["id"]: (r["bc_fp"], r["n_sources"])
+        for r in betweenness(e, src2, rounds=3).collect()
+    }
+    assert got2["e"] == (0, 2)
+    assert got2["b"] == (1_000_000, 1)
+
+
+def test_betweenness_long_id_path_matches_raw(spark):
+    """Same structure on string ids (encoded path) and integral ids
+    (raw path) must score identically vertex-for-vertex."""
+    from kg.ops import betweenness
+
+    pairs = [(1, 2), (1, 4), (2, 3), (4, 3), (3, 5)]
+    names = {1: "a", 2: "b", 3: "c", 4: "d", 5: "e"}
+    es = spark.createDataFrame(
+        [(names[u], names[v]) for u, v in pairs],
+        "out_id string, in_id string",
+    )
+    ei = spark.createDataFrame(pairs, "out_id long, in_id long")
+    ss = spark.createDataFrame([("a",)], "id string")
+    si = spark.createDataFrame([(1,)], "id long")
+    got_s = {
+        r["id"]: (r["bc_fp"], r["n_sources"])
+        for r in betweenness(es, ss, rounds=3).collect()
+    }
+    got_i = {
+        names[r["id"]]: (r["bc_fp"], r["n_sources"])
+        for r in betweenness(ei, si, rounds=3).collect()
+    }
+    assert got_s == got_i
+
+
+def test_betweenness_validates_rounds(spark):
+    import pytest
+
+    from kg.ops import betweenness
+
+    e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    src = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(ValueError, match="rounds"):
+        betweenness(e, src, rounds=0)

@@ -97,3 +97,75 @@ def test_bm25_no_match_and_validation(spark):
     assert bm25_topk(_corpus(spark), q).count() == 0
     with pytest.raises(ValueError):
         bm25_topk(_corpus(spark), q, k=0)
+
+
+# ---------------------------------------------------------------------------
+# reciprocal-rank fusion
+# ---------------------------------------------------------------------------
+def _ranking(spark, rows):
+    return spark.createDataFrame(rows, ["query_id", "doc_id", "rank"])
+
+
+def test_rrf_hand_fusion(spark):
+    """Two legs, hand contributions at rrf_k=60: doc 7 (ranks 1+2)
+    must beat doc 8 (rank 1 in one leg only); exact integer scores."""
+    from kg.ops import rrf_fuse
+
+    lex = _ranking(spark, [(1, 7, 1), (1, 8, 2), (1, 9, 3)])
+    sem = _ranking(spark, [(1, 8, 1), (1, 7, 2)])
+    got = sorted(
+        (r["doc_id"], r["legs"], r["rrf_fp"], r["rank"])
+        for r in rrf_fuse([lex, sem], k=10).collect()
+    )
+    c = lambda r: 1000000 // (60 + r)  # noqa: E731
+    assert got == sorted(
+        [
+            (7, 2, c(1) + c(2), 1),
+            (8, 2, c(2) + c(1), 2),
+            (9, 1, c(3), 3),
+        ]
+    )
+    # doc 7 and 8 tie on score (symmetric ranks) → id-asc tie-break
+    assert c(1) + c(2) == c(2) + c(1)
+
+
+def test_rrf_k_cap_and_single_leg(spark):
+    from kg.ops import rrf_fuse
+
+    lex = _ranking(spark, [(1, d, d) for d in range(1, 8)])
+    got = rrf_fuse([lex], k=3).collect()
+    assert [r["doc_id"] for r in sorted(got, key=lambda r: r["rank"])] == [
+        1,
+        2,
+        3,
+    ]
+    assert all(r["legs"] == 1 for r in got)
+
+
+def test_rrf_queries_fuse_independently(spark):
+    from kg.ops import rrf_fuse
+
+    a = _ranking(spark, [(1, 7, 1), (2, 9, 1)])
+    b = _ranking(spark, [(2, 9, 3)])
+    got = {
+        (r["query_id"], r["doc_id"]): (r["legs"], r["rrf_fp"])
+        for r in rrf_fuse([a, b], k=5).collect()
+    }
+    assert got == {
+        (1, 7): (1, 1000000 // 61),
+        (2, 9): (2, 1000000 // 61 + 1000000 // 63),
+    }
+
+
+def test_rrf_validation(spark):
+    from kg.ops import rrf_fuse
+
+    lex = _ranking(spark, [(1, 7, 1)])
+    with pytest.raises(ValueError, match="at least one"):
+        rrf_fuse([], k=3)
+    with pytest.raises(ValueError, match="k must be"):
+        rrf_fuse([lex], k=0)
+    with pytest.raises(ValueError, match="rrf_k"):
+        rrf_fuse([lex], rrf_k=-1)
+    with pytest.raises(ValueError, match="missing columns"):
+        rrf_fuse([lex.drop("rank")])

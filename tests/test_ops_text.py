@@ -327,3 +327,41 @@ def test_bigram_next_tokens_no_cross_doc_and_k_cap(spark):
     }
     # x→{y,w} tie at 1 each → 'w' wins asc; no (y,x) or (w,?) bigrams
     assert got == {("x", "w"): 1, ("y", "z"): 1}
+
+
+# ---------------------------------------------------------------------------
+# token_entropy
+# ---------------------------------------------------------------------------
+def test_token_entropy_hand_check(spark):
+    """en: {a:2, b:1}, T=3 → H_fp = (2·⌊1e6·ln(3/2)⌋ + ⌊1e6·ln 3⌋) div 3;
+    de: single token → entropy 0, ttr 1."""
+    import math
+
+    from kg.ops import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a a b", "en"), (2, "c", "de")], ["doc_id", "text", "lang"]
+    )
+    got = {
+        r["lang"]: (r["n_tokens"], r["n_types"], r["ttr"], r["entropy_fp"])
+        for r in token_entropy(docs).collect()
+    }
+    t_a = math.floor(1e6 * math.log(3 / 2))
+    t_b = math.floor(1e6 * math.log(3))
+    assert got == {
+        "en": (3, 2, round(2 / 3, 6), (2 * t_a + t_b) // 3),
+        "de": (1, 1, 1.0, 0),
+    }
+
+
+def test_token_entropy_uniform_beats_skewed(spark):
+    """4 uniform tokens carry ~ln4 nats; 4 copies of one token carry 0."""
+    from kg.ops import token_entropy
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d", "u"), (2, "a a a a", "s")],
+        ["doc_id", "text", "lang"],
+    )
+    got = {r["lang"]: r["entropy_fp"] for r in token_entropy(docs).collect()}
+    assert got["s"] == 0
+    assert abs(got["u"] - 1386294) <= 4  # 1e6·ln 4
