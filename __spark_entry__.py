@@ -553,6 +553,45 @@ def q_ann_ivf_trained(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic-clustering profile (``kg/ops/kmeans.py::kmeans_profile``):
+    deterministic Lloyd's fit (the ``ann_ivf_trained`` trainer), then
+    per-cluster size and cohesion — member-to-centroid cosine
+    fixed-pointed per ROW (floor(10⁶·cos)) so the sums are exact BIGINT
+    and the whole fit+assign+profile carries the unrolled-CTE twin.
+    The SemDeDup-style 'which clusters are tight enough to prune'
+    diagnostic over the embeddings table."""
+    from kg.ops import kmeans_profile
+
+    return kmeans_profile(
+        _read(spark, sf, "embeddings"), "vec_id", "embedding",
+        k=_IVF_CELLS, iters=_KMEANS_ITERS,
+    )
+
+
+def _kmeans_clusters_sql() -> str:
+    """Twin of q_kmeans_clusters: the shared Lloyd's CTE chain + final
+    nearest-cell assignment keeping the cosine; mean uses
+    trunc-toward-zero division (CASE on the sign) to match Spark's
+    ``div`` exactly even if a cluster's cosine sum were negative."""
+    s = "sum(CAST(floor(round(cos, 6) * 1000000 + 0.5) AS BIGINT))"
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        + _kmeans_cent_ctes(_IVF_CELLS, _KMEANS_ITERS)
+        + ", fin AS (SELECT vec_id, cid, cos FROM ("
+        f"SELECT b.vec_id, c.cid, {_COS_CENT} AS cos, row_number() OVER "
+        f"(PARTITION BY b.vec_id ORDER BY {_COS_CENT} DESC, c.cid ASC) AS rk "
+        f"FROM base b CROSS JOIN cent{_KMEANS_ITERS} c "
+        f"WHERE NOT isnan({_COS_CENT})) WHERE rk = 1) "
+        "SELECT cid, CAST(count(*) AS BIGINT) AS n_vectors, "
+        f"CAST({s} AS BIGINT) AS sum_cos_fp, "
+        f"CAST(CASE WHEN {s} >= 0 THEN {s} // count(*) "
+        f"ELSE -((-{s}) // count(*)) END AS BIGINT) AS mean_cos_fp "
+        "FROM fin GROUP BY cid"
+    )
+
+
 _PQ_M, _PQ_CODES = 8, 8
 
 
@@ -1504,6 +1543,59 @@ def _harmonic_sql(edges_sql: str, rounds: int, src_max: int) -> str:
         " SELECT v.id, COALESCE(hc.hc_fp, 0) AS hc_fp, "
         "COALESCE(hc.n_reached, 0) AS n_reached "
         "FROM verts v LEFT JOIN hc USING (id)"
+    )
+
+
+def q_graph_eccentricity(spark: SparkSession, sf: str) -> DataFrame:
+    """Bounded per-source eccentricity / diameter lower bound
+    (``kg/ops/graph.py::eccentricity``) over the UNDIRECTED tripartite
+    graph from the order seed set: each sampled source's max BFS
+    distance within 3 hops plus its reach count — the graph-profile
+    statistic next to ``graph_summary``.  Shares the harmonic entry's
+    tracked-BFS forward chain; the reduction is one hash agg on the
+    source key, so the fixed-round run carries a FULL unrolled-CTE
+    twin."""
+    from kg.ops import eccentricity
+
+    e = _tri_graph_edges(spark, sf)
+    und = e.unionByName(
+        e.select(F.col("in_id").alias("out_id"), F.col("out_id").alias("in_id"))
+    )
+    src = (
+        _read(spark, sf, "orders")
+        .filter(F.col("o_orderkey") <= _KHOP_SRC_MAX)
+        .select(F.concat(F.lit("o_"), F.col("o_orderkey").cast("string")).alias("id"))
+    )
+    return eccentricity(und, src, rounds=_HC_ROUNDS)
+
+
+def _eccentricity_sql(edges_sql: str, rounds: int, src_max: int) -> str:
+    """Twin of q_graph_eccentricity: the ``_harmonic_sql`` forward
+    min-distance relaxation, reduced per SOURCE (max dist + reach)."""
+    parts = [
+        "t AS (" + edges_sql + ")",
+        "e AS (SELECT DISTINCT src, dst FROM (SELECT out_id AS src, "
+        "in_id AS dst FROM t UNION ALL SELECT in_id, out_id FROM t))",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT src AS id FROM e UNION ALL SELECT dst FROM e))",
+        "srcs AS (SELECT id FROM verts WHERE id IN "
+        "(SELECT DISTINCT 'o_' || CAST(o_orderkey AS VARCHAR) "
+        f"FROM orders WHERE o_orderkey <= {src_max}))",
+        "d0 AS MATERIALIZED (SELECT id AS s, id, "
+        "CAST(0 AS BIGINT) AS dist FROM srcs)",
+    ]
+    for i in range(1, rounds + 1):
+        parts.append(
+            f"d{i} AS MATERIALIZED (SELECT s, id, min(dist) AS dist FROM "
+            f"(SELECT s, id, dist FROM d{i - 1} "
+            f"UNION ALL SELECT d.s, e.dst AS id, d.dist + 1 AS dist "
+            f"FROM e JOIN d{i - 1} d ON d.id = e.src) GROUP BY s, id)"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT s AS id, CAST(max(dist) AS BIGINT) AS ecc, "
+        "CAST(sum(CASE WHEN dist > 0 THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_reached FROM d{rounds} GROUP BY s"
     )
 
 
@@ -2488,6 +2580,20 @@ def q_token_entropy(spark: SparkSession, sf: str) -> DataFrame:
     return token_entropy(_read_spread(spark, sf, "documents"))
 
 
+def q_bigram_surprisal(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document bigram-LM surprisal
+    (``kg/ops/text.py::bigram_surprisal``): avg −ln P(next|token) under
+    the corpus MLE bigram model in exact micro-nats — the
+    order-sensitive perplexity-filter stand-in next to the unigram
+    ``lm_score``.  In-array bigram zip, two model hash aggs, one
+    stream⋈dim equi-join, one per-doc agg; single ln fixed-pointed per
+    distinct bigram, so the score is bit-reproducible with a full
+    twin."""
+    from kg.ops import bigram_surprisal
+
+    return bigram_surprisal(_read_spread(spark, sf, "documents"))
+
+
 _BM25_K = 5
 
 
@@ -2955,6 +3061,7 @@ def queries() -> dict[str, _T]:
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
+        "kmeans_clusters": q_kmeans_clusters,
         "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_ivf_sq": q_ann_ivf_sq,
@@ -2976,6 +3083,7 @@ def queries() -> dict[str, _T]:
         "graph_sssp": q_graph_sssp,
         "graph_harmonic": q_graph_harmonic,
         "graph_betweenness": q_graph_betweenness,
+        "graph_eccentricity": q_graph_eccentricity,
         "graph_hits": q_graph_hits,
         "graph_lpa": q_graph_lpa,
         "graph_components": q_graph_components,
@@ -3000,6 +3108,7 @@ def queries() -> dict[str, _T]:
         "hybrid_search": q_hybrid_search,
         "vocab_coverage": q_vocab_coverage,
         "token_entropy": q_token_entropy,
+        "bigram_surprisal": q_bigram_surprisal,
         "bigram_lm": q_bigram_lm,
         "knn_graph": q_knn_graph,
         "graph_walks": q_graph_walks,
@@ -3248,11 +3357,11 @@ def _ann_ivf_sql() -> str:
 def _kmeans_cent_ctes(k: int, iters: int) -> str:
     """CTE chain replicating ``kg.ops.kmeans.kmeans_fit``: seed from the
     k lowest-id vectors, then ``iters`` unrolled Lloyd's rounds.  The
-    mean update sums ``floor(x·10^6)`` as exact integers (DuckDB sums
-    BIGINT into HUGEINT — exact, and < 2^53 here so the double division
-    is bit-identical to Spark's long/double path), divides back in the
-    same operation order, rounds to 6 dp; empty cells COALESCE to their
-    previous centroid, exactly as the Spark loop does."""
+    mean update sums ``floor(x·10^6)`` as exact integers, takes the
+    exact micro-unit integer mean (trunc-toward-zero division matching
+    Spark's ``div``), and converts with ONE int→double division —
+    identical IEEE doubles on both engines; empty cells COALESCE to
+    their previous centroid, exactly as the Spark loop does."""
     from kg.ops.kmeans import FIXED_POINT
 
     parts = [
@@ -3270,8 +3379,11 @@ def _kmeans_cent_ctes(k: int, iters: int) -> str:
             f"unnest(b.v) AS x FROM asg{i} a JOIN base b USING (vec_id))",
             f"sm{i} AS (SELECT cid, pos, sum(CAST(floor(x * {FIXED_POINT}) AS BIGINT)) AS s, "
             f"count(*) AS n FROM ex{i} GROUP BY cid, pos)",
-            f"mn{i} AS (SELECT cid, list(round(s / {FIXED_POINT}.0 / n, 6) ORDER BY pos) AS cv "
-            f"FROM sm{i} GROUP BY cid)",
+            # trunc-toward-zero division (CASE on sign) = Spark's `div`,
+            # then one int->double division — boundary-free cross-engine
+            f"mn{i} AS (SELECT cid, list(CAST(CASE WHEN s >= 0 THEN s // n "
+            f"ELSE -((-s) // n) END AS DOUBLE) / {FIXED_POINT}.0 "
+            f"ORDER BY pos) AS cv FROM sm{i} GROUP BY cid)",
             f"cent{i} AS (SELECT p.cid, COALESCE(m.cv, p.cv) AS cv FROM cent{i - 1} p "
             f"LEFT JOIN mn{i} m USING (cid))",
         ]
@@ -3751,6 +3863,9 @@ def oracle_sql() -> dict[str, str]:
         "graph_betweenness": _betweenness_sql(
             _TRI_EDGES_SQL, _BC_ROUNDS, _KHOP_SRC_MAX
         ),
+        "graph_eccentricity": _eccentricity_sql(
+            _TRI_EDGES_SQL, _HC_ROUNDS, _KHOP_SRC_MAX
+        ),
         "graph_hits": _hits_sql(),
         "graph_lpa": _lpa_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),
@@ -3937,6 +4052,26 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT query_id, doc_id, score_fp, rank FROM r WHERE rank <= {_BM25_K}"
         ),
         "hybrid_search": _hybrid_search_sql(),
+        "bigram_surprisal": (
+            # identical rule: one floor(1e6·ln(ct/cp)) per distinct
+            # bigram, BIGINT doc sum, // == div (w_fp >= 0)
+            f"WITH t AS (SELECT doc_id, {tok} AS toks FROM documents), "
+            "bg AS (SELECT doc_id, toks[i] AS w1, toks[i + 1] AS w2 FROM "
+            "       (SELECT doc_id, toks, unnest(generate_series(1, "
+            "        len(toks) - 1)) AS i FROM t WHERE len(toks) >= 2)), "
+            "pc AS (SELECT w1, w2, count(*) AS cp FROM bg GROUP BY w1, w2), "
+            "mg AS (SELECT w1, CAST(sum(cp) AS BIGINT) AS ct FROM pc "
+            "       GROUP BY w1), "
+            "w AS (SELECT w1, w2, CAST(floor(1e6 * ln(CAST(ct AS DOUBLE) / "
+            "      CAST(cp AS DOUBLE))) AS BIGINT) AS w_fp "
+            "      FROM pc JOIN mg USING (w1)), "
+            "s AS (SELECT doc_id, count(*) AS n, "
+            "      CAST(sum(w_fp) AS BIGINT) AS tot "
+            "      FROM bg JOIN w USING (w1, w2) GROUP BY doc_id) "
+            "SELECT d.doc_id, CAST(COALESCE(s.n, 0) AS BIGINT) AS n_bigrams, "
+            "CAST(COALESCE(s.tot // s.n, 0) AS BIGINT) AS nats_fp "
+            "FROM documents d LEFT JOIN s ON s.doc_id = d.doc_id"
+        ),
         "token_entropy": (
             # identical fixed-point rule: floor(1e6·ln(T/n)) per distinct
             # (lang, token), HUGEINT Σ n·term // T — bit-equal to Spark's
@@ -4045,6 +4180,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
+        "kmeans_clusters": _kmeans_clusters_sql(),
         "ann_pq": _ann_pq_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
         "ann_ivf_sq": _ann_ivf_sq_sql(),

@@ -54,6 +54,7 @@ from kg.ops.graph import (  # noqa: F401
     degree_distribution,
     graph_summary,
     degrees,
+    eccentricity,
     harmonic_centrality,
     hits,
     k_core,
@@ -74,7 +75,7 @@ from kg.ops.graph import (  # noqa: F401
     triangles,
     two_hop,
 )
-from kg.ops.kmeans import kmeans_fit  # noqa: F401
+from kg.ops.kmeans import kmeans_fit, kmeans_profile  # noqa: F401
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
 from kg.ops.retrieval import bm25_topk, rrf_fuse  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401
@@ -95,6 +96,7 @@ from kg.ops.similarity import (  # noqa: F401
 )
 from kg.ops.text import (  # noqa: F401
     bigram_next_tokens,
+    bigram_surprisal,
     doc_fingerprint,
     gopher_quality,
     language_id,

@@ -1411,16 +1411,16 @@ def harmonic_centrality(
     return _harmonic_loop(edges, seed, verts, rounds, out_col, in_col)
 
 
-def _harmonic_loop(
+def _tracked_dist(
     edges: DataFrame,
     seed: DataFrame,
-    verts: DataFrame,
     rounds: int,
     out_col: str,
     in_col: str,
 ) -> DataFrame:
-    from kg.hints import maybe_broadcast
-
+    """Per-source tracked BFS shared by :func:`harmonic_centrality` and
+    :func:`eccentricity`: → (s, id, dist) for every vertex reachable
+    from each seed within ``rounds`` hops (min-distance relaxation)."""
     # BFS ignores multi-edges; referenced once per round — checkpoint so
     # the upstream scan+distinct runs once (the _sssp_loop discipline)
     e = (
@@ -1444,6 +1444,20 @@ def _harmonic_loop(
         )
         if (i + 1) % 4 == 0 and (i + 1) < rounds:
             dist = dist.localCheckpoint()
+    return dist
+
+
+def _harmonic_loop(
+    edges: DataFrame,
+    seed: DataFrame,
+    verts: DataFrame,
+    rounds: int,
+    out_col: str,
+    in_col: str,
+) -> DataFrame:
+    from kg.hints import maybe_broadcast
+
+    dist = _tracked_dist(edges, seed, rounds, out_col, in_col)
     hc = (
         dist.filter(F.col("dist") > 0)
         .groupBy("id")
@@ -2632,3 +2646,63 @@ def _betweenness_loop(
         F.coalesce("bc_fp", F.lit(0)).cast("long").alias("bc_fp"),
         F.coalesce("n_sources", F.lit(0)).cast("long").alias("n_sources"),
     )
+
+
+def eccentricity(
+    edges: DataFrame,
+    sources: DataFrame,
+    rounds: int = 3,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    id_col: str = "id",
+) -> DataFrame:
+    """Bounded eccentricity per sampled source →
+    ``(id, ecc, n_reached)``: for each source, the maximum BFS distance
+    it attains within the ``rounds`` horizon and how many vertices it
+    reaches at distance ≥ 1.  ``max(ecc)`` over the sample is the
+    standard diameter LOWER bound (Magnien–Latapy–Habib 2009 shape);
+    an exact web-scale diameter is all-pairs BFS and off the table, so
+    sampled bounded eccentricity is what production graph profiles
+    report.  Truncation makes values honest lower bounds: a source
+    whose true eccentricity exceeds ``rounds`` reports ``rounds``.
+
+    Same per-source TRACKED BFS as :func:`harmonic_centrality`
+    (shared ``_tracked_dist``: one equi-join + one min hash agg per
+    round, state keyed (source, vertex)); the reduction is ONE hash agg
+    on the source key.  max/count over BIGINT are
+    association-order-free → fixed ``rounds`` runs are bit-reproducible
+    and carry a FULL unrolled-CTE SQL twin.  Directed out-edges
+    (symmetrize first for undirected); sources not in the edge set are
+    ignored; isolated-but-seeded vertices report (0, 0).  String ids
+    run dictionary-encoded to longs; ecc/n_reached are id-independent.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    src = sources.select(F.col(id_col).alias("id")).distinct()
+    enc = _encode_vertex_ids(edges, out_col, in_col)
+    if enc is not None:
+        encoded, vocab = enc
+        src_enc = src.select(
+            F.xxhash64(F.col("id").cast("string")).alias("id")
+        )
+        verts = vocab.select(F.col("enc").alias("id"))
+        seed = verts.join(src_enc, "id", "left_semi")
+        dist = _tracked_dist(encoded, seed, rounds, out_col, in_col)
+        return _decode_ids(_ecc_agg(dist), vocab, ["id"])
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+    )
+    seed = verts.join(src, "id", "left_semi")
+    dist = _tracked_dist(edges, seed, rounds, out_col, in_col)
+    return _ecc_agg(dist)
+
+
+def _ecc_agg(dist: DataFrame) -> DataFrame:
+    return dist.groupBy("s").agg(
+        F.max("dist").cast("long").alias("ecc"),
+        F.sum(F.when(F.col("dist") > 0, 1).otherwise(0))
+        .cast("long")
+        .alias("n_reached"),
+    ).select(F.col("s").alias("id"), "ecc", "n_reached")

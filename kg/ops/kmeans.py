@@ -21,10 +21,14 @@ Determinism / portability design (each choice is load-bearing):
 * **Mean update in exact fixed point** — a float ``avg`` is
   order-sensitive (partial-aggregation order differs run to run and
   engine to engine); instead each component is summed as
-  ``floor(x·10^6)`` BIGINT (exact, order-insensitive), divided back in
-  one deterministic double op, and rounded to 6 dp.  Headroom: the
-  int64 sum bounds |x|·rows-per-cell < 9.2e12 — at 10^12 vectors per
-  cell and unit-scale components it still fits.
+  ``floor(x·10^6)`` BIGINT (exact, order-insensitive) and the mean is
+  the exact integer division ``s div n`` in micro-units, converted to
+  double by ONE int→double division (identical IEEE result on any
+  engine given the same integers — an earlier ``round(s/10⁶/n, 6)``
+  formulation double-rounded at a representation boundary and DID
+  diverge from DuckDB on real data).  Headroom: the int64 sum bounds
+  |x|·rows-per-cell < 9.2e12 — at 10^12 vectors per cell and
+  unit-scale components it still fits.
 * **Fixed ``iters``, empty cells keep their previous centroid** — the
   round count is part of the operator's signature (not a convergence
   probe), which is what makes the SQL twin a finite CTE chain.
@@ -77,11 +81,14 @@ def kmeans_fit(
             F.sum(F.floor(F.col("x") * FIXED_POINT)).alias("s"),
             F.count("*").alias("n"),
         )
+        # exact micro-unit mean (div truncates toward zero), then one
+        # int→double division — boundary-free on every engine
         means = sums.select(
             "cid",
             "pos",
-            F.round(
-                F.col("s") / F.lit(float(FIXED_POINT)) / F.col("n"), 6
+            (
+                F.expr("s div n").cast("double")
+                / F.lit(float(FIXED_POINT))
             ).alias("m"),
         )
         new_cv = means.groupBy("cid").agg(
@@ -96,3 +103,74 @@ def kmeans_fit(
             .localCheckpoint()
         )
     return centroids
+
+
+def kmeans_profile(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+) -> DataFrame:
+    """Semantic-clustering profile →
+    ``(cid, n_vectors, sum_cos_fp, mean_cos_fp)``: fit ``k`` centroids
+    (:func:`kmeans_fit`), assign every vector to its nearest cell, and
+    report per-cluster size plus cohesion — the first diagnostic of a
+    SemDeDup-style embedding clustering (are clusters balanced? which
+    are tight enough to prune aggressively?).
+
+    Cohesion is the cosine of each member to its centroid, fixed-pointed
+    per ROW as ``floor(round(cos, 6)·10⁶ + ½)`` — the 6dp round is the
+    cross-engine-stable value (the ANN entries' contract), and the
+    +½/floor recovers its integer numerator exactly (a bare
+    ``floor(10⁶·cos)`` sits on the raw double's last-ulp boundary and
+    DID diverge between engines); then an exact BIGINT sum — never a
+    float sum, which is association-order-sensitive — and
+    ``mean_cos_fp = sum_cos_fp div n`` (exact floor).  Empty cells are
+    absent (nothing assigned); zero-norm vectors are unindexable and
+    excluded (the :func:`kg.ops.similarity.ivf_assign` contract — the
+    assignment rule here is that operator's, with the cosine kept).
+
+    Scale shape: the fit is :func:`kmeans_fit`'s bounded loop; the
+    final assignment is ONE broadcast-NL pass (K cosines/row, codegen)
+    + a per-vector top-1 window + ONE hash agg — linear in corpus size.
+    """
+    from kg.hints import maybe_broadcast
+    from kg.ops.similarity import _cosine
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    centroids = kmeans_fit(df, id_col, vec_col, k, iters)
+    scored = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .crossJoin(maybe_broadcast(centroids))
+        .select("_id", "cid", _cosine(F.col("_v"), F.col("cv")).alias("_c"))
+        .filter(~F.isnan("_c"))
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("_c"), F.asc("cid"))
+    fin = (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "cid",
+            F.floor(F.round(F.col("_c"), 6) * FIXED_POINT + F.lit(0.5))
+            .cast("long")
+            .alias("_cfp"),
+        )
+    )
+    return (
+        fin.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("n_vectors"),
+            F.sum("_cfp").alias("sum_cos_fp"),
+        )
+        .select(
+            "cid",
+            "n_vectors",
+            "sum_cos_fp",
+            F.expr("sum_cos_fp div n_vectors").cast("long").alias("mean_cos_fp"),
+        )
+    )

@@ -590,3 +590,87 @@ def token_entropy(
             .alias("entropy_fp"),
         )
     )
+
+
+def bigram_surprisal(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+) -> DataFrame:
+    """Per-document bigram-LM surprisal →
+    ``(id_col, n_bigrams, nats_fp)``: the average self-information
+    ``−ln P(next | token)`` of each document's word bigrams under the
+    corpus MLE bigram model, in exact BIGINT micro-nats — the
+    conditional (order-sensitive) upgrade of :func:`~kg.ops.curate`'s
+    unigram ``lm_score`` and the deterministic stand-in for the
+    CCNet/KenLM perplexity filter: template/boilerplate documents score
+    LOW (their bigrams are corpus-predictable), garbage scores high.
+
+    Exactness contract (the bm25 discipline): ONE transcendental per
+    distinct BIGRAM — ``w_fp = floor(10⁶ · ln(c(tok,·)/c(tok,next)))``
+    on the exact integer-ratio double — then a plain BIGINT sum per
+    document and ``sum div n`` (exact floor; w_fp ≥ 0), so the score
+    carries a bit-exact DuckDB twin.  The model is fit on the SAME
+    corpus being scored, so every document bigram exists in the model
+    (no backoff path); documents with < 2 tokens report (0, 0).
+
+    Plan shape (100 TB): bigrams zip IN-ARRAY per document (the
+    :func:`bigram_next_tokens` slice+zip_with shape — no corpus
+    self-join), ONE (tok, next) hash agg for the model, ONE per-token
+    marginal agg (both map-side combined), and one equi-join of the
+    exploded bigram stream against the vocab²-bounded weight dim
+    (broadcast-gated) followed by ONE per-doc agg.
+    """
+    from kg.hints import maybe_broadcast
+
+    toks = tokens_col(F.col(text_col))
+    stream = (
+        docs.select(F.col(id_col), toks.alias("_t"))
+        .select(
+            id_col,
+            F.explode(
+                F.zip_with(
+                    F.slice(
+                        F.col("_t"), 1, F.greatest(F.size("_t") - 1, F.lit(0))
+                    ),
+                    F.slice(
+                        F.col("_t"), 2, F.greatest(F.size("_t") - 1, F.lit(0))
+                    ),
+                    lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+                )
+            ).alias("_p"),
+        )
+        .select(id_col, F.col("_p.w1").alias("w1"), F.col("_p.w2").alias("w2"))
+    )
+    pair_counts = stream.groupBy("w1", "w2").agg(F.count("*").alias("cp"))
+    marginal = pair_counts.groupBy("w1").agg(
+        F.sum("cp").cast("long").alias("ct")
+    )
+    weights = pair_counts.join(maybe_broadcast(marginal), "w1").select(
+        "w1",
+        "w2",
+        F.floor(
+            F.lit(1000000.0)
+            * F.log(F.col("ct").cast("double") / F.col("cp").cast("double"))
+        )
+        .cast("long")
+        .alias("w_fp"),
+    )
+    scored = (
+        stream.join(maybe_broadcast(weights), ["w1", "w2"])
+        .groupBy(id_col)
+        .agg(
+            F.count("*").cast("long").alias("n_bigrams"),
+            F.sum("w_fp").alias("_tot"),
+        )
+        .select(
+            id_col,
+            "n_bigrams",
+            F.expr("_tot div n_bigrams").cast("long").alias("nats_fp"),
+        )
+    )
+    return docs.select(id_col).join(maybe_broadcast(scored), id_col, "left").select(
+        id_col,
+        F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+        F.coalesce("nats_fp", F.lit(0)).cast("long").alias("nats_fp"),
+    )

@@ -1933,3 +1933,69 @@ def test_betweenness_validates_rounds(spark):
     src = spark.createDataFrame([("a",)], "id string")
     with pytest.raises(ValueError, match="rounds"):
         betweenness(e, src, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# eccentricity (bounded, sampled sources)
+# ---------------------------------------------------------------------------
+def test_eccentricity_hand_graph(spark):
+    """Path a→b→c→d: ecc(a)=3 (reach 3), ecc(b)=2 (reach 2); rounds=2
+    truncates a to the lower bound 2."""
+    from kg.ops import eccentricity
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "out_id string, in_id string"
+    )
+    src = spark.createDataFrame([("a",), ("b",), ("zz",)], "id string")
+    got = {
+        r["id"]: (r["ecc"], r["n_reached"])
+        for r in eccentricity(e, src, rounds=3).collect()
+    }
+    assert got == {"a": (3, 3), "b": (2, 2)}
+    trunc = {
+        r["id"]: (r["ecc"], r["n_reached"])
+        for r in eccentricity(e, src, rounds=2).collect()
+    }
+    assert trunc == {"a": (2, 2), "b": (2, 2)}
+
+
+def test_eccentricity_sink_source_and_long_ids(spark):
+    """A source with no out-edges reports (0, 0); integral-id raw path
+    matches the encoded string path."""
+    from kg.ops import eccentricity
+
+    es = spark.createDataFrame(
+        [("a", "b"), ("b", "c")], "out_id string, in_id string"
+    )
+    src = spark.createDataFrame([("c",)], "id string")
+    got = {
+        r["id"]: (r["ecc"], r["n_reached"])
+        for r in eccentricity(es, src, rounds=3).collect()
+    }
+    assert got == {"c": (0, 0)}
+    ei = spark.createDataFrame([(1, 2), (2, 3)], "out_id long, in_id long")
+    sri = spark.createDataFrame([(1,)], "id long")
+    goti = {
+        r["id"]: (r["ecc"], r["n_reached"])
+        for r in eccentricity(ei, sri, rounds=3).collect()
+    }
+    srs = spark.createDataFrame([("1",)], "id string")
+    ess = spark.createDataFrame(
+        [("1", "2"), ("2", "3")], "out_id string, in_id string"
+    )
+    gots = {
+        int(r["id"]): (r["ecc"], r["n_reached"])
+        for r in eccentricity(ess, srs, rounds=3).collect()
+    }
+    assert goti == gots == {1: (2, 2)}
+
+
+def test_eccentricity_validates_rounds(spark):
+    import pytest
+
+    from kg.ops import eccentricity
+
+    e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    src = spark.createDataFrame([("a",)], "id string")
+    with pytest.raises(ValueError, match="rounds"):
+        eccentricity(e, src, rounds=0)

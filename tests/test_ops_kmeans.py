@@ -84,3 +84,87 @@ def test_trained_recall_not_worse_than_standin(emb):
     )
     assert r_trained >= r_standin
     assert r_trained > 0
+
+
+# ---------------------------------------------------------------------------
+# kmeans_profile
+# ---------------------------------------------------------------------------
+def _profile_replica(vecs, k, iters):
+    """Python replica of kmeans_fit + kmeans_profile on dense doubles."""
+    import math
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    cents = [list(vecs[i][1]) for i in sorted(vecs)[:k]]
+    ids = sorted(vecs)
+    for _ in range(iters):
+        assign = {}
+        for i in ids:
+            scored = sorted(
+                ((-cos(vecs[i][1], c), ci) for ci, c in enumerate(cents))
+            )
+            assign[i] = scored[0][1]
+        for ci in range(k):
+            members = [vecs[i][1] for i in ids if assign[i] == ci]
+            if members:
+                dim = len(members[0])
+
+                def _mean_fp(p):
+                    s = sum(math.floor(m[p] * 1e6) for m in members)
+                    n = len(members)
+                    q = s // n if s >= 0 else -((-s) // n)
+                    return q / 1e6
+
+                cents[ci] = [_mean_fp(p) for p in range(dim)]
+    prof = {}
+    for i in ids:
+        scored = sorted(((-cos(vecs[i][1], c), ci) for ci, c in enumerate(cents)))
+        ci = scored[0][1]
+        n, s = prof.get(ci, (0, 0))
+        c6 = round(cos(vecs[i][1], cents[ci]), 6)
+        prof[ci] = (n + 1, s + math.floor(c6 * 1e6 + 0.5))
+    return {
+        ci: (n, s, s // n if s >= 0 else -((-s) // n))
+        for ci, (n, s) in prof.items()
+    }
+
+
+def test_kmeans_profile_matches_replica(spark):
+    from kg.ops import kmeans_profile
+
+    vecs = {
+        0: (0, [1.0, 0.0, 0.0]),
+        1: (1, [0.0, 1.0, 0.0]),
+        2: (2, [0.9, 0.1, 0.0]),
+        3: (3, [0.1, 0.9, 0.0]),
+        4: (4, [0.8, 0.2, 0.1]),
+    }
+    df = spark.createDataFrame(
+        [(i, v) for i, (_, v) in sorted(vecs.items())],
+        "vec_id long, embedding array<double>",
+    )
+    got = {
+        r["cid"]: (r["n_vectors"], r["sum_cos_fp"], r["mean_cos_fp"])
+        for r in kmeans_profile(df, "vec_id", "embedding", k=2, iters=1).collect()
+    }
+    exp = _profile_replica({i: (i, v) for i, (_, v) in vecs.items()}, 2, 1)
+    assert got == exp
+    # both clusters populated, cohesion sane
+    assert set(got) == {0, 1}
+    assert all(m > 900_000 for _, _, m in got.values())
+
+
+def test_kmeans_profile_validates_k(spark):
+    import pytest
+
+    from kg.ops import kmeans_profile
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        kmeans_profile(df, "vec_id", "embedding", k=0)

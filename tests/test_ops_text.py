@@ -365,3 +365,43 @@ def test_token_entropy_uniform_beats_skewed(spark):
     got = {r["lang"]: r["entropy_fp"] for r in token_entropy(docs).collect()}
     assert got["s"] == 0
     assert abs(got["u"] - 1386294) <= 4  # 1e6·ln 4
+
+
+# ---------------------------------------------------------------------------
+# bigram_surprisal
+# ---------------------------------------------------------------------------
+def test_bigram_surprisal_hand_check(spark):
+    """Corpus: d1 = 'a b a b', d2 = 'a b c', d3 = 'x'.
+    Model: c(a,·)=3 with (a,b)=3 → -lnP(b|a)=0;
+    (b,a)=1 of c(b,·)=2 → ln2; (b,c)=1 of 2 → ln2.
+    d1 bigrams [ab, ba, ab] → avg = ln2/3; d2 [ab, bc] → ln2/2;
+    d3 has no bigram → (0, 0)."""
+    import math
+
+    from kg.ops import bigram_surprisal
+
+    docs = spark.createDataFrame(
+        [(1, "a b a b"), (2, "a b c"), (3, "x")], ["doc_id", "text"]
+    )
+    got = {
+        r["doc_id"]: (r["n_bigrams"], r["nats_fp"])
+        for r in bigram_surprisal(docs).collect()
+    }
+    ln2 = math.floor(1e6 * math.log(2))
+    assert got == {
+        1: (3, ln2 // 3),
+        2: (2, ln2 // 2),
+        3: (0, 0),
+    }
+
+
+def test_bigram_surprisal_template_scores_lower(spark):
+    """A document repeating the corpus-dominant bigram scores lower
+    surprisal than one made of rare transitions."""
+    from kg.ops import bigram_surprisal
+
+    rows = [(i, "the quick brown fox") for i in range(10)]
+    rows += [(100, "the quick brown fox"), (101, "fox brown quick the")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["nats_fp"] for r in bigram_surprisal(docs).collect()}
+    assert got[100] < got[101]
