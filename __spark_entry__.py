@@ -392,6 +392,24 @@ def q_dedup_minhash_portable(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_OVERLAP_T = 0.8
+
+
+def q_dedup_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Containment / overlap-coefficient near-dups
+    (``kg/ops/dedup.py::overlap_duplicates``): |A∩B| / min(|A|,|B|)
+    over word 3-gram shingles on portable MinHash-LSH candidates — the
+    asymmetric-duplication (quote-inclusion) tier Jaccard structurally
+    misses.  Full twin via the shared md5 blocking prefix +
+    list_intersect/least scoring."""
+    from kg.ops import overlap_duplicates
+
+    return overlap_duplicates(
+        _read_spread(spark, sf, "documents"), "doc_id", "text",
+        threshold=_OVERLAP_T, portable=True,
+    )
+
+
 _EDIT_MAX_DIST = 16
 
 
@@ -566,6 +584,58 @@ def q_kmeans_clusters(spark: SparkSession, sf: str) -> DataFrame:
     return kmeans_profile(
         _read(spark, sf, "embeddings"), "vec_id", "embedding",
         k=_IVF_CELLS, iters=_KMEANS_ITERS,
+    )
+
+
+_OUTLIER_Z = 2
+
+
+def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
+    """Cluster-relative embedding anomaly scoring
+    (``kg/ops/kmeans.py::embedding_outliers``): every vector's cohesion
+    to its trained cell vs the cell's mean/std, flagged when more than
+    2σ below — the off-distribution/garbage surfacing pass of an
+    embedding-curation pipeline.  Mean/variance are exact integer
+    identities over the stable per-row cohesion; std is
+    floor(sqrt(int)) — IEEE sqrt is correctly rounded, so the floor is
+    engine-safe where ln's is not.  Full unrolled-CTE twin."""
+    from kg.ops import embedding_outliers
+
+    return embedding_outliers(
+        _read(spark, sf, "embeddings"), "vec_id", "embedding",
+        k=_IVF_CELLS, iters=_KMEANS_ITERS, z=_OUTLIER_Z,
+    )
+
+
+def _embedding_outliers_sql() -> str:
+    """Twin of q_embedding_outliers: Lloyd's chain + cohesion
+    assignment + exact integer mean/variance (HUGEINT; the variance
+    numerator n·Σx²−(Σx)² is ≥ 0 by Cauchy–Schwarz so ``//`` equals
+    Spark's ``div``) + floor(sqrt(·)) std."""
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        + _kmeans_cent_ctes(_IVF_CELLS, _KMEANS_ITERS)
+        + ", fin AS (SELECT vec_id, cid, CAST(floor(round(cos, 6) * 1000000 "
+        "+ 0.5) AS BIGINT) AS cfp FROM (SELECT vec_id, cid, cos FROM ("
+        f"SELECT b.vec_id, c.cid, {_COS_CENT} AS cos, row_number() OVER "
+        f"(PARTITION BY b.vec_id ORDER BY {_COS_CENT} DESC, c.cid ASC) AS rk "
+        f"FROM base b CROSS JOIN cent{_KMEANS_ITERS} c "
+        f"WHERE NOT isnan({_COS_CENT})) WHERE rk = 1)), "
+        "st AS (SELECT cid, count(*)::HUGEINT AS n, "
+        "       sum(cfp::HUGEINT) AS s, "
+        "       sum(cfp::HUGEINT * cfp::HUGEINT) AS sq "
+        "       FROM fin GROUP BY cid), "
+        "st2 AS (SELECT cid, "
+        "CAST(CASE WHEN s >= 0 THEN s // n ELSE -((-s) // n) END AS BIGINT) "
+        "AS mean_cos_fp, "
+        "CAST(floor(sqrt(CAST((n * sq - s * s) // (n * n) AS DOUBLE))) "
+        "AS BIGINT) AS std_fp FROM st) "
+        "SELECT f.vec_id, f.cid, f.cfp AS cos_fp, st2.mean_cos_fp, "
+        "st2.std_fp, "
+        f"(st2.mean_cos_fp - f.cfp) > {_OUTLIER_Z} * st2.std_fp "
+        "AS is_outlier "
+        "FROM fin f JOIN st2 USING (cid)"
     )
 
 
@@ -3053,6 +3123,7 @@ def queries() -> dict[str, _T]:
         "dedup_minhash_portable": q_dedup_minhash_portable,
         "dedup_cluster_keepers": q_dedup_cluster_keepers,
         "dedup_edit_distance": q_dedup_edit_distance,
+        "dedup_overlap": q_dedup_overlap,
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_embedding": q_dedup_embedding,
@@ -3062,6 +3133,7 @@ def queries() -> dict[str, _T]:
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
         "kmeans_clusters": q_kmeans_clusters,
+        "embedding_outliers": q_embedding_outliers,
         "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_ivf_sq": q_ann_ivf_sq,
@@ -4152,6 +4224,20 @@ def oracle_sql() -> dict[str, str]:
         "dedup_paragraphs": _dedup_paragraphs_sql(),
         "dedup_minhash_portable": _minhash_portable_sql(),
         "dedup_edit_distance": _edit_distance_sql(_EDIT_MAX_DIST),
+        "dedup_overlap": (
+            "WITH " + _minhash_cand_prefix() + ", "
+            "scored AS (SELECT a, b, "
+            "  CASE WHEN least(len(sa.shset), len(sb.shset)) = 0 THEN 0.0 "
+            "  ELSE CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) "
+            "       / least(len(sa.shset), len(sb.shset)) END AS ov, "
+            "  CASE WHEN len(list_distinct(list_concat(sa.shset, sb.shset))) = 0 THEN 0.0 "
+            "  ELSE round(CAST(len(list_intersect(sa.shset, sb.shset)) AS DOUBLE) "
+            "       / len(list_distinct(list_concat(sa.shset, sb.shset))), 6) END AS jaccard "
+            "  FROM cand JOIN shs sa ON sa.doc_id = cand.a "
+            "  JOIN shs sb ON sb.doc_id = cand.b) "
+            "SELECT a, b, round(ov, 6) AS overlap, jaccard FROM scored "
+            f"WHERE ov >= {_OVERLAP_T}"
+        ),
         "dedup_cluster_keepers": _cluster_keepers_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
         "ann_lsh": _ann_lsh_sql(),
@@ -4181,6 +4267,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),
+        "embedding_outliers": _embedding_outliers_sql(),
         "ann_pq": _ann_pq_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
         "ann_ivf_sq": _ann_ivf_sq_sql(),

@@ -43,6 +43,8 @@ QUERIES = (
     "khop",
     "sssp",
     "harmonic",
+    "betweenness",
+    "eccentricity",
     "hits",
     "lpa",
     "components",
@@ -84,7 +86,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="rank rounds (pagerank/ppr/hits/katz)")
     ap.add_argument("--sources", default=None,
                     help="comma-separated vertex ids "
-                         "(ppr/khop/sssp/harmonic)")
+                         "(ppr/khop/sssp/harmonic/betweenness/"
+                         "eccentricity)")
     ap.add_argument("--k", type=int, default=2,
                     help="BFS depth (khop); degree threshold (kcore); "
                          "truss order (ktruss)")
@@ -92,7 +95,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="relaxation rounds = max path edges (sssp); "
                          "synchronous update rounds (lpa); peel rounds "
                          "(kcore); min-label propagation budget per "
-                         "coloring pass (scc); BFS budget (harmonic)")
+                         "coloring pass (scc); BFS budget "
+                         "(harmonic/betweenness/eccentricity)")
     ap.add_argument("--trips", type=int, default=2,
                     help="trim+color trips (scc)")
     ap.add_argument("--weight-col", default=None,
@@ -216,6 +220,18 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             if not args.sources:
                 raise SystemExit("--query harmonic requires --sources")
             out = g.harmonic_centrality(
+                edges, _sources_df(spark, args.sources), rounds=args.rounds
+            )
+        elif args.query == "betweenness":
+            if not args.sources:
+                raise SystemExit("--query betweenness requires --sources")
+            out = g.betweenness(
+                edges, _sources_df(spark, args.sources), rounds=args.rounds
+            )
+        elif args.query == "eccentricity":
+            if not args.sources:
+                raise SystemExit("--query eccentricity requires --sources")
+            out = g.eccentricity(
                 edges, _sources_df(spark, args.sources), rounds=args.rounds
             )
         elif args.query == "hits":

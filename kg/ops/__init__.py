@@ -37,6 +37,7 @@ from kg.ops.dedup import (  # noqa: F401
     exact_duplicates,
     minhash_duplicates,
     ngram_jaccard_pairs,
+    overlap_duplicates,
     paragraph_dedup,
     simhash_col,
     simhash_col_jvm,
@@ -75,7 +76,11 @@ from kg.ops.graph import (  # noqa: F401
     triangles,
     two_hop,
 )
-from kg.ops.kmeans import kmeans_fit, kmeans_profile  # noqa: F401
+from kg.ops.kmeans import (  # noqa: F401
+    embedding_outliers,
+    kmeans_fit,
+    kmeans_profile,
+)
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
 from kg.ops.retrieval import bm25_topk, rrf_fuse  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401

@@ -591,3 +591,72 @@ def edit_distance_duplicates(
             F.lit(1.0) - F.col("dist").cast("double") / F.col("_len"), 6
         ).alias("sim"),
     )
+
+
+def overlap_duplicates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    threshold: float = 0.8,
+    perms: int = 64,
+    bands: int = 16,
+    ngram: int = 3,
+    portable: bool = False,
+) -> DataFrame:
+    """Containment near-dup pairs → ``(a, b, overlap, jaccard)``:
+    MinHash-LSH candidates scored with the Szymkiewicz–Simpson overlap
+    coefficient ``|A∩B| / min(|A|, |B|)`` over word n-gram shingle
+    sets (Broder's containment, symmetrized by taking the smaller
+    set as denominator).  This is the ASYMMETRIC-duplication detector
+    Jaccard structurally misses: a short document quoted whole inside
+    a much longer one has overlap 1.0 but Jaccard ≈ |A|/|B| → 0, so a
+    Jaccard-thresholded dedup keeps both.  Jaccard rides along for
+    triage (low jaccard + high overlap ⇒ subset, not twin).
+
+    Same blocking, bucket cap, id ordering, empty-shingle-set guard
+    and ``portable`` contract as :func:`minhash_duplicates` (with
+    ``portable=True`` the WHOLE operator has a DuckDB twin).
+
+    LSH recall caveat, documented for honest use: band collision
+    probability tracks JACCARD, so a tiny-doc-inside-huge-doc pair
+    (overlap 1, jaccard → 0) may not surface as a candidate; at
+    production scale the quote-detection tier combines this scorer
+    with a seed-shingle index.  Within a corpus of comparable-length
+    documents (the entry's regime) the blocking is the same one the
+    jaccard dedup trusts.
+    """
+    from kg.hints import spread_to_slots
+    from kg.ops.minhash import md5_base, xxhash64_base
+
+    sh = spread_to_slots(df).select(
+        F.col(id_col).cast("string").alias(id_col),
+        token_ngrams(F.col(text_col), ngram).alias("sh"),
+    ).localCheckpoint()  # scanned 3x (candidates + both score sides)
+    cands = minhash_candidate_pairs(
+        sh, id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
+        base_hash=md5_base if portable else xxhash64_base,
+        portable_keys=portable,
+    )
+    a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
+    b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    smaller = F.least(F.size("sh_a"), F.size("sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    return (
+        cands.join(a, "a")
+        .join(b, "b")
+        .select(
+            "a",
+            "b",
+            # token-less docs carry empty shingle sets: no evidence,
+            # scored 0.0 (the ngram_jaccard_pairs ANSI-safe guard)
+            F.when(smaller == 0, F.lit(0.0))
+            .otherwise(inter / smaller)
+            .alias("_ov"),
+            F.when(union == 0, F.lit(0.0))
+            .otherwise(F.round(inter / union, 6))
+            .alias("jaccard"),
+        )
+        .filter(F.col("_ov") >= threshold)
+        .select("a", "b", F.round("_ov", 6).alias("overlap"), "jaccard")
+    )

@@ -135,32 +135,10 @@ def kmeans_profile(
     final assignment is ONE broadcast-NL pass (K cosines/row, codegen)
     + a per-vector top-1 window + ONE hash agg — linear in corpus size.
     """
-    from kg.hints import maybe_broadcast
-    from kg.ops.similarity import _cosine
-
     if k < 1:
         raise ValueError(f"k must be >= 1, got {k}")
     centroids = kmeans_fit(df, id_col, vec_col, k, iters)
-    scored = (
-        df.select(
-            F.col(id_col).alias("_id"),
-            F.col(vec_col).cast("array<double>").alias("_v"),
-        )
-        .crossJoin(maybe_broadcast(centroids))
-        .select("_id", "cid", _cosine(F.col("_v"), F.col("cv")).alias("_c"))
-        .filter(~F.isnan("_c"))
-    )
-    w = W.partitionBy("_id").orderBy(F.desc("_c"), F.asc("cid"))
-    fin = (
-        scored.withColumn("_rk", F.row_number().over(w))
-        .filter(F.col("_rk") == 1)
-        .select(
-            "cid",
-            F.floor(F.round(F.col("_c"), 6) * FIXED_POINT + F.lit(0.5))
-            .cast("long")
-            .alias("_cfp"),
-        )
-    )
+    fin = _assign_cohesion(df, id_col, vec_col, centroids)
     return (
         fin.groupBy("cid")
         .agg(
@@ -173,4 +151,117 @@ def kmeans_profile(
             "sum_cos_fp",
             F.expr("sum_cos_fp div n_vectors").cast("long").alias("mean_cos_fp"),
         )
+    )
+
+
+def _assign_cohesion(
+    df: DataFrame, id_col: str, vec_col: str, centroids: DataFrame
+) -> DataFrame:
+    """→ (_id, cid, _cfp): each vector's nearest cell (the
+    :func:`kg.ops.similarity.ivf_assign` rule, cosine kept) with its
+    cohesion fixed-pointed as ``floor(round(cos, 6)·10⁶ + ½)`` — the
+    cross-engine-stable integer (see :func:`kmeans_profile`)."""
+    from kg.hints import maybe_broadcast
+    from kg.ops.similarity import _cosine
+
+    scored = (
+        df.select(
+            F.col(id_col).alias("_id"),
+            F.col(vec_col).cast("array<double>").alias("_v"),
+        )
+        .crossJoin(maybe_broadcast(centroids))
+        .select("_id", "cid", _cosine(F.col("_v"), F.col("cv")).alias("_c"))
+        .filter(~F.isnan("_c"))
+    )
+    w = W.partitionBy("_id").orderBy(F.desc("_c"), F.asc("cid"))
+    return (
+        scored.withColumn("_rk", F.row_number().over(w))
+        .filter(F.col("_rk") == 1)
+        .select(
+            "_id",
+            "cid",
+            F.floor(F.round(F.col("_c"), 6) * FIXED_POINT + F.lit(0.5))
+            .cast("long")
+            .alias("_cfp"),
+        )
+    )
+
+
+def embedding_outliers(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+    z: int = 2,
+) -> DataFrame:
+    """Cluster-relative embedding anomaly scoring →
+    ``(id_col, cid, cos_fp, mean_cos_fp, std_fp, is_outlier)`` for
+    every assignable vector: fit ``k`` centroids (:func:`kmeans_fit`),
+    assign each vector, and flag members whose cohesion sits more than
+    ``z`` standard deviations BELOW their cluster's mean — the
+    embedding-space outlier pass a curation pipeline runs to surface
+    mislabeled / off-distribution / garbage items before training.
+
+    Exactness contract: cohesion is the stable per-row integer
+    (:func:`_assign_cohesion`); per-cluster mean is ``sum div n``;
+    variance is the exact integer identity
+    ``(n·Σx² − (Σx)²) div n²`` in micro-unit² (decimal(38,0) — Σx² ≤
+    10¹²·n fits comfortably), and ``std_fp = floor(sqrt(var))`` —
+    IEEE-754 guarantees sqrt is correctly rounded, so both engines
+    floor the IDENTICAL double (the reason sqrt may sit under a bare
+    floor while ln/cos may not).  The flag
+    ``mean_cos_fp − cos_fp > z·std_fp`` is then pure integer
+    comparison.  Single-member clusters have std 0 and gap 0 → never
+    flagged; a constant cluster likewise.
+
+    Scale shape: the fit is bounded; then ONE assignment pass, ONE
+    per-cluster hash agg (k rows), one broadcast-gated dim join back,
+    and a map-side flag — linear in corpus size.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if z < 0:
+        raise ValueError(f"z must be >= 0, got {z}")
+    from kg.hints import maybe_broadcast
+
+    dec = "decimal(38,0)"
+    centroids = kmeans_fit(df, id_col, vec_col, k, iters)
+    fin = _assign_cohesion(df, id_col, vec_col, centroids)
+    stats = (
+        fin.groupBy("cid")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum("_cfp").alias("_s"),
+            F.sum(
+                (F.col("_cfp").cast(dec) * F.col("_cfp").cast(dec)).cast(dec)
+            ).alias("_sq"),
+        )
+        .select(
+            "cid",
+            "_n",
+            F.expr("_s div _n").cast("long").alias("mean_cos_fp"),
+            F.floor(
+                F.sqrt(
+                    F.expr(
+                        f"(cast(_n as {dec}) * _sq - "
+                        f"cast(_s as {dec}) * cast(_s as {dec})) div "
+                        f"(cast(_n as {dec}) * cast(_n as {dec}))"
+                    ).cast("double")
+                )
+            )
+            .cast("long")
+            .alias("std_fp"),
+        )
+    )
+    return fin.join(maybe_broadcast(stats), "cid").select(
+        F.col("_id").alias(id_col),
+        "cid",
+        F.col("_cfp").alias("cos_fp"),
+        "mean_cos_fp",
+        "std_fp",
+        (
+            (F.col("mean_cos_fp") - F.col("_cfp"))
+            > F.lit(z) * F.col("std_fp")
+        ).alias("is_outlier"),
     )

@@ -314,3 +314,28 @@ def test_cli_summary(spark, warehouse, tmp_path):
     # a→b→c chain + d→c: 4 vertices, 3 edges, no loops, no reciprocals
     assert (r["n_vertices"], r["n_edges"], r["n_self_loops"]) == (4, 3, 0)
     assert r["density"] == 0.25 and r["reciprocity"] == 0.0
+
+
+def test_cli_betweenness_and_eccentricity(spark, warehouse, tmp_path):
+    # a→b→c: from source a, b is the only intermediate (δ = 1e6);
+    # ecc(a) = 2 reaching {b, c}
+    bc = {
+        r["id"]: (r["bc_fp"], r["n_sources"])
+        for r in _run(
+            spark, warehouse, tmp_path,
+            "--query", "betweenness", "--sources", "a", "--rounds", "3",
+        ).collect()
+    }
+    assert bc["b"] == (1_000_000, 1)
+    assert bc["a"] == (0, 0) and bc["c"] == (0, 1)
+    ecc = {
+        r["id"]: (r["ecc"], r["n_reached"])
+        for r in _run(
+            spark, warehouse, tmp_path,
+            "--query", "eccentricity", "--sources", "a,d", "--rounds", "3",
+        ).collect()
+    }
+    assert ecc == {"a": (2, 2), "d": (1, 1)}
+    for q in ("betweenness", "eccentricity"):
+        with pytest.raises(SystemExit):
+            cli.main(["--warehouse", warehouse, "--query", q], spark=spark)

@@ -802,3 +802,43 @@ def test_edit_distance_validates(spark):
         edit_distance_duplicates(
             _ed_corpus(spark), "doc_id", "text", max_dist=-1
         )
+
+
+# ---------------------------------------------------------------------------
+# overlap-coefficient (containment) dedup
+# ---------------------------------------------------------------------------
+def test_overlap_catches_quote_inclusion(spark):
+    """Doc 2 = doc 1 quoted whole plus a tail: overlap is exactly 1.0
+    while jaccard sits well below it — the asymmetric signal.  (The
+    tail is kept short enough that the pair's jaccard still collides a
+    band: LSH recall tracks jaccard, the documented caveat.)"""
+    from kg.ops import overlap_duplicates
+
+    quoted = "alpha beta gamma delta epsilon zeta eta theta"
+    docs = spark.createDataFrame(
+        [
+            (1, quoted),
+            (2, quoted + " with extra tail"),
+            (3, "completely different content about other things"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = overlap_duplicates(
+        docs, "doc_id", "text", threshold=0.9, portable=True
+    ).collect()
+    assert len(got) == 1
+    r = got[0]
+    assert (r["a"], r["b"], r["overlap"]) == ("1", "2", 1.0)
+    assert r["jaccard"] < 0.7  # a 0.7-jaccard dedup would MISS this pair
+
+
+def test_overlap_empty_shingles_score_zero(spark):
+    from kg.ops import overlap_duplicates
+
+    docs = spark.createDataFrame(
+        [(1, "!!! ???"), (2, "!!! ???")], ["doc_id", "text"]
+    )
+    got = overlap_duplicates(
+        docs, "doc_id", "text", threshold=0.1, portable=True
+    ).collect()
+    assert got == []

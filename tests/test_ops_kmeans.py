@@ -168,3 +168,66 @@ def test_kmeans_profile_validates_k(spark):
     )
     with pytest.raises(ValueError, match="k must be"):
         kmeans_profile(df, "vec_id", "embedding", k=0)
+
+
+# ---------------------------------------------------------------------------
+# embedding_outliers
+# ---------------------------------------------------------------------------
+def test_embedding_outliers_flags_far_member(spark):
+    """One cluster of near-identical vectors plus one far member: only
+    the far member is flagged; integer mean/std verified by replica."""
+    import math
+
+    from kg.ops import embedding_outliers
+
+    rows = [(i, [1.0, 0.001 * i, 0.0]) for i in range(6)]
+    rows.append((6, [0.5, 0.86, 0.0]))  # ~60 degrees off the bundle
+    df = spark.createDataFrame(
+        rows, "vec_id long, embedding array<double>"
+    )
+    got = {
+        r["vec_id"]: (
+            r["cid"], r["cos_fp"], r["mean_cos_fp"], r["std_fp"],
+            r["is_outlier"],
+        )
+        for r in embedding_outliers(
+            df, "vec_id", "embedding", k=1, iters=1, z=2
+        ).collect()
+    }
+    assert len(got) == 7
+    flagged = {v for v, t in got.items() if t[4]}
+    assert flagged == {6}
+    # replica of the integer stats on the observed cohesions
+    xs = sorted(t[1] for t in got.values())
+    n, s = len(xs), sum(xs)
+    sq = sum(x * x for x in xs)
+    mean = s // n if s >= 0 else -((-s) // n)
+    std = math.floor(math.sqrt((n * sq - s * s) // (n * n)))
+    assert all(t[2] == mean and t[3] == std for t in got.values())
+
+
+def test_embedding_outliers_uniform_cluster_never_flags(spark):
+    from kg.ops import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(i, [1.0, 0.0]) for i in range(5)],
+        "vec_id long, embedding array<double>",
+    )
+    got = embedding_outliers(df, "vec_id", "embedding", k=1, iters=1).collect()
+    assert len(got) == 5
+    assert not any(r["is_outlier"] for r in got)
+    assert all(r["std_fp"] == 0 for r in got)
+
+
+def test_embedding_outliers_validates(spark):
+    import pytest
+
+    from kg.ops import embedding_outliers
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 0.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="k must be"):
+        embedding_outliers(df, "vec_id", "embedding", k=0)
+    with pytest.raises(ValueError, match="z must be"):
+        embedding_outliers(df, "vec_id", "embedding", k=1, z=-1)
