@@ -270,6 +270,33 @@ def q_pivot_order_priority(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_FUNNEL_STEPS = ("signup", "view", "click", "purchase")
+_RETENTION_MAX = 14
+
+
+def q_event_funnel(spark: SparkSession, sf: str) -> DataFrame:
+    """Ordered conversion funnel (``kg/ops/events.py::funnel_steps``):
+    signup → view → click → purchase with the first-touch strict-after
+    chaining rule — per-step user counts + conversion vs step 1.  One
+    type-filtered scan, then per-step shrinking min-agg/join chains;
+    no stream self-join, no corpus window."""
+    from kg.ops import funnel_steps
+
+    return funnel_steps(_read(spark, sf, "events"), list(_FUNNEL_STEPS))
+
+
+def q_event_retention(spark: SparkSession, sf: str) -> DataFrame:
+    """Cohort retention triangle (``kg/ops/events.py::cohort_retention``):
+    users cohorted by first-event date, per-(cohort, day-offset) active
+    counts and rates, truncated at 14 days — integer day arithmetic,
+    so the twin is exact without fixed-point machinery."""
+    from kg.ops import cohort_retention
+
+    return cohort_retention(
+        _read(spark, sf, "events"), max_offset=_RETENTION_MAX
+    )
+
+
 def q_hourly_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming operator
     kg.streaming.windowed_event_counts)."""
@@ -3115,6 +3142,8 @@ def queries() -> dict[str, _T]:
         "cube_pricing": q_cube_pricing,
         "pivot_order_priority": q_pivot_order_priority,
         "hourly_event_windows": q_hourly_event_windows,
+        "event_funnel": q_event_funnel,
+        "event_retention": q_event_retention,
         "event_sessions": q_event_sessions,
         "user_event_windows": q_user_event_windows,
         "dedup_exact": q_dedup_exact,
@@ -3511,6 +3540,36 @@ def _lang_case() -> str:
     return f"CASE {whens} ELSE 'und' END"
 
 
+def _event_funnel_sql() -> str:
+    """Twin of q_event_funnel: the same first-touch strict-after
+    chaining (min-ts CTE per step, each joining the previous step's
+    frame), then per-step counts crossed with the step-1 total."""
+    parts = [
+        "s1 AS (SELECT user_id AS u, min(ts) AS t FROM events "
+        f"WHERE event_type = '{_FUNNEL_STEPS[0]}' GROUP BY user_id)"
+    ]
+    for i, s in enumerate(_FUNNEL_STEPS[1:], start=2):
+        parts.append(
+            f"s{i} AS (SELECT e.user_id AS u, min(e.ts) AS t FROM events e "
+            f"JOIN s{i - 1} p ON p.u = e.user_id AND e.ts > p.t "
+            f"WHERE e.event_type = '{s}' GROUP BY e.user_id)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT {i} AS step, '{s}' AS event_type, "
+        f"count(*) AS n_users FROM s{i}"
+        for i, s in enumerate(_FUNNEL_STEPS, start=1)
+    )
+    parts.append(f"n AS ({unions})")
+    parts.append("f AS (SELECT count(*) AS n1 FROM s1)")
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT CAST(step AS INT) AS step, event_type, "
+        "CAST(n_users AS BIGINT) AS n_users, "
+        "round(CASE WHEN n1 > 0 THEN CAST(n_users AS DOUBLE) / n1 END, 6) "
+        "AS pct_of_first FROM n CROSS JOIN f"
+    )
+
+
 def _hybrid_search_sql() -> str:
     """DuckDB twin of q_hybrid_search: the verified BM25 chain and the
     verified brute-force-cosine chain, each ranked to the leg depth,
@@ -3696,6 +3755,28 @@ def oracle_sql() -> dict[str, str]:
                 )
             )
             + " FROM orders GROUP BY o_orderstatus"
+        ),
+        "event_funnel": _event_funnel_sql(),
+        "event_retention": (
+            # same integer day arithmetic: CAST(ts AS DATE) truncation,
+            # date_diff('day', ...) == Spark datediff
+            "WITH firsts AS (SELECT user_id AS u, "
+            "CAST(min(ts) AS DATE) AS cohort_date FROM events "
+            "GROUP BY user_id), "
+            "sizes AS (SELECT cohort_date, count(*) AS cohort_size "
+            "FROM firsts GROUP BY cohort_date), "
+            "act AS (SELECT DISTINCT user_id AS u, CAST(ts AS DATE) AS d "
+            "FROM events), "
+            "cells AS (SELECT f.cohort_date, "
+            "date_diff('day', f.cohort_date, a.d) AS day_offset, "
+            "count(*) AS n_active FROM act a JOIN firsts f ON f.u = a.u "
+            f"WHERE date_diff('day', f.cohort_date, a.d) <= {_RETENTION_MAX} "
+            "GROUP BY 1, 2) "
+            "SELECT c.cohort_date, CAST(c.day_offset AS INT) AS day_offset, "
+            "CAST(c.n_active AS BIGINT) AS n_active, "
+            "CAST(s.cohort_size AS BIGINT) AS cohort_size, "
+            "round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) "
+            "AS retention FROM cells c JOIN sizes s USING (cohort_date)"
         ),
         "hourly_event_windows": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

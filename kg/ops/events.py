@@ -1,0 +1,154 @@
+"""Event-sequence analytics over the events stream table.
+
+The batch twins of the product-analytics queries every event sink
+serves: ordered conversion funnels and cohort retention.  Both are pure
+DataFrame chains (joins + hash aggs, zero Python, zero windows over the
+corpus) with exact ANSI-SQL oracle twins — timestamps and day arithmetic
+are integer-exact, so no fixed-point machinery is needed.
+
+Reference parity note: the reference engine (syedhassaanahmed/
+neo-to-cosmos) migrates into a sink that analytics consumers then
+query; sequence analytics over an event table is part of this repo's
+§2.1 new-engine surface (SURVEY.md), not a translation of any
+reference file.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg.hints import maybe_broadcast
+
+
+def funnel_steps(
+    events: DataFrame,
+    steps: list[str],
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+) -> DataFrame:
+    """Ordered conversion funnel → one row per step:
+    ``(step, event_type, n_users, pct_of_first)``.
+
+    A user completes step k when an event of type ``steps[k]`` occurs
+    STRICTLY after their earliest completion of step k−1 (the
+    first-touch convention: t₁ = min ts of step 1, t_k = min ts of a
+    step-k event with ts > t_{k−1}).  Equal timestamps do NOT chain —
+    the strict ``>`` is deterministic and mirrored in the SQL twin.
+    ``n_users`` counts users reaching step k; ``pct_of_first`` is the
+    classic conversion rate vs step 1 (6dp; step 1 reads 1.0, and an
+    empty funnel reports 0 users with NULL pct).
+
+    Plan shape (100 TB): the event scan is filtered to the funnel's
+    types ONCE (predicate pushed to the scan); each chaining round is
+    one per-user min hash agg + one narrow equi-join on the user key —
+    |steps|−1 joins over frames that only SHRINK (users still in the
+    funnel), never a self-join of the raw stream, never a window over
+    it.  The final report is |steps| constant-size aggs.
+    """
+    if len(steps) < 1:
+        raise ValueError("funnel needs at least one step")
+    if len(set(steps)) != len(steps):
+        raise ValueError(f"funnel steps must be distinct, got {steps}")
+    base = events.select(
+        F.col(user_col).alias("u"),
+        F.col(type_col).alias("et"),
+        F.col(ts_col).alias("t"),
+    ).filter(F.col("et").isin(list(steps)))
+    reached = (
+        base.filter(F.col("et") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t_prev"))
+    )
+    per_step = [reached]
+    for s in steps[1:]:
+        nxt = (
+            base.filter(F.col("et") == s)
+            .join(per_step[-1], "u")
+            .filter(F.col("t") > F.col("t_prev"))
+            .groupBy("u")
+            .agg(F.min("t").alias("t_prev"))
+        )
+        per_step.append(nxt)
+    counts = None
+    for i, (s, frame) in enumerate(zip(steps, per_step), start=1):
+        row = frame.agg(F.count("*").cast("long").alias("n_users")).select(
+            F.lit(i).cast("int").alias("step"),
+            F.lit(s).alias("event_type"),
+            "n_users",
+        )
+        counts = row if counts is None else counts.unionByName(row)
+    first = per_step[0].agg(F.count("*").cast("long").alias("_n1"))
+    return counts.crossJoin(F.broadcast(first)).select(
+        "step",
+        "event_type",
+        "n_users",
+        F.round(
+            F.when(
+                F.col("_n1") > 0,
+                F.col("n_users").cast("double") / F.col("_n1").cast("double"),
+            ),
+            6,
+        ).alias("pct_of_first"),
+    )
+
+
+def cohort_retention(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    max_offset: int | None = None,
+) -> DataFrame:
+    """Cohort retention →
+    ``(cohort_date, day_offset, n_active, cohort_size, retention)``:
+    users are cohorted by the calendar date of their FIRST event; for
+    each (cohort, day-offset) cell, ``n_active`` counts cohort members
+    with any event exactly ``day_offset`` days after their cohort date
+    and ``retention = n_active / cohort_size`` (6dp).  Offset 0 always
+    reads 1.0 (everyone is active on their first day).  ``max_offset``
+    optionally truncates the triangle (the dashboards' 30-day view).
+
+    Plan shape (100 TB): one per-user min hash agg (the cohort dim),
+    one (user, date) distinct over the scan, one equi-join of the
+    distinct frame against the user-keyed cohort dim, and one hash agg
+    on the (cohort, offset) cell — day arithmetic is pure integer
+    `datediff`, so the twin is exact.  No windows, no Python.
+    """
+    if max_offset is not None and max_offset < 0:
+        raise ValueError(f"max_offset must be >= 0, got {max_offset}")
+    firsts = (
+        events.select(F.col(user_col).alias("u"), F.col(ts_col).alias("t"))
+        .groupBy("u")
+        .agg(F.to_date(F.min("t")).alias("cohort_date"))
+    )
+    sizes = firsts.groupBy("cohort_date").agg(
+        F.count("*").cast("long").alias("cohort_size")
+    )
+    active = (
+        events.select(
+            F.col(user_col).alias("u"), F.to_date(F.col(ts_col)).alias("d")
+        )
+        .distinct()
+        .join(firsts, "u")
+        .select(
+            "cohort_date",
+            F.datediff(F.col("d"), F.col("cohort_date")).alias("day_offset"),
+            "u",
+        )
+    )
+    if max_offset is not None:
+        active = active.filter(F.col("day_offset") <= max_offset)
+    cells = active.groupBy("cohort_date", "day_offset").agg(
+        F.count("*").cast("long").alias("n_active")
+    )
+    return cells.join(maybe_broadcast(sizes), "cohort_date").select(
+        "cohort_date",
+        "day_offset",
+        "n_active",
+        "cohort_size",
+        F.round(
+            F.col("n_active").cast("double")
+            / F.col("cohort_size").cast("double"),
+            6,
+        ).alias("retention"),
+    )
