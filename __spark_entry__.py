@@ -1870,6 +1870,68 @@ def _sssp_sql(rounds: int, src_max: int) -> str:
     return "WITH " + ", ".join(parts) + f" SELECT id, dist FROM d{rounds}"
 
 
+_MIS_ROUNDS = 3
+
+
+def q_graph_mis(spark: SparkSession, sf: str) -> DataFrame:
+    """Luby maximal independent set
+    (``kg/ops/graph.py::maximal_independent_set``) over the
+    customer→nation→region membership graph: the distributed
+    symmetry-breaking primitive (conflict-free scheduling / coarsening
+    seeds), deterministic via md5 hash-priority keys so the fixed-round
+    loop unrolls into a FULL CTE twin.  'in' is independent by
+    construction each round; the bounded budget degrades leftovers to
+    'undecided', never to a conflicting label."""
+    from kg.ops import maximal_independent_set
+
+    return maximal_independent_set(
+        _cn_graph_edges(spark, sf), rounds=_MIS_ROUNDS
+    )
+
+
+def _mis_sql(edges_sql: str, rounds: int, seed: int = 0) -> str:
+    """Twin of q_graph_mis: identical md5-priority keys (fixed-length
+    hex || '|' || id — a plain string min both engines order the same),
+    per-round neighbor-min, selection, neighbor knock-out and residual
+    CTEs."""
+    parts = [
+        "t AS (" + edges_sql + ")",
+        "e AS (SELECT DISTINCT src, dst FROM (SELECT out_id AS src, "
+        "in_id AS dst FROM t UNION ALL SELECT in_id, out_id FROM t) "
+        "WHERE src <> dst)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT out_id AS id FROM t UNION ALL SELECT in_id FROM t))",
+        "u0 AS (SELECT id FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"p{r} AS MATERIALIZED (SELECT id, "
+            f"md5('{seed}:{r}:' || id) || '|' || id AS k FROM u{r - 1})",
+            f"nb{r} AS (SELECT e.src AS id, min(pn.k) AS m FROM e "
+            f"JOIN p{r} pn ON pn.id = e.dst "
+            f"JOIN p{r} ps ON ps.id = e.src GROUP BY e.src)",
+            f"sel{r} AS MATERIALIZED (SELECT p.id FROM p{r} p "
+            f"LEFT JOIN nb{r} n USING (id) "
+            "WHERE n.m IS NULL OR p.k < n.m)",
+            f"out{r} AS MATERIALIZED (SELECT DISTINCT e.dst AS id FROM e "
+            f"JOIN sel{r} s ON s.id = e.src "
+            f"JOIN u{r - 1} uu ON uu.id = e.dst)",
+            f"u{r} AS MATERIALIZED (SELECT id FROM u{r - 1} "
+            f"WHERE id NOT IN (SELECT id FROM sel{r}) "
+            f"AND id NOT IN (SELECT id FROM out{r}))",
+        ]
+    unions = " UNION ALL ".join(
+        f"SELECT id, 'in' AS state, {r} AS round FROM sel{r} "
+        f"UNION ALL SELECT id, 'out', {r} FROM out{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, state, CAST(round AS INT) AS round FROM ({unions} "
+        f"UNION ALL SELECT id, 'undecided', NULL FROM u{rounds})"
+    )
+
+
 def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     """Weakly connected components over the membership graph — "how many
     connected subgraphs did my KG build produce", the first structural
@@ -2482,6 +2544,24 @@ def q_text_stats(spark: SparkSession, sf: str) -> DataFrame:
 # ---------------------------------------------------------------------------
 # curation operators (kg/ops/curate.py)
 # ---------------------------------------------------------------------------
+_SPAN_N, _SPAN_MIN_DOCS, _SPAN_TOP = 13, 2, 100
+
+
+def q_span_census(spark: SparkSession, sf: str) -> DataFrame:
+    """Duplicated-span census (``kg/ops/curate.py::span_census``): the
+    top 13-token spans shared by ≥ 2 documents — the Lee et al. 2021
+    span-granularity duplication diagnostic.  Counting runs on md5-60
+    longs with the gram strings column-pruned out; winners' text is
+    recovered by a broadcast semi-join.  Full twin via identical md5
+    hashing and the portable (n_docs desc, gh asc) order."""
+    from kg.ops import span_census
+
+    return span_census(
+        _read_spread(spark, sf, "documents"),
+        n=_SPAN_N, min_docs=_SPAN_MIN_DOCS, top=_SPAN_TOP,
+    )
+
+
 def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     """GPT-3-style test-set decontamination: corpus docs sharing any
     13-gram with the benchmark slice (doc_id % 20 == 7), with
@@ -3188,6 +3268,7 @@ def queries() -> dict[str, _T]:
         "graph_hits": q_graph_hits,
         "graph_lpa": q_graph_lpa,
         "graph_components": q_graph_components,
+        "graph_mis": q_graph_mis,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
@@ -3196,6 +3277,7 @@ def queries() -> dict[str, _T]:
         "media_decode": q_media_decode,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
+        "span_census": q_span_census,
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
         "tfidf_topk": q_tfidf_topk,
@@ -4022,6 +4104,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_hits": _hits_sql(),
         "graph_lpa": _lpa_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),
+        "graph_mis": _mis_sql(_CN_EDGES_SQL, _MIS_ROUNDS),
         "graph_kcore": _kcore_sql(_TRI_EDGES_SQL, _KCORE_K, _KCORE_ROUNDS),
         "graph_ktruss": _ktruss_sql(_TRI_EDGES_SQL, _KTRUSS_K, _KTRUSS_ROUNDS),
         "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),
@@ -4038,6 +4121,28 @@ def oracle_sql() -> dict[str, str]:
             "(1.0 - least(2.0 * len(list_filter(" + tok + ", t -> t IN (" + _EN + "))) / "
             "greatest(len(" + tok + "), 1), 1.0)), 6) AS quality "
             "FROM documents"
+        ),
+        "span_census": (
+            # identical in-array gram dedup, md5-60 hashing, HAVING
+            # floor, LIMIT top-k on (n_docs desc, gh), min(gram)
+            # representative recovery
+            f"WITH t AS (SELECT doc_id, {tok} AS toks FROM documents), "
+            "g AS (SELECT doc_id, unnest(list_distinct("
+            f"CASE WHEN len(toks) >= {_SPAN_N} "
+            f"THEN list_transform(range(1, len(toks) - {_SPAN_N - 2}), "
+            f"i -> array_to_string(toks[i:i+{_SPAN_N - 1}], ' ')) "
+            "ELSE [] END)) AS gram FROM t), "
+            "h AS (SELECT gram, CAST(('0x' || substring(md5(gram), 1, 15))"
+            "::UBIGINT AS BIGINT) AS gh FROM g), "
+            "c AS (SELECT gh, count(*) AS n_docs FROM h GROUP BY gh "
+            f"HAVING count(*) >= {_SPAN_MIN_DOCS}), "
+            "tk AS (SELECT gh, n_docs FROM c "
+            f"ORDER BY n_docs DESC, gh LIMIT {_SPAN_TOP}), "
+            "rep AS (SELECT tk.gh, tk.n_docs, min(h.gram) AS gram "
+            "FROM tk JOIN h USING (gh) GROUP BY tk.gh, tk.n_docs) "
+            "SELECT CAST(row_number() OVER (ORDER BY n_docs DESC, gh) "
+            "AS INT) AS rank, gram, CAST(n_docs AS BIGINT) AS n_docs "
+            "FROM rep"
         ),
         "decontaminate": (
             # mirror kg/ops/curate.py exactly: tokens -> sliding 13-gram

@@ -26,6 +26,7 @@ from kg.ops.curate import (  # noqa: F401
     decontaminate,
     dsir_weights,
     pack_sequences,
+    span_census,
     split_assign,
     stratified_sample,
     tfidf_topk,
@@ -64,6 +65,7 @@ from kg.ops.graph import (  # noqa: F401
     k_truss,
     katz,
     label_propagation,
+    maximal_independent_set,
     neighbor_jaccard,
     pagerank,
     personalized_pagerank,

@@ -768,3 +768,67 @@ def chunk_documents(
         F.size(chunk).alias("n_tok"),
         F.array_join(chunk, " ").alias("chunk_text"),
     )
+
+
+def span_census(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+    min_docs: int = 2,
+    top: int = 100,
+) -> DataFrame:
+    """Cross-document duplicated-span census → ``(rank, gram, n_docs)``:
+    the ``top`` word ``n``-grams appearing in at least ``min_docs``
+    DISTINCT documents, most-shared first — the span-granularity
+    duplication diagnostic of Lee et al. 2021 ("Deduplicating Training
+    Data Makes Language Models Better"): it names the boilerplate,
+    license headers and viral quotes that doc-level dedup keeps and a
+    span-level pass would cut, and sizes the problem before you pay for
+    one.
+
+    Counting is per-document PRESENCE (grams dedup in-array before the
+    explode, the :func:`decontaminate` discipline), and the count/top-k
+    phase touches only 8-byte md5-60 longs — the gram STRINGS are
+    column-pruned out of the aggregation and recovered afterwards for
+    just the ``top`` winners via a broadcast semi-join + min(gram)
+    representative (min also settles the astronomically-unlikely hash
+    collision deterministically; the count then conflates the colliding
+    spans, documented).  Ordering is (n_docs desc, gh asc) — the hash
+    tie-break is portable because md5 is.
+
+    Plan shape (100 TB): one explode + ONE long-keyed hash agg
+    (map-side combined) + a distributed TakeOrdered of ``top`` rows +
+    one broadcast-gated recovery join over a second gram pass — two
+    corpus passes total, no string shuffle, no corpus-wide window.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    if min_docs < 1:
+        raise ValueError(f"min_docs must be >= 1, got {min_docs}")
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    from pyspark.sql import Window
+
+    d = docs.select(
+        F.col(id_col).alias("_id"), tokens_col(F.col(text_col)).alias("_t")
+    )
+    d = d.select("_id", _ngrams_of(F.col("_t"), n).alias("_g"))
+    gh_rows = d.select("_id", F.explode("_g").alias("gram")).select(
+        "gram", md5_60(F.col("gram")).alias("gh")
+    )
+    counts = (
+        gh_rows.groupBy("gh")
+        .agg(F.count("*").cast("long").alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+    )
+    topk = counts.orderBy(F.desc("n_docs"), F.asc("gh")).limit(top)
+    rep = (
+        gh_rows.join(maybe_broadcast(topk), "gh")
+        .groupBy("gh", "n_docs")
+        .agg(F.min("gram").alias("gram"))
+    )
+    w = Window.orderBy(F.desc("n_docs"), F.asc("gh"))
+    return rep.select(
+        F.row_number().over(w).alias("rank"), "gram", "n_docs"
+    )

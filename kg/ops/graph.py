@@ -2706,3 +2706,125 @@ def _ecc_agg(dist: DataFrame) -> DataFrame:
         .cast("long")
         .alias("n_reached"),
     ).select(F.col("s").alias("id"), "ecc", "n_reached")
+
+
+def maximal_independent_set(
+    edges: DataFrame,
+    rounds: int = 3,
+    seed: int = 0,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Luby's maximal independent set (Luby 1986), the deterministic
+    hash-priority variant → ``(id, state, round)`` for EVERY vertex:
+    ``state`` ∈ {'in', 'out', 'undecided'}, ``round`` = the round the
+    decision landed (NULL while undecided).  MIS is the classic
+    distributed symmetry-breaking primitive — conflict-free scheduling,
+    leader election among neighbors, coarsening seeds — and Luby's
+    rounds are exactly the relational shape this engine favors.
+
+    Per round, over the still-undecided subgraph: every vertex draws
+    the priority key ``md5(seed:round:id) || '|' || id`` (a pure
+    function of (seed, round, vertex) — reproducible, independent
+    across rounds, and a plain STRING min both engines order
+    identically; the ``random_walks`` hash-choice rationale), joins
+    the MIS iff its key is strictly smaller than every undecided
+    neighbor's (or it has none); its neighbors leave as 'out'.  Two
+    adjacent vertices can never both join (one of the two keys is
+    smaller — ids make the order total), so 'in' is independent BY
+    CONSTRUCTION every round, and any vertex still undecided after the
+    budget degrades to 'undecided', never to a conflicting label (the
+    bounded-rounds contract of :func:`strongly_connected_components`).
+    Luby needs O(log n) rounds in expectation, so small budgets decide
+    almost everything.
+
+    Plan shape (100 TB): per round ONE neighbor-min hash agg over the
+    undecided edge frame + two anti-joins, undecided state
+    localCheckpointed; the edge frame is touched only via semi-joins
+    against the shrinking undecided set.  Directionless: edges are
+    symmetrized and self-loops dropped (a vertex is not its own
+    neighbor).  NOT hash-encoded — priorities hash id VALUES (the
+    :func:`label_propagation` rationale).  Fully deterministic →
+    carries a FULL unrolled-CTE DuckDB twin.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = _undirected(edges, out_col, in_col)
+    e = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    undecided = verts
+    decided = None
+    for r in range(1, rounds + 1):
+        key = F.concat(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.lit(str(r)), F.col("id")
+                )
+            ),
+            F.lit("|"),
+            F.col("id"),
+        )
+        pri = undecided.select("id", key.alias("k")).localCheckpoint()
+        nb = (
+            e.join(
+                pri.select(
+                    F.col("id").alias("_nid"), F.col("k").alias("_nk")
+                ),
+                F.col("dst") == F.col("_nid"),
+            )
+            .join(
+                pri.select(F.col("id").alias("_sid")),
+                F.col("src") == F.col("_sid"),
+                "left_semi",
+            )
+            .groupBy("src")
+            .agg(F.min("_nk").alias("_m"))
+        )
+        cand = pri.join(nb, pri["id"] == nb["src"], "left")
+        sel = cand.filter(
+            F.col("_m").isNull() | (F.col("k") < F.col("_m"))
+        ).select("id")
+        out = (
+            e.join(
+                sel.select(F.col("id").alias("_sel")),
+                F.col("src") == F.col("_sel"),
+                "left_semi",
+            )
+            .select(F.col("dst").alias("id"))
+            .distinct()
+            .join(pri.select("id"), "id", "left_semi")
+        )
+        batch = sel.select(
+            "id", F.lit("in").alias("state"), F.lit(r).cast("int").alias("round")
+        ).unionByName(
+            out.select(
+                "id",
+                F.lit("out").alias("state"),
+                F.lit(r).cast("int").alias("round"),
+            )
+        )
+        decided = batch if decided is None else decided.unionByName(batch)
+        undecided = (
+            undecided.join(sel, "id", "left_anti")
+            .join(out, "id", "left_anti")
+            .localCheckpoint()
+        )
+    rest = undecided.select(
+        "id",
+        F.lit("undecided").alias("state"),
+        F.lit(None).cast("int").alias("round"),
+    )
+    return decided.unionByName(rest)

@@ -606,3 +606,54 @@ def test_chunk_documents_rejects_bad_args(spark):
         chunk_documents(df, "doc_id", "text", window=4, stride=5)
     with pytest.raises(ValueError):
         chunk_documents(df, "doc_id", "text", window=4, stride=0)
+
+
+# ---------------------------------------------------------------------------
+# span_census
+# ---------------------------------------------------------------------------
+def test_span_census_hand_counts(spark):
+    """Three docs share the 4-gram 'a b c d'; two share 'b c d e'.
+    Per-doc presence counts once even when a doc repeats the span."""
+    from kg.ops import span_census
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d e"),
+            (2, "a b c d e x"),
+            (3, "x a b c d a b c d"),  # span repeats inside one doc
+            (4, "totally different words here now"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {
+        r["gram"]: (r["n_docs"])
+        for r in span_census(docs, n=4, min_docs=2, top=10).collect()
+    }
+    assert got["a b c d"] == 3
+    assert got["b c d e"] == 2
+    assert "totally different words here" not in got  # single-doc span
+    # ranks: most-shared first
+    rows = sorted(
+        span_census(docs, n=4, min_docs=2, top=10).collect(),
+        key=lambda r: r["rank"],
+    )
+    assert rows[0]["gram"] == "a b c d" and rows[0]["rank"] == 1
+
+
+def test_span_census_top_caps_and_validates(spark):
+    import pytest
+
+    from kg.ops import span_census
+
+    docs = spark.createDataFrame(
+        [(1, "a b c d e f"), (2, "a b c d e f")], ["doc_id", "text"]
+    )
+    got = span_census(docs, n=3, min_docs=2, top=2).collect()
+    assert len(got) == 2
+    assert sorted(r["rank"] for r in got) == [1, 2]
+    with pytest.raises(ValueError, match="n must"):
+        span_census(docs, n=0)
+    with pytest.raises(ValueError, match="min_docs"):
+        span_census(docs, min_docs=0)
+    with pytest.raises(ValueError, match="top"):
+        span_census(docs, top=0)

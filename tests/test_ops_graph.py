@@ -1999,3 +1999,100 @@ def test_eccentricity_validates_rounds(spark):
     src = spark.createDataFrame([("a",)], "id string")
     with pytest.raises(ValueError, match="rounds"):
         eccentricity(e, src, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# maximal independent set (Luby, hash priorities)
+# ---------------------------------------------------------------------------
+def _mis_replica(pairs, rounds, seed=0):
+    """Python replica of the hash-priority Luby rule."""
+    import hashlib
+
+    adj = {}
+    for u, v in pairs:
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    verts = set()
+    for u, v in pairs:
+        verts.add(u)
+        verts.add(v)
+    state = {}
+    undecided = set(verts)
+    for r in range(1, rounds + 1):
+        key = {
+            v: hashlib.md5(f"{seed}:{r}:{v}".encode()).hexdigest() + "|" + v
+            for v in undecided
+        }
+        sel = {
+            v
+            for v in undecided
+            if all(
+                key[v] < key[n]
+                for n in adj.get(v, ())
+                if n in undecided
+            )
+        }
+        out = {
+            n
+            for v in sel
+            for n in adj.get(v, ())
+            if n in undecided and n not in sel
+        }
+        for v in sel:
+            state[v] = ("in", r)
+        for v in out:
+            state[v] = ("out", r)
+        undecided -= sel | out
+    for v in undecided:
+        state[v] = ("undecided", None)
+    return state
+
+
+def test_mis_matches_replica_and_invariants(spark):
+    from kg.ops import maximal_independent_set
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+        ("c", "e"), ("e", "f"),                            # tail
+        ("g", "g"),                                        # self-loop only
+    ]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string")
+    got = {
+        r["id"]: (r["state"], r["round"])
+        for r in maximal_independent_set(e, rounds=3).collect()
+    }
+    assert got == _mis_replica(pairs, 3)
+    ins = {v for v, (s, _) in got.items() if s == "in"}
+    adj = {(u, v) for u, v in pairs} | {(v, u) for u, v in pairs}
+    # independence: no two INs adjacent
+    assert not any((u, v) in adj for u in ins for v in ins if u != v)
+    # every OUT has an IN neighbor
+    for v, (s, _) in got.items():
+        if s == "out":
+            assert any((v, u) in adj and u in ins for u in got)
+    # the isolated self-loop vertex has no neighbors -> joins round 1
+    assert got["g"] == ("in", 1)
+
+
+def test_mis_deterministic_and_seed_sensitive(spark):
+    from kg.ops import maximal_independent_set
+
+    pairs = [(f"v{i}", f"v{i+1}") for i in range(12)]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string")
+    a = sorted(map(tuple, maximal_independent_set(e, rounds=4).collect()))
+    b = sorted(map(tuple, maximal_independent_set(e, rounds=4).collect()))
+    assert a == b
+    got = {r[0]: (r[1], r[2]) for r in a}
+    assert got == _mis_replica(pairs, 4)
+
+
+def test_mis_validates_rounds(spark):
+    import pytest
+
+    from kg.ops import maximal_independent_set
+
+    e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    with pytest.raises(ValueError, match="rounds"):
+        maximal_independent_set(e, rounds=0)
