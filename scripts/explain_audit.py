@@ -52,6 +52,10 @@ def main() -> None:
         "knn_graph",
         "graph_walks",
         "graph_cooccur", "graph_skipgrams", "graph_pmi", "graph_summary",
+        "hybrid_search", "token_entropy", "bigram_surprisal",
+        "graph_betweenness", "graph_eccentricity", "dedup_edit_distance",
+        "dedup_overlap", "kmeans_clusters", "embedding_outliers",
+        "event_funnel", "event_retention", "graph_mis", "span_census",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib
