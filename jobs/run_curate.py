@@ -47,6 +47,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     a caller-supplied session (tests) is reused and NOT stopped."""
     ap = argparse.ArgumentParser(description="kg corpus curation")
     ap.add_argument("--input", required=True, help="documents parquet dir")
+    ap.add_argument("--input-format", choices=["parquet", "jsonl"],
+                    default="parquet",
+                    help="'jsonl' reads newline-delimited JSON (the "
+                         "interchange format most raw web corpora ship "
+                         "in); requires an id column and a text column "
+                         "per line, exactly like the parquet contract")
     ap.add_argument("--output", required=True, help="curated output dir")
     ap.add_argument("--benchmark", default=None,
                     help="eval-set documents parquet; corpus docs sharing "
@@ -116,7 +122,19 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             "kg-curate", shuffle_partitions=args.shuffle_partitions or 32
         )
 
-    docs = spark.read.parquet(args.input)
+    if args.input_format == "jsonl":
+        # schema is INFERRED from the lines (one extra scan — the price
+        # of the interchange format); validate the contract columns so
+        # a malformed corpus fails here, not deep inside a stage
+        docs = spark.read.json(args.input)
+        missing = {args.id_col, args.text_col} - set(docs.columns)
+        if missing:
+            raise SystemExit(
+                f"--input-format jsonl: input lacks column(s) "
+                f"{sorted(missing)} (have {sorted(docs.columns)})"
+            )
+    else:
+        docs = spark.read.parquet(args.input)
     bench = spark.read.parquet(args.benchmark) if args.benchmark else None
     weights = _parse_weights(args.split)
 

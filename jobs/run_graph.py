@@ -48,6 +48,7 @@ QUERIES = (
     "hits",
     "lpa",
     "components",
+    "mis",
     "scc",
     "kcore",
     "ktruss",
@@ -96,7 +97,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                          "synchronous update rounds (lpa); peel rounds "
                          "(kcore); min-label propagation budget per "
                          "coloring pass (scc); BFS budget "
-                         "(harmonic/betweenness/eccentricity)")
+                         "(harmonic/betweenness/eccentricity); "
+                         "selection rounds (mis)")
     ap.add_argument("--trips", type=int, default=2,
                     help="trim+color trips (scc)")
     ap.add_argument("--weight-col", default=None,
@@ -114,7 +116,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="walk replicas per start vertex "
                          "(walks/skipgrams)")
     ap.add_argument("--seed", type=int, default=0,
-                    help="hash-choice seed (walks/skipgrams)")
+                    help="hash-choice seed (walks/skipgrams/mis)")
     ap.add_argument("--window", type=int, default=2,
                     help="skip-gram context window (skipgrams)")
     ap.add_argument("--min-count", type=int, default=1,
@@ -281,6 +283,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             )
         elif args.query == "summary":
             out = g.graph_summary(edges)
+        elif args.query == "mis":
+            out = g.maximal_independent_set(
+                edges, rounds=args.rounds, seed=args.seed
+            )
         else:  # components
             out = g.components(edges)
         if args.output:

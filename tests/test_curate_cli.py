@@ -283,3 +283,37 @@ def test_cli_chunk_rejects_bad_spec(spark, corpus, tmp_path):
             ["--input", docs, "--output", out, "--chunk", "eight"],
             spark=spark,
         )
+
+
+def test_cli_jsonl_input(spark, tmp_path, capsys):
+    """--input-format jsonl reads newline-delimited JSON through the
+    same curation path; a corpus lacking the contract columns fails
+    loudly before any stage runs."""
+    src = tmp_path / "docs.jsonl"
+    rows = [
+        {"doc_id": 1, "text": GOOD},
+        {"doc_id": 2, "text": GOOD},  # exact dup -> dropped
+        {"doc_id": 3, "text": " ".join(reversed(WORDS))},
+    ]
+    src.write_text("\n".join(json.dumps(r) for r in rows) + "\n")
+    out = str(tmp_path / "curated")
+    cli.main(
+        [
+            "--input", str(src), "--input-format", "jsonl",
+            "--output", out, "--dedup", "exact",
+            "--split", "train=1.0",
+        ],
+        spark=spark,
+    )
+    got = spark.read.parquet(out)
+    assert got.count() == 2
+    assert {r["doc_id"] for r in got.select("doc_id").collect()} == {1, 3}
+
+    bad = tmp_path / "bad.jsonl"
+    bad.write_text(json.dumps({"identifier": 1, "body": "x"}) + "\n")
+    with pytest.raises(SystemExit, match="lacks column"):
+        cli.main(
+            ["--input", str(bad), "--input-format", "jsonl",
+             "--output", out],
+            spark=spark,
+        )

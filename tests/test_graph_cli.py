@@ -339,3 +339,19 @@ def test_cli_betweenness_and_eccentricity(spark, warehouse, tmp_path):
     for q in ("betweenness", "eccentricity"):
         with pytest.raises(SystemExit):
             cli.main(["--warehouse", warehouse, "--query", q], spark=spark)
+
+
+def test_cli_mis(spark, warehouse, tmp_path):
+    got = {
+        r["id"]: r["state"]
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "mis", "--rounds", "4"
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d"}
+    ins = {v for v, s in got.items() if s == "in"}
+    adj = {("a", "b"), ("b", "c"), ("d", "c")}
+    adj |= {(y, x) for x, y in adj}
+    assert ins and not any(
+        (u, v) in adj for u in ins for v in ins if u != v
+    )
