@@ -1932,6 +1932,66 @@ def _mis_sql(edges_sql: str, rounds: int, seed: int = 0) -> str:
     )
 
 
+_COLORING_ROUNDS = 4
+
+
+def q_graph_coloring(spark: SparkSession, sf: str) -> DataFrame:
+    """Jones–Plassmann greedy coloring
+    (``kg/ops/graph.py::greedy_coloring``) over the
+    customer→nation→region membership graph: per round every uncolored
+    local-minimum vertex takes the round number as its color, so the
+    partial coloring is proper by construction and a bounded budget
+    degrades to NULL, never to a conflict.  Each color class is a
+    conflict-free wave — the scheduling primitive next to
+    :func:`q_graph_mis` (same priority rule; coloring removes only the
+    winners each round, MIS also knocks out their neighbors).  The
+    op's NULL = still-uncolored marker is surfaced as color 0 here (and
+    in the twin): the compare harness sorts rows on the color column
+    first, where a NULL sentinel cannot order against integers."""
+    from kg.ops import greedy_coloring
+
+    out = greedy_coloring(_cn_graph_edges(spark, sf), rounds=_COLORING_ROUNDS)
+    return out.select(
+        "id", F.coalesce(F.col("color"), F.lit(0)).alias("color")
+    )
+
+
+def _coloring_sql(edges_sql: str, rounds: int, seed: int = 0) -> str:
+    """Twin of q_graph_coloring: the :func:`_mis_sql` priority/
+    neighbor-min/selection CTEs, minus the knock-out — each round
+    removes only the winners, who carry the round number as color."""
+    parts = [
+        "t AS (" + edges_sql + ")",
+        "e AS (SELECT DISTINCT src, dst FROM (SELECT out_id AS src, "
+        "in_id AS dst FROM t UNION ALL SELECT in_id, out_id FROM t) "
+        "WHERE src <> dst)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT out_id AS id FROM t UNION ALL SELECT in_id FROM t))",
+        "u0 AS (SELECT id FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"p{r} AS MATERIALIZED (SELECT id, "
+            f"md5('{seed}:{r}:' || id) || '|' || id AS k FROM u{r - 1})",
+            f"nb{r} AS (SELECT e.src AS id, min(pn.k) AS m FROM e "
+            f"JOIN p{r} pn ON pn.id = e.dst "
+            f"JOIN p{r} ps ON ps.id = e.src GROUP BY e.src)",
+            f"sel{r} AS MATERIALIZED (SELECT p.id FROM p{r} p "
+            f"LEFT JOIN nb{r} n USING (id) "
+            "WHERE n.m IS NULL OR p.k < n.m)",
+            f"u{r} AS MATERIALIZED (SELECT id FROM u{r - 1} "
+            f"WHERE id NOT IN (SELECT id FROM sel{r}))",
+        ]
+    unions = " UNION ALL ".join(
+        f"SELECT id, {r} AS color FROM sel{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, CAST(color AS INT) AS color FROM ({unions} "
+        f"UNION ALL SELECT id, 0 FROM u{rounds})"
+    )
+
+
 def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     """Weakly connected components over the membership graph — "how many
     connected subgraphs did my KG build produce", the first structural
@@ -3269,6 +3329,7 @@ def queries() -> dict[str, _T]:
         "graph_lpa": q_graph_lpa,
         "graph_components": q_graph_components,
         "graph_mis": q_graph_mis,
+        "graph_coloring": q_graph_coloring,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
@@ -4105,6 +4166,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_lpa": _lpa_sql(),
         "graph_components": _components_sql(_CN_EDGES_SQL),
         "graph_mis": _mis_sql(_CN_EDGES_SQL, _MIS_ROUNDS),
+        "graph_coloring": _coloring_sql(_CN_EDGES_SQL, _COLORING_ROUNDS),
         "graph_kcore": _kcore_sql(_TRI_EDGES_SQL, _KCORE_K, _KCORE_ROUNDS),
         "graph_ktruss": _ktruss_sql(_TRI_EDGES_SQL, _KTRUSS_K, _KTRUSS_ROUNDS),
         "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),

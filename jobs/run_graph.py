@@ -49,6 +49,7 @@ QUERIES = (
     "lpa",
     "components",
     "mis",
+    "coloring",
     "scc",
     "kcore",
     "ktruss",
@@ -98,7 +99,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                          "(kcore); min-label propagation budget per "
                          "coloring pass (scc); BFS budget "
                          "(harmonic/betweenness/eccentricity); "
-                         "selection rounds (mis)")
+                         "selection rounds (mis/coloring)")
     ap.add_argument("--trips", type=int, default=2,
                     help="trim+color trips (scc)")
     ap.add_argument("--weight-col", default=None,
@@ -116,7 +117,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="walk replicas per start vertex "
                          "(walks/skipgrams)")
     ap.add_argument("--seed", type=int, default=0,
-                    help="hash-choice seed (walks/skipgrams/mis)")
+                    help="hash-choice seed (walks/skipgrams/mis/"
+                         "coloring)")
     ap.add_argument("--window", type=int, default=2,
                     help="skip-gram context window (skipgrams)")
     ap.add_argument("--min-count", type=int, default=1,
@@ -285,6 +287,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             out = g.graph_summary(edges)
         elif args.query == "mis":
             out = g.maximal_independent_set(
+                edges, rounds=args.rounds, seed=args.seed
+            )
+        elif args.query == "coloring":
+            out = g.greedy_coloring(
                 edges, rounds=args.rounds, seed=args.seed
             )
         else:  # components

@@ -56,6 +56,7 @@ from kg.ops.graph import (  # noqa: F401
     cooccurrence_pmi,
     degree_distribution,
     graph_summary,
+    greedy_coloring,
     degrees,
     eccentricity,
     harmonic_centrality,

@@ -2708,6 +2708,71 @@ def _ecc_agg(dist: DataFrame) -> DataFrame:
     ).select(F.col("s").alias("id"), "ecc", "n_reached")
 
 
+def _symmetric_simple_edges(
+    edges: DataFrame, out_col: str, in_col: str
+) -> tuple[DataFrame, DataFrame]:
+    """(e, verts) for the hash-priority round ops: the symmetrized
+    self-loop-free (src, dst) edge frame and the full vertex frame,
+    both localCheckpointed (each is probed every round)."""
+    und = _undirected(edges, out_col, in_col)
+    e = (
+        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
+        .unionByName(
+            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
+        )
+        .filter(F.col("src") != F.col("dst"))
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    return e, verts
+
+
+def _priority_frame(active: DataFrame, seed: int, r: int) -> DataFrame:
+    """(id, k): the round's hash-priority keys — md5(seed:round:id)
+    || '|' || id, a portable STRING total order (fixed-length hex, id
+    tie-break); a pure function of (seed, round, vertex)."""
+    key = F.concat(
+        F.md5(
+            F.concat_ws(":", F.lit(str(seed)), F.lit(str(r)), F.col("id"))
+        ),
+        F.lit("|"),
+        F.col("id"),
+    )
+    return active.select("id", key.alias("k")).localCheckpoint()
+
+
+def _local_min_winners(e: DataFrame, pri: DataFrame) -> DataFrame:
+    """Vertices whose key is strictly smaller than every ACTIVE
+    neighbor's (or that have none): one neighbor-min hash agg over the
+    active subgraph + one left join.  Two adjacent vertices can never
+    both win (one key is strictly smaller — ids make the order total),
+    the invariant both Luby MIS and Jones-Plassmann coloring rest on."""
+    nb = (
+        e.join(
+            pri.select(F.col("id").alias("_nid"), F.col("k").alias("_nk")),
+            F.col("dst") == F.col("_nid"),
+        )
+        .join(
+            pri.select(F.col("id").alias("_sid")),
+            F.col("src") == F.col("_sid"),
+            "left_semi",
+        )
+        .groupBy("src")
+        .agg(F.min("_nk").alias("_m"))
+    )
+    return (
+        pri.join(nb, pri["id"] == nb["src"], "left")
+        .filter(F.col("_m").isNull() | (F.col("k") < F.col("_m")))
+        .select("id")
+    )
+
+
 def maximal_independent_set(
     edges: DataFrame,
     rounds: int = 3,
@@ -2749,54 +2814,12 @@ def maximal_independent_set(
     """
     if rounds < 1:
         raise ValueError(f"rounds must be >= 1, got {rounds}")
-    und = _undirected(edges, out_col, in_col)
-    e = (
-        und.select(F.col("u").alias("src"), F.col("v").alias("dst"))
-        .unionByName(
-            und.select(F.col("v").alias("src"), F.col("u").alias("dst"))
-        )
-        .filter(F.col("src") != F.col("dst"))
-        .distinct()
-        .localCheckpoint()
-    )
-    verts = (
-        edges.select(F.col(out_col).alias("id"))
-        .unionAll(edges.select(F.col(in_col).alias("id")))
-        .distinct()
-        .localCheckpoint()
-    )
+    e, verts = _symmetric_simple_edges(edges, out_col, in_col)
     undecided = verts
     decided = None
     for r in range(1, rounds + 1):
-        key = F.concat(
-            F.md5(
-                F.concat_ws(
-                    ":", F.lit(str(seed)), F.lit(str(r)), F.col("id")
-                )
-            ),
-            F.lit("|"),
-            F.col("id"),
-        )
-        pri = undecided.select("id", key.alias("k")).localCheckpoint()
-        nb = (
-            e.join(
-                pri.select(
-                    F.col("id").alias("_nid"), F.col("k").alias("_nk")
-                ),
-                F.col("dst") == F.col("_nid"),
-            )
-            .join(
-                pri.select(F.col("id").alias("_sid")),
-                F.col("src") == F.col("_sid"),
-                "left_semi",
-            )
-            .groupBy("src")
-            .agg(F.min("_nk").alias("_m"))
-        )
-        cand = pri.join(nb, pri["id"] == nb["src"], "left")
-        sel = cand.filter(
-            F.col("_m").isNull() | (F.col("k") < F.col("_m"))
-        ).select("id")
+        pri = _priority_frame(undecided, seed, r)
+        sel = _local_min_winners(e, pri)
         out = (
             e.join(
                 sel.select(F.col("id").alias("_sel")),
@@ -2828,3 +2851,48 @@ def maximal_independent_set(
         F.lit(None).cast("int").alias("round"),
     )
     return decided.unionByName(rest)
+
+
+def greedy_coloring(
+    edges: DataFrame,
+    rounds: int = 6,
+    seed: int = 0,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Jones–Plassmann greedy graph coloring (Jones & Plassmann 1993)
+    → ``(id, color)`` with ``color`` NULL for vertices still uncolored
+    after the round budget: per round, every UNCOLORED vertex whose
+    hash-priority key is a local minimum among its uncolored neighbors
+    takes the round number as its color — adjacent vertices can never
+    color in the same round (one key is strictly smaller), so the
+    partial coloring is PROPER by construction and bounded budgets
+    degrade to NULL, never to a conflict (the
+    :func:`maximal_independent_set` contract; the difference is that
+    coloring removes only the WINNERS each round, not their
+    neighbors).  Coloring is the scheduling primitive over conflict
+    graphs — parallel updates, register allocation, timetabling — and
+    each color class is an independent set usable as a wave of
+    conflict-free work.
+
+    Same determinism design as :func:`maximal_independent_set`:
+    priority key ``md5(seed:round:id) || '|' || id`` (portable string
+    total order), per round ONE neighbor-min hash agg over the
+    uncolored subgraph + one anti-join, state localCheckpointed; NOT
+    hash-encoded (priorities hash id values).  Self-loops are dropped
+    (a vertex does not conflict with itself).  Fully deterministic →
+    FULL unrolled-CTE DuckDB twin.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e, verts = _symmetric_simple_edges(edges, out_col, in_col)
+    uncolored = verts
+    colored = None
+    for r in range(1, rounds + 1):
+        pri = _priority_frame(uncolored, seed, r)
+        win = _local_min_winners(e, pri)
+        batch = win.select("id", F.lit(r).cast("int").alias("color"))
+        colored = batch if colored is None else colored.unionByName(batch)
+        uncolored = uncolored.join(win, "id", "left_anti").localCheckpoint()
+    rest = uncolored.select("id", F.lit(None).cast("int").alias("color"))
+    return colored.unionByName(rest)

@@ -355,3 +355,21 @@ def test_cli_mis(spark, warehouse, tmp_path):
     assert ins and not any(
         (u, v) in adj for u in ins for v in ins if u != v
     )
+
+
+def test_cli_coloring(spark, warehouse, tmp_path):
+    got = {
+        r["id"]: r["color"]
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "coloring",
+            "--rounds", "4",
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d"}
+    adj = {("a", "b"), ("b", "c"), ("d", "c")}
+    # proper: no edge joins two same-colored vertices (NULL = uncolored)
+    assert not any(
+        got[u] is not None and got[u] == got[v] for u, v in adj
+    )
+    # 4 rounds on a 4-vertex path-ish graph must finish the coloring
+    assert all(c is not None for c in got.values())

@@ -2096,3 +2096,109 @@ def test_mis_validates_rounds(spark):
     e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
     with pytest.raises(ValueError, match="rounds"):
         maximal_independent_set(e, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# greedy coloring (Jones-Plassmann, hash priorities)
+# ---------------------------------------------------------------------------
+def _coloring_replica(pairs, rounds, seed=0):
+    """Python replica of the hash-priority Jones-Plassmann rule."""
+    import hashlib
+
+    adj = {}
+    verts = set()
+    for u, v in pairs:
+        verts.add(u)
+        verts.add(v)
+        if u == v:
+            continue
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    color = {}
+    uncolored = set(verts)
+    for r in range(1, rounds + 1):
+        key = {
+            v: hashlib.md5(f"{seed}:{r}:{v}".encode()).hexdigest() + "|" + v
+            for v in uncolored
+        }
+        win = {
+            v
+            for v in uncolored
+            if all(
+                key[v] < key[n]
+                for n in adj.get(v, ())
+                if n in uncolored
+            )
+        }
+        for v in win:
+            color[v] = r
+        uncolored -= win
+    for v in uncolored:
+        color[v] = None
+    return color
+
+
+def test_coloring_matches_replica_and_is_proper(spark):
+    from kg.ops import greedy_coloring
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+        ("c", "e"), ("e", "f"),                            # tail
+        ("g", "g"),                                        # self-loop only
+    ]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string")
+    got = {
+        r["id"]: r["color"] for r in greedy_coloring(e, rounds=4).collect()
+    }
+    assert got == _coloring_replica(pairs, 4)
+    # properness: no edge joins two vertices of the same non-NULL color
+    adj = {(u, v) for u, v in pairs if u != v}
+    for u, v in adj:
+        if got[u] is not None:
+            assert got[u] != got[v]
+    # the isolated self-loop vertex has no neighbors -> colors round 1
+    assert got["g"] == 1
+
+
+def test_coloring_exhausts_a_path_and_stays_deterministic(spark):
+    from kg.ops import greedy_coloring
+
+    pairs = [(f"v{i}", f"v{i+1}") for i in range(12)]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string")
+    a = sorted(map(tuple, greedy_coloring(e, rounds=8).collect()))
+    b = sorted(map(tuple, greedy_coloring(e, rounds=8).collect()))
+    assert a == b
+    got = dict(a)
+    assert got == _coloring_replica(pairs, 8)
+    # a 13-vertex path exhausts well inside 8 hash-priority rounds:
+    # every vertex colored, and each round's class is an independent set
+    assert all(c is not None for c in got.values())
+    for u, v in pairs:
+        assert got[u] != got[v]
+
+
+def test_coloring_budget_degrades_to_null_not_conflict(spark):
+    from kg.ops import greedy_coloring
+
+    # complete graph K5: exactly one winner per round, so rounds=2
+    # leaves 3 vertices NULL -- never two adjacent same-colored ones
+    vs = [f"k{i}" for i in range(5)]
+    pairs = [(u, v) for i, u in enumerate(vs) for v in vs[i + 1:]]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string")
+    got = {
+        r["id"]: r["color"] for r in greedy_coloring(e, rounds=2).collect()
+    }
+    assert got == _coloring_replica(pairs, 2)
+    assert sum(c is None for c in got.values()) == 3
+    colored = [c for c in got.values() if c is not None]
+    assert sorted(colored) == [1, 2]
+
+
+def test_coloring_validates_rounds(spark):
+    import pytest
+
+    from kg.ops import greedy_coloring
+
+    e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    with pytest.raises(ValueError, match="rounds"):
+        greedy_coloring(e, rounds=0)
