@@ -1992,6 +1992,80 @@ def _coloring_sql(edges_sql: str, rounds: int, seed: int = 0) -> str:
     )
 
 
+_MATCHING_ROUNDS = 3
+
+
+def q_graph_matching(spark: SparkSession, sf: str) -> DataFrame:
+    """Israeli–Itai-style maximal matching
+    (``kg/ops/graph.py::maximal_matching``) over the order–part–supplier
+    tripartite graph: the EDGE-side symmetry-breaking primitive next to
+    :func:`q_graph_mis` (a matching is an independent set of the line
+    graph) — pairing replicas, pairwise merge scheduling, multilevel
+    coarsening.  Deterministic md5 edge priorities unroll the
+    fixed-round loop into a FULL CTE twin; pairs are a matching by
+    construction each round and a bounded budget degrades to unmatched,
+    never a double-booking.  NULL unmatched markers are surfaced as
+    ``''``/0 here (and in the twin): the harness sort guard from
+    :func:`q_graph_coloring`."""
+    from kg.ops import maximal_matching
+
+    out = maximal_matching(
+        _tri_graph_edges(spark, sf), rounds=_MATCHING_ROUNDS
+    )
+    return out.select(
+        "id",
+        F.coalesce(F.col("match_id"), F.lit("")).alias("match_id"),
+        F.coalesce(F.col("round"), F.lit(0)).alias("round"),
+    )
+
+
+def _matching_sql(edges_sql: str, rounds: int, seed: int = 0) -> str:
+    """Twin of q_graph_matching: canonical (u < v) pairs, per round the
+    identical md5 edge-priority keys, ONE per-vertex incident-min, the
+    double equality probe, and endpoint knock-out CTEs."""
+    parts = [
+        "t AS (" + edges_sql + ")",
+        "p AS (SELECT DISTINCT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v FROM t WHERE out_id <> in_id)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT out_id AS id FROM t UNION ALL SELECT in_id FROM t))",
+        "a0 AS (SELECT u, v FROM p)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"k{r} AS MATERIALIZED (SELECT u, v, "
+            f"md5('{seed}:{r}:' || u || ':' || v) || '|' || u || '|' || v "
+            f"AS k FROM a{r - 1})",
+            f"vm{r} AS (SELECT vid, min(k) AS m FROM "
+            f"(SELECT u AS vid, k FROM k{r} "
+            f"UNION ALL SELECT v, k FROM k{r}) GROUP BY vid)",
+            f"w{r} AS MATERIALIZED (SELECT e.u, e.v FROM k{r} e "
+            f"JOIN vm{r} mu ON mu.vid = e.u AND mu.m = e.k "
+            f"JOIN vm{r} mv ON mv.vid = e.v AND mv.m = e.k)",
+            f"hit{r} AS (SELECT u AS id FROM w{r} "
+            f"UNION ALL SELECT v FROM w{r})",
+            f"a{r} AS MATERIALIZED (SELECT u, v FROM a{r - 1} "
+            f"WHERE u NOT IN (SELECT id FROM hit{r}) "
+            f"AND v NOT IN (SELECT id FROM hit{r}))",
+        ]
+    unions = " UNION ALL ".join(
+        f"SELECT u AS id, v AS match_id, {r} AS round FROM w{r} "
+        f"UNION ALL SELECT v, u, {r} FROM w{r}"
+        for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT id, match_id, CAST(round AS INT) AS round FROM ("
+        + unions
+        + " UNION ALL SELECT id, '', 0 FROM verts WHERE id NOT IN ("
+        + " UNION ALL ".join(
+            f"SELECT u FROM w{r} UNION ALL SELECT v FROM w{r}"
+            for r in range(1, rounds + 1)
+        )
+        + "))"
+    )
+
+
 def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     """Weakly connected components over the membership graph — "how many
     connected subgraphs did my KG build produce", the first structural
@@ -3330,6 +3404,7 @@ def queries() -> dict[str, _T]:
         "graph_components": q_graph_components,
         "graph_mis": q_graph_mis,
         "graph_coloring": q_graph_coloring,
+        "graph_matching": q_graph_matching,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
@@ -4167,6 +4242,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_components": _components_sql(_CN_EDGES_SQL),
         "graph_mis": _mis_sql(_CN_EDGES_SQL, _MIS_ROUNDS),
         "graph_coloring": _coloring_sql(_CN_EDGES_SQL, _COLORING_ROUNDS),
+        "graph_matching": _matching_sql(_TRI_EDGES_SQL, _MATCHING_ROUNDS),
         "graph_kcore": _kcore_sql(_TRI_EDGES_SQL, _KCORE_K, _KCORE_ROUNDS),
         "graph_ktruss": _ktruss_sql(_TRI_EDGES_SQL, _KTRUSS_K, _KTRUSS_ROUNDS),
         "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),

@@ -50,6 +50,7 @@ QUERIES = (
     "components",
     "mis",
     "coloring",
+    "matching",
     "scc",
     "kcore",
     "ktruss",
@@ -291,6 +292,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             )
         elif args.query == "coloring":
             out = g.greedy_coloring(
+                edges, rounds=args.rounds, seed=args.seed
+            )
+        elif args.query == "matching":
+            out = g.maximal_matching(
                 edges, rounds=args.rounds, seed=args.seed
             )
         else:  # components

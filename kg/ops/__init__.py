@@ -57,6 +57,7 @@ from kg.ops.graph import (  # noqa: F401
     degree_distribution,
     graph_summary,
     greedy_coloring,
+    maximal_matching,
     degrees,
     eccentricity,
     harmonic_centrality,

@@ -2896,3 +2896,110 @@ def greedy_coloring(
         uncolored = uncolored.join(win, "id", "left_anti").localCheckpoint()
     rest = uncolored.select("id", F.lit(None).cast("int").alias("color"))
     return colored.unionByName(rest)
+
+def maximal_matching(
+    edges: DataFrame,
+    rounds: int = 3,
+    seed: int = 0,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Israeli–Itai-style maximal matching via deterministic hash
+    priorities → ``(id, match_id, round)`` for EVERY vertex:
+    ``match_id`` = the partner (NULL while unmatched), ``round`` = the
+    round the pair landed.  Matching is the EDGE-side symmetry-breaking
+    primitive next to :func:`maximal_independent_set` (it IS an
+    independent set of the line graph): pairing replicas, scheduling
+    pairwise merges/exchanges, coarsening for multilevel partitioners.
+
+    Per round, over the still-active subgraph (edges with BOTH
+    endpoints unmatched): every edge draws the priority key
+    ``md5(seed:round:u:v) || '|' || u || '|' || v`` — unique per edge,
+    a portable STRING total order (the :func:`maximal_independent_set`
+    rationale) — and joins the matching iff its key is the minimum
+    among ALL active edges incident to EITHER endpoint.  Two edges
+    sharing an endpoint can never both win (keys are unique, both
+    would have to be that endpoint's min), so the pair set is a
+    matching BY CONSTRUCTION every round; the globally smallest active
+    edge always wins, so every round makes progress, and any vertex
+    still unmatched after the budget degrades to NULL, never to a
+    double-booking.
+
+    Plan shape (100 TB): per round ONE vertex-min hash agg over the
+    active edge frame (each edge contributes its key under both
+    endpoints) + two equality probes + two anti-joins; active state
+    localCheckpointed so the plan stays a linear chain.  Directionless:
+    edges are canonicalized to (u < v) pairs, self-loops dropped (a
+    vertex cannot match itself).  NOT hash-encoded — priorities hash id
+    VALUES (the :func:`label_propagation` rationale).  Fully
+    deterministic → carries a FULL unrolled-CTE DuckDB twin.
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    und = _undirected(edges, out_col, in_col).localCheckpoint()
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    active = und
+    matched = None
+    for r in range(1, rounds + 1):
+        key = F.concat(
+            F.md5(
+                F.concat_ws(
+                    ":", F.lit(str(seed)), F.lit(str(r)), F.col("u"), F.col("v")
+                )
+            ),
+            F.lit("|"),
+            F.col("u"),
+            F.lit("|"),
+            F.col("v"),
+        )
+        pri = active.select("u", "v", key.alias("k")).localCheckpoint()
+        vmin = (
+            pri.select(F.col("u").alias("vid"), "k")
+            .unionByName(pri.select(F.col("v").alias("vid"), "k"))
+            .groupBy("vid")
+            .agg(F.min("k").alias("m"))
+        )
+        win = (
+            pri.join(
+                vmin.select(F.col("vid").alias("_uu"), F.col("m").alias("_mu")),
+                (F.col("u") == F.col("_uu")) & (F.col("k") == F.col("_mu")),
+            )
+            .join(
+                vmin.select(F.col("vid").alias("_vv"), F.col("m").alias("_mv")),
+                (F.col("v") == F.col("_vv")) & (F.col("k") == F.col("_mv")),
+            )
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        batch = win.select(
+            F.col("u").alias("id"),
+            F.col("v").alias("match_id"),
+            F.lit(r).cast("int").alias("round"),
+        ).unionByName(
+            win.select(
+                F.col("v").alias("id"),
+                F.col("u").alias("match_id"),
+                F.lit(r).cast("int").alias("round"),
+            )
+        )
+        matched = batch if matched is None else matched.unionByName(batch)
+        mv1 = win.select(F.col("u").alias("_m1")).unionByName(
+            win.select(F.col("v").alias("_m1"))
+        )
+        mv2 = mv1.select(F.col("_m1").alias("_m2"))
+        active = (
+            active.join(mv1, F.col("u") == F.col("_m1"), "left_anti")
+            .join(mv2, F.col("v") == F.col("_m2"), "left_anti")
+            .localCheckpoint()
+        )
+    rest = verts.join(matched.select("id"), "id", "left_anti").select(
+        "id",
+        F.lit(None).cast(und.schema["v"].dataType).alias("match_id"),
+        F.lit(None).cast("int").alias("round"),
+    )
+    return matched.unionByName(rest)

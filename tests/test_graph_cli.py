@@ -373,3 +373,25 @@ def test_cli_coloring(spark, warehouse, tmp_path):
     )
     # 4 rounds on a 4-vertex path-ish graph must finish the coloring
     assert all(c is not None for c in got.values())
+
+
+def test_cli_matching(spark, warehouse, tmp_path):
+    got = {
+        r["id"]: (r["match_id"], r["round"])
+        for r in _run(
+            spark, warehouse, tmp_path, "--query", "matching",
+            "--rounds", "4",
+        ).collect()
+    }
+    assert set(got) == {"a", "b", "c", "d"}
+    # symmetric 1:1 partnership over real edges only
+    adj = {("a", "b"), ("b", "c"), ("d", "c")}
+    adj |= {(y, x) for x, y in adj}
+    for x, (m, r) in got.items():
+        if m is not None:
+            assert (x, m) in adj and got[m] == (x, r)
+    # maximality on this path graph: no edge fully unmatched
+    assert all(
+        got[u][0] is not None or got[v][0] is not None
+        for u, v in [("a", "b"), ("b", "c"), ("d", "c")]
+    )

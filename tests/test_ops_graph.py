@@ -2202,3 +2202,132 @@ def test_coloring_validates_rounds(spark):
     e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
     with pytest.raises(ValueError, match="rounds"):
         greedy_coloring(e, rounds=0)
+
+
+# ---------------------------------------------------------------------------
+# maximal matching (Israeli-Itai style, hash edge priorities)
+
+def _matching_replica(pairs, rounds, seed=0):
+    """Python replica of the hash-priority matching rule."""
+    import hashlib
+
+    verts = set()
+    edges = set()
+    for a, b in pairs:
+        verts.add(a)
+        verts.add(b)
+        u, v = min(a, b), max(a, b)
+        if u != v:
+            edges.add((u, v))
+    match = {}
+    active = set(edges)
+    for r in range(1, rounds + 1):
+        key = {
+            (u, v): hashlib.md5(f"{seed}:{r}:{u}:{v}".encode()).hexdigest()
+            + f"|{u}|{v}"
+            for u, v in active
+        }
+        vmin = {}
+        for (u, v), k in key.items():
+            for x in (u, v):
+                if x not in vmin or k < vmin[x]:
+                    vmin[x] = k
+        win = {
+            (u, v)
+            for (u, v), k in key.items()
+            if k == vmin[u] and k == vmin[v]
+        }
+        for u, v in win:
+            match[u] = (v, r)
+            match[v] = (u, r)
+        hit = {x for e in win for x in e}
+        active = {(u, v) for u, v in active if u not in hit and v not in hit}
+    for x in verts:
+        match.setdefault(x, (None, None))
+    return match
+
+
+def test_matching_matches_replica_and_is_a_matching(spark):
+    from kg.ops import maximal_matching
+
+    pairs = [
+        ("a", "b"), ("b", "c"), ("c", "d"), ("d", "a"),  # 4-cycle
+        ("c", "e"), ("e", "f"),                            # tail
+        ("g", "g"),                                        # self-loop only
+        ("b", "a"),                                        # reversed dup
+    ]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string")
+    got = {
+        r["id"]: (r["match_id"], r["round"])
+        for r in maximal_matching(e, rounds=4).collect()
+    }
+    assert got == _matching_replica(pairs, 4)
+    # matching property: partnership is symmetric and 1:1
+    for x, (m, r) in got.items():
+        if m is not None:
+            assert got[m] == (x, r)
+    # the self-loop-only vertex can never match itself
+    assert got["g"] == (None, None)
+
+
+def test_matching_is_maximal_with_budget(spark):
+    from kg.ops import maximal_matching
+
+    pairs = [(f"v{i}", f"v{i+1}") for i in range(12)]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string")
+    a = sorted(map(tuple, maximal_matching(e, rounds=8).collect()))
+    b = sorted(map(tuple, maximal_matching(e, rounds=8).collect()))
+    assert a == b  # deterministic
+    got = {i: m for i, m, _ in a}
+    assert got == {k: v[0] for k, v in _matching_replica(pairs, 8).items()}
+    # maximality: no edge has BOTH endpoints unmatched
+    for u, v in pairs:
+        assert got[u] is not None or got[v] is not None
+
+
+def test_matching_budget_degrades_to_null_not_double_booking(spark):
+    from kg.ops import maximal_matching
+
+    # star K1,5: only one edge can ever match -- round 1 takes it, the
+    # rest stay NULL forever (all remaining edges share the hub)
+    pairs = [("hub", f"s{i}") for i in range(5)]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string")
+    got = {
+        r["id"]: (r["match_id"], r["round"])
+        for r in maximal_matching(e, rounds=3).collect()
+    }
+    assert got == _matching_replica(pairs, 3)
+    matched = {x: m for x, (m, _) in got.items() if m is not None}
+    assert len(matched) == 2 and "hub" in matched
+    rounds = {r for _, r in got.values() if r is not None}
+    assert rounds == {1}
+
+
+def test_matching_validates_rounds(spark):
+    import pytest
+
+    from kg.ops import maximal_matching
+
+    e = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    with pytest.raises(ValueError, match="rounds"):
+        maximal_matching(e, rounds=0)
+
+
+def test_matching_random_battery_vs_replica(spark):
+    import random
+
+    from kg.ops import maximal_matching
+
+    rng = random.Random(7)
+    for trial in range(3):
+        n = 14
+        pairs = [
+            (f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+            for _ in range(25)
+        ]
+        e = spark.createDataFrame(pairs, "out_id string, in_id string")
+        got = {
+            r["id"]: (r["match_id"], r["round"])
+            for r in maximal_matching(e, rounds=5, seed=trial).collect()
+        }
+        assert got == _matching_replica(pairs, 5, seed=trial)
