@@ -2066,6 +2066,106 @@ def _matching_sql(edges_sql: str, rounds: int, seed: int = 0) -> str:
     )
 
 
+_MSF_ROUNDS = 3
+_MSF_JUMPS = 2
+
+
+def q_graph_msf(spark: SparkSession, sf: str) -> DataFrame:
+    """Borůvka minimum spanning forest
+    (``kg/ops/graph.py::minimum_spanning_forest``) over the weighted
+    tripartite graph (edge cost floor(l_quantity), the ``graph_sssp``
+    costs): the single-linkage clustering primitive / min-cost backbone
+    — Kruskal needs a global edge sort, Borůvka is component-parallel.
+    Edge keys are the unique portable string order lpad(w)|u|v, so the
+    perturbed-order MSF is unique and the fixed-round run is
+    bit-reproducible; partial budgets select a SUBSET of the true MSF
+    (cut property holds under partial contraction), never a wrong
+    edge.  Fully deterministic → FULL unrolled-CTE twin."""
+    from kg.ops import minimum_spanning_forest
+
+    li = _read(spark, sf, "lineitem")
+    w = F.floor(F.col("l_quantity")).cast("long")
+    o = F.concat(F.lit("o_"), F.col("l_orderkey").cast("string"))
+    p = F.concat(F.lit("p_"), F.col("l_partkey").cast("string"))
+    s = F.concat(F.lit("s_"), F.col("l_suppkey").cast("string"))
+    ew = (
+        li.select(o.alias("out_id"), p.alias("in_id"), w.alias("w"))
+        .unionByName(li.select(o.alias("out_id"), s.alias("in_id"), w.alias("w")))
+        .unionByName(li.select(p.alias("out_id"), s.alias("in_id"), w.alias("w")))
+    )
+    return minimum_spanning_forest(
+        ew, weight_col="w", rounds=_MSF_ROUNDS, jumps=_MSF_JUMPS
+    )
+
+
+_TRI_WEDGES_SQL = (
+    "SELECT 'o_' || CAST(l_orderkey AS VARCHAR) AS out_id, "
+    "'p_' || CAST(l_partkey AS VARCHAR) AS in_id, "
+    "CAST(floor(l_quantity) AS BIGINT) AS w FROM lineitem "
+    "UNION ALL SELECT 'o_' || CAST(l_orderkey AS VARCHAR), "
+    "'s_' || CAST(l_suppkey AS VARCHAR), "
+    "CAST(floor(l_quantity) AS BIGINT) FROM lineitem "
+    "UNION ALL SELECT 'p_' || CAST(l_partkey AS VARCHAR), "
+    "'s_' || CAST(l_suppkey AS VARCHAR), "
+    "CAST(floor(l_quantity) AS BIGINT) FROM lineitem"
+)
+
+
+def _msf_sql(wedges_sql: str, rounds: int, jumps: int) -> str:
+    """Twin of q_graph_msf: canonical min-weight (u < v) pairs with the
+    identical lpad(w)|u|v keys, per round ONE per-label incident-min,
+    the either-endpoint winner probe, and ``jumps`` synchronous
+    min-propagation passes over the winner pairs at label level."""
+    parts = [
+        "t AS (" + wedges_sql + ")",
+        "p0 AS (SELECT least(out_id, in_id) AS u, "
+        "greatest(out_id, in_id) AS v, min(w) AS w FROM t "
+        "WHERE out_id <> in_id GROUP BY 1, 2)",
+        "pk AS MATERIALIZED (SELECT u, v, w, "
+        "lpad(CAST(w AS VARCHAR), 19, '0') || '|' || u || '|' || v AS k "
+        "FROM p0)",
+        "verts AS (SELECT DISTINCT id FROM "
+        "(SELECT out_id AS id FROM t UNION ALL SELECT in_id FROM t))",
+        "l0 AS (SELECT id, id AS lab FROM verts)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"le{r} AS MATERIALIZED (SELECT e.u, e.v, e.w, e.k, "
+            f"la.lab AS lu, lb.lab AS lv FROM pk e "
+            f"JOIN l{r - 1} la ON la.id = e.u "
+            f"JOIN l{r - 1} lb ON lb.id = e.v WHERE la.lab <> lb.lab)",
+            f"gm{r} AS (SELECT g, min(k) AS m FROM "
+            f"(SELECT lu AS g, k FROM le{r} "
+            f"UNION ALL SELECT lv, k FROM le{r}) GROUP BY g)",
+            f"w{r} AS MATERIALIZED (SELECT DISTINCT u, v, w, lu, lv "
+            f"FROM le{r} e WHERE EXISTS (SELECT 1 FROM gm{r} m "
+            f"WHERE m.m = e.k AND (m.g = e.lu OR m.g = e.lv)))",
+            f"sym{r} AS (SELECT lu AS a, lv AS b FROM w{r} "
+            f"UNION ALL SELECT lv, lu FROM w{r})",
+            f"g{r}j0 AS (SELECT DISTINCT lab AS g, lab AS nl FROM l{r - 1})",
+        ]
+        for j in range(1, jumps + 1):
+            parts.append(
+                f"g{r}j{j} AS (SELECT g, min(nl) AS nl FROM "
+                f"(SELECT g, nl FROM g{r}j{j - 1} "
+                f"UNION ALL SELECT s.a, x.nl FROM sym{r} s "
+                f"JOIN g{r}j{j - 1} x ON x.g = s.b) GROUP BY g)"
+            )
+        parts.append(
+            f"l{r} AS MATERIALIZED (SELECT l.id, g.nl AS lab "
+            f"FROM l{r - 1} l JOIN g{r}j{jumps} g ON g.g = l.lab)"
+        )
+    unions = " UNION ALL ".join(
+        f"SELECT u, v, w, {r} AS round FROM w{r}" for r in range(1, rounds + 1)
+    )
+    return (
+        "WITH " + ", ".join(parts)
+        + " SELECT u, v, w, CAST(min(round) AS INT) AS round FROM ("
+        + unions
+        + ") GROUP BY u, v, w"
+    )
+
+
 def q_graph_components(spark: SparkSession, sf: str) -> DataFrame:
     """Weakly connected components over the membership graph — "how many
     connected subgraphs did my KG build produce", the first structural
@@ -3405,6 +3505,7 @@ def queries() -> dict[str, _T]:
         "graph_mis": q_graph_mis,
         "graph_coloring": q_graph_coloring,
         "graph_matching": q_graph_matching,
+        "graph_msf": q_graph_msf,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
@@ -4243,6 +4344,7 @@ def oracle_sql() -> dict[str, str]:
         "graph_mis": _mis_sql(_CN_EDGES_SQL, _MIS_ROUNDS),
         "graph_coloring": _coloring_sql(_CN_EDGES_SQL, _COLORING_ROUNDS),
         "graph_matching": _matching_sql(_TRI_EDGES_SQL, _MATCHING_ROUNDS),
+        "graph_msf": _msf_sql(_TRI_WEDGES_SQL, _MSF_ROUNDS, _MSF_JUMPS),
         "graph_kcore": _kcore_sql(_TRI_EDGES_SQL, _KCORE_K, _KCORE_ROUNDS),
         "graph_ktruss": _ktruss_sql(_TRI_EDGES_SQL, _KTRUSS_K, _KTRUSS_ROUNDS),
         "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),

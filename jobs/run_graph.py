@@ -51,6 +51,7 @@ QUERIES = (
     "mis",
     "coloring",
     "matching",
+    "msf",
     "scc",
     "kcore",
     "ktruss",
@@ -104,7 +105,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--trips", type=int, default=2,
                     help="trim+color trips (scc)")
     ap.add_argument("--weight-col", default=None,
-                    help="edge weight column (sssp/pagerank; default "
+                    help="edge weight column (sssp/pagerank/msf; default "
                          "unit weights)")
     ap.add_argument("--max-fanout", type=int, default=None,
                     help="drop mid/shared vertices above this degree "
@@ -297,6 +298,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         elif args.query == "matching":
             out = g.maximal_matching(
                 edges, rounds=args.rounds, seed=args.seed
+            )
+        elif args.query == "msf":
+            out = g.minimum_spanning_forest(
+                edges, weight_col=args.weight_col, rounds=args.rounds
             )
         else:  # components
             out = g.components(edges)

@@ -58,6 +58,7 @@ from kg.ops.graph import (  # noqa: F401
     graph_summary,
     greedy_coloring,
     maximal_matching,
+    minimum_spanning_forest,
     degrees,
     eccentricity,
     harmonic_centrality,

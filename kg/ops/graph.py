@@ -3003,3 +3003,157 @@ def maximal_matching(
         F.lit(None).cast("int").alias("round"),
     )
     return matched.unionByName(rest)
+
+def minimum_spanning_forest(
+    edges: DataFrame,
+    weight_col: str | None = "w",
+    rounds: int = 3,
+    jumps: int = 2,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+) -> DataFrame:
+    """Borůvka minimum spanning forest (Borůvka 1926; the CLASSIC
+    distributed MST scheme — Kruskal/Prim need a global sort or a
+    sequential frontier, Borůvka is embarrassingly component-parallel)
+    → ``(u, v, w, round)``: the forest edges, ``round`` = the first
+    Borůvka round that selected the edge.  THE single-linkage
+    clustering primitive over similarity/distance graphs: the MSF of a
+    pairwise-distance graph cut at threshold t IS single-linkage
+    clustering at t (the corpus-dedup hierarchy one level above
+    connected components), and the forest is the sparsest structure
+    preserving min-cost connectivity (network design / KG backbone).
+
+    Edge keys are the portable string total order
+    ``lpad(w, 19, '0') || '|' || u || '|' || v`` — unique per edge, so
+    the MSF under this perturbed order is UNIQUE and both engines agree
+    bit-for-bit.  Per round, every current label group selects the
+    minimum-key edge LEAVING it (both endpoints contribute the edge to
+    their group's min); by the cut property, the min edge crossing ANY
+    cut belongs to the unique MSF, so every selected edge is correct
+    EVEN UNDER PARTIAL CONTRACTION — labels then merge by ``jumps``
+    synchronous min-propagation passes over the winner pairs at GROUP
+    level (O(#labels) rows, not O(V)).  Bounded budgets therefore
+    degrade to a SUBSET of the true MSF (fewer merges, never a wrong
+    edge — the :func:`maximal_independent_set` degrade contract); with
+    enough rounds the output IS the full MSF.
+
+    Plan shape (100 TB): per round two label equi-joins onto the
+    checkpointed simple-edge frame, ONE group-min hash agg (each edge
+    under both endpoint labels), two semi-join winner probes, and
+    ``jumps`` joins on the label-level (tiny, shrinking) group graph;
+    label state localCheckpointed per round so the plan stays a linear
+    chain.  No global sort anywhere — the reason this scales where
+    Kruskal does not.  NOT hash-encoded: labels are min-over-id values
+    and the key tie-break compares id values (the
+    :func:`label_propagation` rationale).  Parallel edges collapse to
+    their min weight map-side; self-loops drop (never in an MSF).
+    Weights must be non-negative BIGINTs (costs/distances): negative or
+    NULL weights would break the lpad key order, so the key expression
+    carries an ``assert_true`` guard that fails the job loudly instead
+    of returning a silently-wrong forest.  Fully deterministic →
+    carries a FULL unrolled-CTE DuckDB twin (``graph_msf``).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    if jumps < 1:
+        raise ValueError(f"jumps must be >= 1, got {jumps}")
+    # weight_col=None → unit weights: a deterministic spanning forest of
+    # every component (the CLI's unweighted-warehouse mode)
+    w = (F.lit(1) if weight_col is None else F.col(weight_col)).cast("long")
+    p = (
+        edges.select(
+            F.least(out_col, in_col).alias("u"),
+            F.greatest(out_col, in_col).alias("v"),
+            w.alias("w"),
+        )
+        .filter(F.col("u") != F.col("v"))
+        .groupBy("u", "v")
+        .agg(F.min("w").alias("w"))
+    )
+    # assert_true is NULL when the guard holds; concat_ws drops NULLs,
+    # so the guard rides inside the key and cannot be pruned away
+    guard = F.assert_true(
+        F.col("w").isNotNull() & (F.col("w") >= 0),
+        F.lit("minimum_spanning_forest: weights must be non-negative"),
+    ).cast("string")
+    key = F.concat_ws(
+        "",
+        guard,
+        F.lpad(F.col("w").cast("string"), 19, "0"),
+        F.lit("|"), F.col("u").cast("string"),
+        F.lit("|"), F.col("v").cast("string"),
+    )
+    p = p.select("u", "v", "w", key.alias("k")).localCheckpoint()
+    verts = (
+        edges.select(F.col(out_col).alias("id"))
+        .unionAll(edges.select(F.col(in_col).alias("id")))
+        .distinct()
+        .localCheckpoint()
+    )
+    lab = verts.select("id", F.col("id").alias("lab"))
+    id_t = verts.schema["id"].dataType
+    forest = None
+    for r in range(1, rounds + 1):
+        le = (
+            p.join(lab.select(F.col("id").alias("_au"), F.col("lab").alias("lu")),
+                   F.col("u") == F.col("_au"))
+            .join(lab.select(F.col("id").alias("_av"), F.col("lab").alias("lv")),
+                  F.col("v") == F.col("_av"))
+            .filter(F.col("lu") != F.col("lv"))
+            .select("u", "v", "w", "k", "lu", "lv")
+            .localCheckpoint()
+        )
+        gm = (
+            le.select(F.col("lu").alias("g"), "k")
+            .unionByName(le.select(F.col("lv").alias("g"), "k"))
+            .groupBy("g")
+            .agg(F.min("k").alias("m"))
+        )
+        win = (
+            le.join(
+                gm.select(F.col("g").alias("_g1"), F.col("m").alias("_m1")),
+                (F.col("lu") == F.col("_g1")) & (F.col("k") == F.col("_m1")),
+                "left_semi",
+            )
+            .unionByName(
+                le.join(
+                    gm.select(F.col("g").alias("_g2"), F.col("m").alias("_m2")),
+                    (F.col("lv") == F.col("_g2")) & (F.col("k") == F.col("_m2")),
+                    "left_semi",
+                )
+            )
+            .dropDuplicates(["u", "v"])
+            .localCheckpoint()
+        )
+        batch = win.select("u", "v", "w", F.lit(r).cast("int").alias("round"))
+        forest = batch if forest is None else forest.unionByName(batch)
+        # group-level min-propagation over the winner pairs: O(#labels)
+        # frames, `jumps` synchronous passes (partial contraction is
+        # safe by the cut property; later rounds finish the merge)
+        sym = win.select(F.col("lu").alias("a"), F.col("lv").alias("b")).unionByName(
+            win.select(F.col("lv").alias("a"), F.col("lu").alias("b"))
+        )
+        gl = lab.select(F.col("lab").alias("g")).distinct().select(
+            "g", F.col("g").alias("nl")
+        )
+        for _ in range(jumps):
+            cand = sym.join(
+                gl.select(F.col("g").alias("_b"), F.col("nl").alias("_nl")),
+                F.col("b") == F.col("_b"),
+            ).select(F.col("a").alias("g"), F.col("_nl").alias("nl"))
+            gl = (
+                gl.unionByName(cand).groupBy("g").agg(F.min("nl").alias("nl"))
+            )
+        lab = (
+            lab.join(
+                gl.select(F.col("g").alias("_g"), F.col("nl").alias("_nl")),
+                F.col("lab") == F.col("_g"),
+            )
+            .select("id", F.col("_nl").alias("lab"))
+            .localCheckpoint()
+        )
+    return (
+        forest.groupBy("u", "v", "w")
+        .agg(F.min("round").alias("round"))
+        .select("u", "v", "w", "round")
+    )

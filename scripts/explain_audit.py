@@ -56,7 +56,7 @@ def main() -> None:
         "graph_betweenness", "graph_eccentricity", "dedup_edit_distance",
         "dedup_overlap", "kmeans_clusters", "embedding_outliers",
         "event_funnel", "event_retention", "graph_mis", "span_census",
-        "graph_coloring",
+        "graph_coloring", "graph_matching", "graph_msf",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

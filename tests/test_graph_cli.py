@@ -395,3 +395,17 @@ def test_cli_matching(spark, warehouse, tmp_path):
         got[u][0] is not None or got[v][0] is not None
         for u, v in [("a", "b"), ("b", "c"), ("d", "c")]
     )
+
+
+def test_cli_msf_unit_weights(spark, warehouse, tmp_path):
+    rows = _run(
+        spark, warehouse, tmp_path, "--query", "msf", "--rounds", "4"
+    ).collect()
+    got = {(r["u"], r["v"]) for r in rows}
+    # unit weights → a deterministic spanning forest: |V|-|components|
+    # edges over the fixture graph, all of them real edges
+    adj = {("a", "b"), ("b", "c"), ("c", "d")}
+    assert got.issubset(adj)
+    assert all(r["w"] == 1 for r in rows)
+    verts = {x for e in adj for x in e}
+    assert len(got) == len(verts) - 1  # fixture graph is connected

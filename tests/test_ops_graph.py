@@ -2331,3 +2331,145 @@ def test_matching_random_battery_vs_replica(spark):
             for r in maximal_matching(e, rounds=5, seed=trial).collect()
         }
         assert got == _matching_replica(pairs, 5, seed=trial)
+
+
+def _kruskal(pairs, upto=None):
+    """Python Kruskal oracle under the op's exact perturbed total order
+    (lpad(w,19,'0')|u|v); upto bounds the number of edges considered (for
+    budget-degradation checks it is not used — Kruskal is exact)."""
+    best = {}
+    for u, v, w in pairs:
+        a, b = min(u, v), max(u, v)
+        if a == b:
+            continue
+        if (a, b) not in best or w < best[(a, b)]:
+            best[(a, b)] = w
+    edges = sorted(
+        (f"{w:019d}|{a}|{b}", a, b, w) for (a, b), w in best.items()
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    out = set()
+    for _, a, b, w in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+            out.add((a, b, w))
+    return out
+
+
+def test_msf_hand_graph_exact(spark):
+    from kg.ops import minimum_spanning_forest
+
+    # square a-b-c-d-a with a heavy diagonal; MSF drops the heaviest
+    # cycle edge (d-a, w=9) and the diagonal (a-c, w=8)
+    pairs = [
+        ("a", "b", 1), ("b", "c", 2), ("c", "d", 3), ("d", "a", 9),
+        ("a", "c", 8), ("x", "y", 5),
+    ]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string, w long")
+    got = {
+        (r["u"], r["v"], r["w"])
+        for r in minimum_spanning_forest(e, rounds=4).collect()
+    }
+    assert got == {("a", "b", 1), ("b", "c", 2), ("c", "d", 3), ("x", "y", 5)}
+
+
+def test_msf_first_round_is_min_incident_edges(spark):
+    from kg.ops import minimum_spanning_forest
+
+    # path with strictly increasing weights: round 1 selects each
+    # vertex's min incident edge; the chain contracts within the
+    # min-propagation budget so round 2 finishes the forest
+    pairs = [(f"n{i}", f"n{i+1}", 10 + i) for i in range(6)]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string, w long")
+    rows = minimum_spanning_forest(e, rounds=4).collect()
+    got = {(r["u"], r["v"], r["w"]): r["round"] for r in rows}
+    assert set(got) == {(min(u, v), max(u, v), w) for u, v, w in pairs}
+    # n0's min edge and every local minimum land in round 1
+    assert got[("n0", "n1", 10)] == 1
+    assert all(r >= 1 for r in got.values())
+
+
+def test_msf_budget_degrades_to_subset_never_wrong(spark):
+    from kg.ops import minimum_spanning_forest
+
+    pairs = [(f"n{i}", f"n{i+1}", 10 + i) for i in range(12)]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string, w long")
+    full = _kruskal(pairs)
+    partial = {
+        (r["u"], r["v"], r["w"])
+        for r in minimum_spanning_forest(e, rounds=1, jumps=1).collect()
+    }
+    assert partial and partial.issubset(full)
+
+
+def test_msf_random_battery_vs_kruskal(spark):
+    import random
+
+    from kg.ops import minimum_spanning_forest
+
+    rng = random.Random(11)
+    for _ in range(3):
+        n = 12
+        pairs = [
+            (
+                f"n{rng.randrange(n)}",
+                f"n{rng.randrange(n)}",
+                rng.randrange(1, 40),
+            )
+            for _ in range(30)
+        ]
+        e = spark.createDataFrame(
+            pairs, "out_id string, in_id string, w long"
+        )
+        got = {
+            (r["u"], r["v"], r["w"])
+            for r in minimum_spanning_forest(e, rounds=6, jumps=3).collect()
+        }
+        assert got == _kruskal(pairs)
+
+
+def test_msf_parallel_edges_and_loops_collapse(spark):
+    from kg.ops import minimum_spanning_forest
+
+    pairs = [
+        ("a", "b", 5), ("b", "a", 2), ("a", "b", 7), ("a", "a", 1),
+    ]
+    e = spark.createDataFrame(pairs, "out_id string, in_id string, w long")
+    got = {
+        (r["u"], r["v"], r["w"])
+        for r in minimum_spanning_forest(e, rounds=2).collect()
+    }
+    assert got == {("a", "b", 2)}
+
+
+def test_msf_negative_weight_raises(spark):
+    import pytest
+
+    from kg.ops import minimum_spanning_forest
+
+    e = spark.createDataFrame(
+        [("a", "b", -3)], "out_id string, in_id string, w long"
+    )
+    with pytest.raises(Exception, match="non-negative"):
+        minimum_spanning_forest(e, rounds=1).collect()
+
+
+def test_msf_validates_args(spark):
+    import pytest
+
+    from kg.ops import minimum_spanning_forest
+
+    e = spark.createDataFrame([("a", "b", 1)], "out_id string, in_id string, w long")
+    with pytest.raises(ValueError, match="rounds"):
+        minimum_spanning_forest(e, rounds=0)
+    with pytest.raises(ValueError, match="jumps"):
+        minimum_spanning_forest(e, jumps=0)
