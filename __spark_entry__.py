@@ -2807,6 +2807,20 @@ def q_decontaminate(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate(corpus, bench, n=13)
 
 
+def q_contamination_score(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-document contamination fraction vs the benchmark slice
+    (``kg/ops/curate.py::contamination_score``): the tunable-threshold
+    tier above ``decontaminate``'s boolean — n_grams map-side from the
+    in-array distinct gram list, hits via the same md5-60 broadcast
+    join, fraction in exact BIGINT micro-units."""
+    from kg.ops.curate import contamination_score
+
+    d = _read_spread(spark, sf, "documents")
+    bench = d.where(F.col("doc_id") % 20 == 7)
+    corpus = d.where(F.col("doc_id") % 20 != 7)
+    return contamination_score(corpus, bench, n=13)
+
+
 def q_split_assign(spark: SparkSession, sf: str) -> DataFrame:
     """Deterministic md5-bucket train/val/test carve — pure map-side."""
     d = _read(spark, sf, "documents")
@@ -3514,6 +3528,7 @@ def queries() -> dict[str, _T]:
         "media_decode": q_media_decode,
         "text_stats": q_text_stats,
         "decontaminate": q_decontaminate,
+        "contamination_score": q_contamination_score,
         "span_census": q_span_census,
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
@@ -4399,6 +4414,31 @@ def oracle_sql() -> dict[str, str]:
             "corpus AS (SELECT doc_id, unnest(ghs) AS gh FROM grams WHERE doc_id % 20 <> 7) "
             "SELECT c.doc_id, count(*) AS n_hits "
             "FROM corpus c JOIN bench b USING (gh) GROUP BY c.doc_id"
+        ),
+        "contamination_score": (
+            # same gram pipeline as `decontaminate`, plus the map-side
+            # n_grams (len of the distinct in-array list) and the exact
+            # integer micro-unit fraction; zeros for clean/gram-less docs
+            "WITH tokd AS (SELECT doc_id, " + tok + " AS toks FROM documents), "
+            "grams AS (SELECT doc_id, list_transform("
+            "list_distinct(CASE WHEN len(toks) >= 13 "
+            "THEN list_transform(range(1, len(toks) - 11), "
+            "i -> array_to_string(toks[i:i+12], ' ')) ELSE [] END), "
+            "g -> CAST(('0x' || substring(md5(g), 1, 15))::UBIGINT AS BIGINT)"
+            ") AS ghs FROM tokd), "
+            "bench AS (SELECT DISTINCT unnest(ghs) AS gh FROM grams "
+            "WHERE doc_id % 20 = 7), "
+            "corpus AS (SELECT doc_id, ghs FROM grams WHERE doc_id % 20 <> 7), "
+            "ng AS (SELECT doc_id, CAST(len(ghs) AS BIGINT) AS n_grams FROM corpus), "
+            "h AS (SELECT c.doc_id, count(*) AS n_hits FROM "
+            "(SELECT doc_id, unnest(ghs) AS gh FROM corpus) c "
+            "JOIN bench b USING (gh) GROUP BY c.doc_id) "
+            "SELECT ng.doc_id, ng.n_grams, "
+            "CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits, "
+            "CAST(CASE WHEN ng.n_grams > 0 THEN "
+            "coalesce(h.n_hits, 0) * 1000000 // ng.n_grams ELSE 0 END "
+            "AS BIGINT) AS contamination_fp "
+            "FROM ng LEFT JOIN h ON h.doc_id = ng.doc_id"
         ),
         "split_assign": (
             "WITH b AS (SELECT doc_id, "

@@ -57,6 +57,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--benchmark", default=None,
                     help="eval-set documents parquet; corpus docs sharing "
                          "any --ngram word n-gram with it are dropped")
+    ap.add_argument("--max-contamination", type=float, default=None,
+                    help="with --benchmark: drop docs whose contaminated "
+                         "n-gram FRACTION exceeds this (default: any hit "
+                         "drops the doc)")
     ap.add_argument("--min-quality", type=float, default=None,
                     help="drop docs with quality_score below this")
     ap.add_argument("--dedup", choices=["exact", "paragraph"], default=None,
@@ -212,6 +216,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         seed=args.seed,
         id_col=args.id_col,
         text_col=args.text_col,
+        max_contamination=args.max_contamination,
     )
     if (args.mix or args.profile) and args.mix_by not in docs.columns:
         raise SystemExit(
@@ -322,6 +327,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             nxt = curate_corpus(
                 cur, benchmark=bench, ngram=args.ngram,
                 id_col=args.id_col, text_col=args.text_col,
+                max_contamination=args.max_contamination,
             ).drop("bucket", "split")
             stages["decontaminate_dropped"] = cur.count() - nxt.count()
         report["stages"] = stages

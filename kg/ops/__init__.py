@@ -23,6 +23,7 @@ random walks + skip-gram pairs, bipartite co-occurrence + PMI).
 from kg.ops.curate import (  # noqa: F401
     chunk_documents,
     clean_lines,
+    contamination_score,
     decontaminate,
     dsir_weights,
     pack_sequences,

@@ -117,6 +117,63 @@ def decontaminate(
     return hits.groupBy(id_col).agg(F.count("*").alias("n_hits"))
 
 
+def contamination_score(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    id_col: str = "doc_id",
+    text_col: str = "text",
+    n: int = 13,
+) -> DataFrame:
+    """Per-document contamination FRACTION vs a benchmark set →
+    ``(id_col, n_grams, n_hits, contamination_fp)`` for EVERY corpus
+    doc: ``n_grams`` = distinct word ``n``-grams in the doc, ``n_hits``
+    = how many of them appear anywhere in the benchmark,
+    ``contamination_fp = n_hits·10⁶ div n_grams`` in exact BIGINT
+    micro-units.  The TUNABLE-threshold tier above
+    :func:`decontaminate`'s boolean flag: real pipelines drop at
+    fraction ≥ x (verbatim leak) but KEEP low-fraction docs a binary
+    13-gram rule would discard on one coincidental hit (the Brown et
+    al. 2020 appendix-C dilemma), and the fraction is the quantity you
+    sweep when calibrating that threshold.
+
+    Plan shape: ``n_grams`` is computed MAP-SIDE from the in-array
+    distinct gram list (no explode, no extra shuffle); only the hit
+    side explodes, joins the broadcast-gated benchmark dim on 8-byte
+    md5-60 longs and reduces in one hash agg, then one left join puts
+    zeros on clean docs.  Pure integer division → bit-reproducible →
+    full DuckDB twin (``contamination_score``).
+    """
+    d = docs.select(id_col, tokens_col(F.col(text_col)).alias("_t"))
+    d = d.select(id_col, _ngrams_of(F.col("_t"), n).alias("_g"))
+    ng = d.select(
+        id_col, F.size("_g").cast("long").alias("n_grams")
+    )
+    bench_grams = _gram_hashes(benchmark, [], text_col, n).distinct()
+    corpus_grams = d.select(id_col, F.explode("_g").alias("gram")).select(
+        id_col, md5_60(F.col("gram")).alias("gh")
+    )
+    hits = (
+        corpus_grams.join(maybe_broadcast(bench_grams), "gh")
+        .groupBy(id_col)
+        .agg(F.count("*").alias("n_hits"))
+    )
+    return (
+        ng.join(hits, id_col, "left")
+        .select(
+            id_col,
+            "n_grams",
+            F.coalesce("n_hits", F.lit(0)).cast("long").alias("n_hits"),
+            F.when(
+                F.col("n_grams") > 0,
+                F.expr("coalesce(n_hits, 0) * 1000000 div n_grams"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("contamination_fp"),
+        )
+    )
+
+
 def split_bucket(id_col: Column, seed: str) -> Column:
     """Deterministic bucket in [0, 1e6): top-60-bit md5 of ``seed:id``.
 
@@ -319,6 +376,7 @@ def curate_corpus(
     seed: str = "kg-split-v1",
     id_col: str = "doc_id",
     text_col: str = "text",
+    max_contamination: float | None = None,
 ) -> DataFrame:
     """Compose the curation stages a training-data prep job runs:
 
@@ -361,7 +419,22 @@ def curate_corpus(
         out = out.drop(text_col).join(kept, id_col)
     elif dedup is not None:
         raise ValueError(f"unknown dedup mode: {dedup!r}")
-    if benchmark is not None:
+    if benchmark is not None and max_contamination is not None:
+        # fraction-thresholded decontamination: drop only docs whose
+        # contaminated-gram share EXCEEDS the threshold (keeps the
+        # one-coincidental-13-gram docs the boolean rule discards)
+        if not 0.0 <= max_contamination <= 1.0:
+            raise ValueError(
+                f"max_contamination must be in [0, 1], got {max_contamination}"
+            )
+        scores = contamination_score(
+            out, benchmark, id_col=id_col, text_col=text_col, n=ngram
+        )
+        bad = scores.where(
+            F.col("contamination_fp") > F.lit(int(max_contamination * 1_000_000))
+        )
+        out = out.join(bad.select(id_col), id_col, "left_anti")
+    elif benchmark is not None:
         hits = decontaminate(
             out, benchmark, id_col=id_col, text_col=text_col, n=ngram
         )

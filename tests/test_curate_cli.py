@@ -317,3 +317,31 @@ def test_cli_jsonl_input(spark, tmp_path, capsys):
              "--output", out],
             spark=spark,
         )
+
+
+def test_cli_max_contamination_threshold(spark, corpus, tmp_path):
+    docs, bench = corpus
+    # LEAK = 14 eval tokens + 10 corpus words = 24 tokens -> 12 distinct
+    # 13-grams, 2 of them inside the benchmark run -> fraction 1/6
+    out_hi = str(tmp_path / "hi")
+    cli.main(
+        ["--input", docs, "--output", out_hi, "--benchmark", bench,
+         "--dedup", "exact", "--max-contamination", "0.5"],
+        spark=spark,
+    )
+    assert 3 in {r["doc_id"] for r in spark.read.parquet(out_hi).collect()}
+    out_lo = str(tmp_path / "lo")
+    cli.main(
+        ["--input", docs, "--output", out_lo, "--benchmark", bench,
+         "--dedup", "exact", "--max-contamination", "0.1"],
+        spark=spark,
+    )
+    assert 3 not in {r["doc_id"] for r in spark.read.parquet(out_lo).collect()}
+
+
+def test_curate_corpus_max_contamination_validates(spark):
+    import pytest as _pytest
+
+    docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
+    with _pytest.raises(ValueError, match="max_contamination"):
+        curate_corpus(docs, benchmark=docs, max_contamination=1.5)

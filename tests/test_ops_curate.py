@@ -72,6 +72,53 @@ def test_decontaminate_counts_distinct_grams(spark):
     assert got[0]["n_hits"] == 4
 
 
+def test_contamination_score_fraction_and_zeros(spark):
+    from kg.ops.curate import contamination_score
+
+    bench_text = " ".join(f"w{i}" for i in range(20))
+    # 16-token verbatim run: 4 distinct 13-grams, all hits -> fraction 1
+    leak = " ".join(f"w{i}" for i in range(16))
+    # 14 tokens, 2 grams, 1 shared (the second gram ends in zzz)
+    partial = " ".join(f"w{i}" for i in range(13)) + " zzz"
+    clean = " ".join(f"x{i}" for i in range(30))
+    short = "too short"
+    docs = _df(
+        spark,
+        [(1, leak), (2, partial), (3, clean), (4, short)],
+        ["doc_id", "text"],
+    )
+    bench = _df(spark, [(100, bench_text)], ["doc_id", "text"])
+    got = {
+        r["doc_id"]: (r["n_grams"], r["n_hits"], r["contamination_fp"])
+        for r in contamination_score(docs, bench, n=13).collect()
+    }
+    assert got[1] == (4, 4, 1_000_000)
+    assert got[2] == (2, 1, 500_000)
+    assert got[3] == (18, 0, 0)
+    assert got[4] == (0, 0, 0)  # gram-less doc present with zeros
+
+
+def test_contamination_score_matches_decontaminate_hits(spark):
+    from kg.ops.curate import contamination_score
+
+    bench_text = " ".join(f"w{i}" for i in range(30))
+    docs = _df(
+        spark,
+        [(i, " ".join(f"w{j}" for j in range(i, i + 15))) for i in range(5)],
+        ["doc_id", "text"],
+    )
+    bench = _df(spark, [(100, bench_text)], ["doc_id", "text"])
+    flags = {
+        r["doc_id"]: r["n_hits"]
+        for r in decontaminate(docs, bench, n=13).collect()
+    }
+    scores = {
+        r["doc_id"]: r["n_hits"]
+        for r in contamination_score(docs, bench, n=13).collect()
+    }
+    assert flags == {k: v for k, v in scores.items() if v > 0}
+
+
 # --------------------------------------------------------- split_assign
 def test_split_assign_deterministic_and_total(spark):
     df = spark.range(2000).withColumnRenamed("id", "doc_id")
