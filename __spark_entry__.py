@@ -634,6 +634,96 @@ def q_embedding_outliers(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_PCA_ROUNDS = 6
+
+
+def q_embedding_pca(spark: SparkSession, sf: str) -> DataFrame:
+    """Top principal component of the embeddings table
+    (``kg/ops/pca.py::top_principal_component``): exact fixed-point
+    power iteration on the integer scatter matrix M = n·G − s·sᵀ — the
+    anisotropy/dominant-direction diagnostic (Mu & Viswanath 2018
+    all-but-the-top) computed with ONE corpus pass; everything after is
+    d²-row frames on broadcast joins.  Bit-reproducible → FULL
+    unrolled-CTE twin (an INDEPENDENT self-join Gram formulation)."""
+    from kg.ops import top_principal_component
+
+    return top_principal_component(
+        _read(spark, sf, "embeddings"), rounds=_PCA_ROUNDS
+    )
+
+
+def q_pca_scores(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-vector projection onto the top principal component
+    (``kg/ops/pca.py::pca_projection``): the dominant-direction
+    coordinate per embedding — rank by |proj_fp| for outlier-axis
+    review, subtract the rank-1 term for all-but-the-top whitening.
+    Exact BIGINT dot products; composes with ``embedding_pca`` as the
+    full data path."""
+    from kg.ops import pca_projection, top_principal_component
+
+    emb = _read(spark, sf, "embeddings")
+    comp = top_principal_component(emb, rounds=_PCA_ROUNDS)
+    return pca_projection(emb, comp)
+
+
+def _pca_chain_sql(rounds: int) -> str:
+    """Shared CTE chain for the PCA twins: micro-unit components, the
+    SELF-JOIN Gram matrix (an independent derivation of the op's in-row
+    formulation), M = n·G − s·sᵀ in HUGEINT, and ``rounds`` unrolled
+    power-iteration steps with the identical two-branch positive-only
+    integral normalization."""
+    parts = [
+        "xf AS (SELECT vec_id, list_transform(embedding, "
+        "e -> CAST(round(CAST(e AS DOUBLE) * 1000000) AS BIGINT)) AS x "
+        "FROM embeddings)",
+        "ei AS (SELECT vec_id, x, unnest(range(0, len(x))) AS i FROM xf)",
+        "el AS MATERIALIZED (SELECT vec_id, CAST(i AS INT) AS i, "
+        "x[CAST(i AS INT) + 1] AS xi FROM ei)",
+        "s AS (SELECT i, sum(CAST(xi AS HUGEINT)) AS s FROM el GROUP BY i)",
+        "nn AS (SELECT CAST(count(*) AS HUGEINT) AS n FROM xf)",
+        "g AS (SELECT a.i AS i, b.i AS j, "
+        "sum(CAST(a.xi AS HUGEINT) * CAST(b.xi AS HUGEINT)) AS g "
+        "FROM el a JOIN el b ON a.vec_id = b.vec_id GROUP BY 1, 2)",
+        "m AS MATERIALIZED (SELECT g.i, g.j, nn.n * g.g - si.s * sj.s AS mm "
+        "FROM g CROSS JOIN nn "
+        "JOIN s si ON si.i = g.i JOIN s sj ON sj.i = g.j)",
+        "v0 AS (SELECT i AS j, CAST(1000000 AS HUGEINT) AS v FROM s)",
+    ]
+    for r in range(1, rounds + 1):
+        parts += [
+            f"u{r} AS (SELECT m.i, sum(m.mm * v.v) AS u FROM m "
+            f"JOIN v{r - 1} v ON v.j = m.j GROUP BY m.i)",
+            f"mx{r} AS (SELECT max(abs(u)) AS mx FROM u{r})",
+            f"v{r} AS MATERIALIZED (SELECT i AS j, CAST(CASE "
+            f"WHEN mx <= 0 THEN 0 "
+            f"WHEN (mx // 1000000) > 0 THEN "
+            f"(CASE WHEN u < 0 THEN -1 ELSE 1 END) * (abs(u) // (mx // 1000000)) "
+            f"ELSE (CASE WHEN u < 0 THEN -1 ELSE 1 END) * ((abs(u) * 1000000) // mx) "
+            f"END AS HUGEINT) AS v FROM u{r} CROSS JOIN mx{r})",
+        ]
+    return ", ".join(parts)
+
+
+def _pca_sql(rounds: int) -> str:
+    """Twin of q_embedding_pca."""
+    return (
+        "WITH " + _pca_chain_sql(rounds)
+        + f" SELECT CAST(j AS INT) AS dim, CAST(v AS BIGINT) AS weight_fp "
+        f"FROM v{rounds}"
+    )
+
+
+def _pca_scores_sql(rounds: int) -> str:
+    """Twin of q_pca_scores: the chain + one exact dot product per
+    vector."""
+    return (
+        "WITH " + _pca_chain_sql(rounds)
+        + f" SELECT e.vec_id, CAST(sum(CAST(e.xi AS HUGEINT) * v.v) "
+        f"AS BIGINT) AS proj_fp FROM el e JOIN v{rounds} v ON v.j = e.i "
+        "GROUP BY e.vec_id"
+    )
+
+
 def _embedding_outliers_sql() -> str:
     """Twin of q_embedding_outliers: Lloyd's chain + cohesion
     assignment + exact integer mean/variance (HUGEINT; the variance
@@ -3491,6 +3581,8 @@ def queries() -> dict[str, _T]:
         "ann_ivf_trained": q_ann_ivf_trained,
         "kmeans_clusters": q_kmeans_clusters,
         "embedding_outliers": q_embedding_outliers,
+        "embedding_pca": q_embedding_pca,
+        "pca_scores": q_pca_scores,
         "ann_pq": q_ann_pq,
         "ann_ivf_pq": q_ann_ivf_pq,
         "ann_ivf_sq": q_ann_ivf_sq,
@@ -4734,6 +4826,8 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),
         "embedding_outliers": _embedding_outliers_sql(),
+        "embedding_pca": _pca_sql(_PCA_ROUNDS),
+        "pca_scores": _pca_scores_sql(_PCA_ROUNDS),
         "ann_pq": _ann_pq_sql(),
         "ann_ivf_pq": _ann_ivf_pq_sql(),
         "ann_ivf_sq": _ann_ivf_sq_sql(),

@@ -89,6 +89,10 @@ from kg.ops.kmeans import (  # noqa: F401
     kmeans_profile,
 )
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
+from kg.ops.pca import (  # noqa: F401
+    pca_projection,
+    top_principal_component,
+)
 from kg.ops.retrieval import bm25_topk, rrf_fuse  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401
     banded_lsh_pairs,

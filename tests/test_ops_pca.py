@@ -1,0 +1,131 @@
+"""Exact fixed-point PCA (kg/ops/pca.py): python integer replica of the
+power-iteration rule, numpy eigenvector agreement, projection math."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+
+def _replica(vectors, rounds):
+    """Python-int replica of top_principal_component's exact rule."""
+    xs = [[round(c * 1_000_000) for c in v] for v in vectors]
+    d = len(xs[0])
+    n = len(xs)
+    s = [sum(x[i] for x in xs) for i in range(d)]
+    g = [[sum(x[i] * x[j] for x in xs) for j in range(d)] for i in range(d)]
+    mm = [[n * g[i][j] - s[i] * s[j] for j in range(d)] for i in range(d)]
+    v = [1_000_000] * d
+    for _ in range(rounds):
+        u = [sum(mm[i][j] * v[j] for j in range(d)) for i in range(d)]
+        m = max(abs(x) for x in u)
+        if m == 0:
+            v = [0] * d
+            continue
+        q = m // 1_000_000
+        v = [
+            (1 if x >= 0 else -1)
+            * ((abs(x) // q) if q > 0 else (abs(x) * 1_000_000) // m)
+            for x in u
+        ]
+    return v
+
+
+def _mk(spark, vectors):
+    return spark.createDataFrame(
+        [(i, [float(c) for c in v]) for i, v in enumerate(vectors)],
+        "vec_id long, embedding array<double>",
+    )
+
+
+def test_pca_matches_integer_replica(spark):
+    from kg.ops import top_principal_component
+
+    rng = random.Random(3)
+    vectors = [[rng.uniform(-1, 1) for _ in range(6)] for _ in range(40)]
+    got = {
+        r["dim"]: r["weight_fp"]
+        for r in top_principal_component(_mk(spark, vectors), rounds=4).collect()
+    }
+    want = _replica(vectors, 4)
+    assert got == {i: w for i, w in enumerate(want)}
+
+
+def test_pca_finds_planted_dominant_axis(spark):
+    from kg.ops import top_principal_component
+
+    rng = random.Random(7)
+    # variance 100x larger along axis 2 than anywhere else
+    vectors = [
+        [rng.gauss(0, 0.01) for _ in range(5)] for _ in range(60)
+    ]
+    for v in vectors:
+        v[2] += rng.gauss(0, 1.0)
+    got = {
+        r["dim"]: r["weight_fp"]
+        for r in top_principal_component(_mk(spark, vectors), rounds=8).collect()
+    }
+    assert abs(got[2]) == 1_000_000  # dominant axis carries the max coord
+    for i in (0, 1, 3, 4):
+        assert abs(got[i]) < 200_000
+
+
+def test_pca_agrees_with_numpy_eigenvector(spark):
+    np = pytest.importorskip("numpy")
+    from kg.ops import top_principal_component
+
+    rng = random.Random(11)
+    # decaying per-axis variances + a random rotation-ish mixing: a real
+    # spectral gap (iid-isotropic data has lambda1 ~ lambda2 and NO
+    # power method converges there)
+    base = [
+        [rng.gauss(0, 1.0 / (1.5 ** k)) for k in range(8)] for _ in range(80)
+    ]
+    mix = [[rng.uniform(-0.2, 0.2) for _ in range(8)] for _ in range(8)]
+    for k in range(8):
+        mix[k][k] += 1.0
+    vectors = [
+        [sum(row[k] * mix[k][d] for k in range(8)) for d in range(8)]
+        for row in base
+    ]
+    got = top_principal_component(_mk(spark, vectors), rounds=12).collect()
+    v = np.array([r["weight_fp"] for r in sorted(got, key=lambda r: r["dim"])],
+                 dtype=float)
+    x = np.array(vectors)
+    c = np.cov(x, rowvar=False, bias=True)
+    w, vecs = np.linalg.eigh(c)
+    top = vecs[:, int(np.argmax(w))]
+    cos = abs(float(v @ top) / (np.linalg.norm(v) * np.linalg.norm(top)))
+    assert cos > 0.999
+
+
+def test_pca_projection_exact_dot(spark):
+    from kg.ops import pca_projection, top_principal_component
+
+    vectors = [[1.0, 0.0], [0.5, 0.25], [-1.0, 0.125]]
+    df = _mk(spark, vectors)
+    comp = top_principal_component(df, rounds=4)
+    cw = {r["dim"]: r["weight_fp"] for r in comp.collect()}
+    got = {r["vec_id"]: r["proj_fp"] for r in pca_projection(df, comp).collect()}
+    for i, v in enumerate(vectors):
+        want = sum(round(c * 1_000_000) * cw[d] for d, c in enumerate(v))
+        assert got[i] == want
+
+
+def test_pca_zero_matrix_degrades_to_zero_vector(spark):
+    from kg.ops import top_principal_component
+
+    df = _mk(spark, [[0.5, 0.5]] * 3)  # zero variance -> M = 0
+    got = {r["dim"]: r["weight_fp"]
+           for r in top_principal_component(df, rounds=2).collect()}
+    assert got == {0: 0, 1: 0}
+
+
+def test_pca_validates_rounds(spark):
+    from kg.ops import top_principal_component
+
+    df = _mk(spark, [[1.0, 2.0]])
+    with pytest.raises(ValueError, match="rounds"):
+        top_principal_component(df, rounds=0)
