@@ -297,6 +297,59 @@ def q_event_retention(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_ASOF_TOL_US = 6 * 3600 * 1_000_000  # purchases attribute to clicks ≤ 6h old
+
+
+def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
+    """Backward-inclusive as-of join (``kg/ops/events.py::asof_join``):
+    every purchase event picks the user's most recent click at-or-before
+    the purchase instant (last-touch attribution), with a 6-hour
+    staleness tolerance — the temporal point-in-time lookup.  Spark
+    side is the distributed sort-merge as-of (one key shuffle + a
+    running ignore-nulls window, no range-join explosion); the DuckDB
+    twin is the naive ``≤``-join + row_number, an independent
+    formulation.  Gap reported in exact integer microseconds."""
+    from kg.ops import asof_join
+
+    ev = _read(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        "ts",
+        F.round("value", 6).alias("purchase_value"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.round("value", 6).alias("click_value"),
+    )
+    # unmatched purchases surface sentinel values, not NULLs (epoch ts /
+    # -1), mirrored in the twin — the harness sorts mixed-type rows
+    return asof_join(
+        purchases,
+        clicks,
+        value_cols=["click_id", "click_value"],
+        matched_ts_col="click_ts",
+        tolerance_us=_ASOF_TOL_US,
+    ).select(
+        "purchase_id",
+        "user_id",
+        "ts",
+        "purchase_value",
+        F.coalesce(
+            F.col("click_ts"), F.expr("TIMESTAMP_NTZ '1970-01-01 00:00:00'")
+        ).alias("click_ts"),
+        F.coalesce(F.col("click_id"), F.lit(-1)).alias("click_id"),
+        F.coalesce(F.col("click_value"), F.lit(-1.0)).alias("click_value"),
+        F.coalesce(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("click_ts").cast("timestamp")),
+            F.lit(-1),
+        ).alias("gap_us"),
+    )
+
+
 def q_hourly_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming operator
     kg.streaming.windowed_event_counts)."""
@@ -3562,6 +3615,7 @@ def queries() -> dict[str, _T]:
         "hourly_event_windows": q_hourly_event_windows,
         "event_funnel": q_event_funnel,
         "event_retention": q_event_retention,
+        "events_asof": q_events_asof,
         "event_sessions": q_event_sessions,
         "user_event_windows": q_user_event_windows,
         "dedup_exact": q_dedup_exact,
@@ -4203,6 +4257,40 @@ def oracle_sql() -> dict[str, str]:
             "CAST(s.cohort_size AS BIGINT) AS cohort_size, "
             "round(CAST(c.n_active AS DOUBLE) / s.cohort_size, 6) "
             "AS retention FROM cells c JOIN sizes s USING (cohort_date)"
+        ),
+        "events_asof": (
+            # independent formulation of the as-of: naive ≤-join +
+            # row_number picks the greatest preceding click per
+            # purchase; same deterministic (user, ts) right-side dedupe
+            # and the same integer-microsecond tolerance/gap arithmetic
+            "WITH l AS (SELECT event_id AS purchase_id, user_id, ts, "
+            "round(value, 6) AS purchase_value FROM events "
+            "WHERE event_type = 'purchase'), "
+            "r0 AS (SELECT user_id, ts, event_id AS click_id, "
+            "round(value, 6) AS click_value, row_number() OVER "
+            "(PARTITION BY user_id, ts ORDER BY event_id ASC, "
+            "round(value, 6) ASC) AS drn FROM events "
+            "WHERE event_type = 'click' AND ts IS NOT NULL), "
+            "r AS (SELECT user_id, ts, click_id, click_value FROM r0 "
+            "WHERE drn = 1), "
+            "m AS (SELECT l.purchase_id, l.user_id, l.ts, "
+            "l.purchase_value, r.ts AS m_ts, r.click_id AS m_cid, "
+            "r.click_value AS m_cv, row_number() OVER "
+            "(PARTITION BY l.purchase_id ORDER BY r.ts DESC) AS rn "
+            "FROM l LEFT JOIN r ON r.user_id = l.user_id "
+            "AND r.ts <= l.ts), "
+            "s AS (SELECT purchase_id, user_id, ts, purchase_value, "
+            "CASE WHEN m_ts IS NOT NULL AND epoch_us(ts) - epoch_us(m_ts)"
+            f" <= {_ASOF_TOL_US} THEN TRUE ELSE FALSE END AS ok, "
+            "m_ts, m_cid, m_cv FROM m WHERE rn = 1) "
+            "SELECT purchase_id, user_id, ts, purchase_value, "
+            "CASE WHEN ok THEN m_ts "
+            "ELSE TIMESTAMP '1970-01-01' END AS click_ts, "
+            "CAST(CASE WHEN ok THEN m_cid ELSE -1 END AS BIGINT) "
+            "AS click_id, "
+            "CASE WHEN ok THEN m_cv ELSE -1.0 END AS click_value, "
+            "CAST(CASE WHEN ok THEN epoch_us(ts) - epoch_us(m_ts) "
+            "ELSE -1 END AS BIGINT) AS gap_us FROM s"
         ),
         "hourly_event_windows": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -46,7 +46,11 @@ from kg.ops.dedup import (  # noqa: F401
     simhash_candidates,
     winnow_duplicates,
 )
-from kg.ops.events import cohort_retention, funnel_steps  # noqa: F401
+from kg.ops.events import (  # noqa: F401
+    asof_join,
+    cohort_retention,
+    funnel_steps,
+)
 from kg.ops.graph import (  # noqa: F401
     adamic_adar,
     assortativity,

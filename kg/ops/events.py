@@ -15,7 +15,7 @@ reference file.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, functions as F
+from pyspark.sql import DataFrame, Window, functions as F
 
 from kg.hints import maybe_broadcast
 
@@ -152,3 +152,118 @@ def cohort_retention(
             6,
         ).alias("retention"),
     )
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_cols: list[str] | None = None,
+    matched_ts_col: str = "matched_ts",
+    tolerance_us: int | None = None,
+) -> DataFrame:
+    """Backward-inclusive as-of join: every ``left`` row picks the
+    ``right`` row with the GREATEST ``ts_col`` ≤ the left row's
+    timestamp, per ``key_col`` — the temporal point-in-time lookup
+    (pandas ``merge_asof`` / kdb ``aj`` / Flink temporal join), the
+    canonical "what was the last known state when this happened" query
+    over event streams.  Output = every left column, plus the matched
+    right timestamp as ``matched_ts_col`` and the requested right
+    ``value_cols`` (all NULL when no right row precedes).
+    ``tolerance_us`` optionally voids matches older than that many
+    microseconds (integer-exact arithmetic, mirrored in the SQL twin).
+
+    Plan shape (100 TB): NOT a range join.  Both sides are tagged and
+    unioned, then ONE shuffle on the key and one per-key sort order by
+    ``(ts, side)`` feeds a running ``last(marker, ignorenulls)`` window
+    whose frame is rows-unbounded-preceding→current — the distributed
+    sort-merge as-of, O(n log n) per key with O(1) carried state, no
+    per-left candidate explosion (the naive left⋈right-on-``≤`` join is
+    quadratic per key and is what the DuckDB twin does at oracle
+    scale).  Right rows sort BEFORE left rows at equal timestamps, so
+    ties match (inclusive).  The right side is first reduced to one row
+    per (key, ts) with a deterministic lexicographic-min over the value
+    struct — as-of joins over a right side with same-instant duplicates
+    are otherwise nondeterministic in every engine.
+
+    Reference parity note: §2.1 new-engine surface (SURVEY.md); the
+    reference (syedhassaanahmed/neo-to-cosmos) has no temporal
+    operators — this is part of the analytics surface a sink consumer
+    expects, not a translation.
+    """
+    value_cols = list(value_cols or [])
+    for c in (key_col, ts_col):
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"key/ts column {c!r} must exist on both sides")
+    missing = [c for c in value_cols if c not in right.columns]
+    if missing:
+        raise ValueError(f"value_cols not in right frame: {missing}")
+    clash = [c for c in [matched_ts_col, *value_cols] if c in left.columns]
+    if clash:
+        raise ValueError(
+            f"output columns {clash} collide with left-side columns; "
+            "rename the right-side payload first"
+        )
+    if tolerance_us is not None and tolerance_us < 0:
+        raise ValueError(f"tolerance_us must be >= 0, got {tolerance_us}")
+
+    k, t = F.col(key_col), F.col(ts_col)
+    # one deterministic right row per (key, ts): lexicographic min over
+    # the payload struct (same rule as the SQL twin's ORDER BY ... ASC)
+    if value_cols:
+        r1 = (
+            right.where(t.isNotNull())
+            .groupBy(key_col, ts_col)
+            .agg(F.min(F.struct(*value_cols)).alias("_pay"))
+        )
+    else:
+        r1 = (
+            right.where(t.isNotNull())
+            .select(key_col, ts_col)
+            .distinct()
+            .withColumn("_pay", F.struct(F.lit(1).alias("_one")))
+        )
+    r_tag = r1.select(
+        k.alias("_k"),
+        F.col(ts_col).alias("_t"),
+        F.lit(0).alias("_side"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"`{c}`:{left.schema[c].dataType.simpleString()}" for c in left.columns) + ">"
+        ).alias("_l"),
+        F.struct(F.col(ts_col).alias("_rts"), F.col("_pay")).alias("_r"),
+    )
+    l_tag = left.select(
+        k.alias("_k"),
+        t.alias("_t"),
+        F.lit(1).alias("_side"),
+        F.struct(*left.columns).alias("_l"),
+        F.lit(None).cast(r_tag.schema["_r"].dataType.simpleString()).alias("_r"),
+    )
+    w = (
+        Window.partitionBy("_k")
+        .orderBy(F.col("_t").asc_nulls_first(), F.col("_side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = (
+        r_tag.unionByName(l_tag)
+        .withColumn("_m", F.last("_r", ignorenulls=True).over(w))
+        .where(F.col("_side") == 1)
+    )
+    m_ts = F.col("_m._rts")
+    if tolerance_us is not None:
+        # cast("timestamp") accepts both TIMESTAMP and TIMESTAMP_NTZ
+        # inputs (unix_micros rejects NTZ); any session-tz shift is the
+        # same on both operands, so the difference is exact either way
+        in_tol = (
+            F.unix_micros(F.col("_t").cast("timestamp"))
+            - F.unix_micros(m_ts.cast("timestamp"))
+            <= tolerance_us
+        )
+        merged = merged.withColumn(
+            "_m", F.when(m_ts.isNotNull() & in_tol, F.col("_m"))
+        )
+    out = [F.col(f"_l.`{c}`").alias(c) for c in left.columns]
+    out.append(F.col("_m._rts").alias(matched_ts_col))
+    out.extend(F.col(f"_m._pay.`{c}`").alias(c) for c in value_cols)
+    return merged.select(*out)

@@ -94,3 +94,94 @@ def test_retention_max_offset_truncates_and_validates(spark):
     assert got == {0}
     with pytest.raises(ValueError, match="max_offset"):
         cohort_retention(ev, max_offset=-1)
+
+
+def _tus(sec, us=0):
+    return datetime(2024, 1, 1, 0, 0, sec, us)
+
+
+_L_SCHEMA = "user_id long, ts timestamp, tag string"
+_R_SCHEMA = "user_id long, ts timestamp, click_id long, click_value double"
+
+
+def test_asof_hand_matches(spark):
+    """p0 matches the equal-instant right row (inclusive tie); p1 skips
+    the later right row and takes the greatest preceding one; p2's user
+    has no right rows at all -> NULLs; u3's right row never surfaces."""
+    from kg.ops import asof_join
+
+    L = spark.createDataFrame(
+        [(1, _tus(10), "p1"), (1, _tus(3), "p0"), (2, _tus(5), "p2")],
+        _L_SCHEMA,
+    )
+    R = spark.createDataFrame(
+        [(1, _tus(3), 100, 0.5), (1, _tus(7), 200, 0.7),
+         (1, _tus(12), 300, 0.9), (3, _tus(1), 400, 0.1)],
+        _R_SCHEMA,
+    )
+    got = {
+        r["tag"]: (r["matched_ts"], r["click_id"], r["click_value"])
+        for r in asof_join(
+            L, R, value_cols=["click_id", "click_value"]
+        ).collect()
+    }
+    assert got == {
+        "p0": (_tus(3), 100, 0.5),
+        "p1": (_tus(7), 200, 0.7),
+        "p2": (None, None, None),
+    }
+
+
+def test_asof_tolerance_voids_stale_matches(spark):
+    from kg.ops import asof_join
+
+    L = spark.createDataFrame([(1, _tus(10), "p")], _L_SCHEMA)
+    R = spark.createDataFrame([(1, _tus(3), 1, 1.0)], _R_SCHEMA)
+    fresh = asof_join(
+        L, R, value_cols=["click_id"], tolerance_us=7_000_000
+    ).collect()[0]
+    assert fresh["click_id"] == 1  # exactly at the tolerance edge: kept
+    stale = asof_join(
+        L, R, value_cols=["click_id"], tolerance_us=6_999_999
+    ).collect()[0]
+    assert stale["matched_ts"] is None and stale["click_id"] is None
+
+
+def test_asof_same_instant_right_dupes_resolve_lexicographically(spark):
+    """Two right rows at the same (key, ts): the payload-struct min wins
+    deterministically (click_id 5 < 9)."""
+    from kg.ops import asof_join
+
+    L = spark.createDataFrame([(1, _tus(5), "p")], _L_SCHEMA)
+    R = spark.createDataFrame(
+        [(1, _tus(5), 9, 0.1), (1, _tus(5), 5, 0.9)], _R_SCHEMA
+    )
+    row = asof_join(L, R, value_cols=["click_id", "click_value"]).collect()[0]
+    assert (row["click_id"], row["click_value"]) == (5, 0.9)
+
+
+def test_asof_left_columns_pass_through_and_validation(spark):
+    from kg.ops import asof_join
+
+    L = spark.createDataFrame([(1, _tus(5), "p")], _L_SCHEMA)
+    R = spark.createDataFrame([(1, _tus(2), 1, 1.0)], _R_SCHEMA)
+    out = asof_join(L, R, value_cols=["click_id"])
+    assert out.columns == ["user_id", "ts", "tag", "matched_ts", "click_id"]
+    with pytest.raises(ValueError, match="value_cols"):
+        asof_join(L, R, value_cols=["nope"])
+    with pytest.raises(ValueError, match="collide"):
+        asof_join(L, R.withColumnRenamed("click_id", "tag"), value_cols=["tag"])
+    with pytest.raises(ValueError, match="tolerance_us"):
+        asof_join(L, R, value_cols=["click_id"], tolerance_us=-1)
+    with pytest.raises(ValueError, match="must exist"):
+        asof_join(L.withColumnRenamed("user_id", "u"), R)
+
+
+def test_asof_no_value_cols_reports_timestamp_only(spark):
+    from kg.ops import asof_join
+
+    L = spark.createDataFrame([(1, _tus(5), "p")], _L_SCHEMA)
+    R = spark.createDataFrame([(1, _tus(2), 1, 1.0)], _R_SCHEMA)
+    row = asof_join(L, R).collect()[0]
+    assert row["matched_ts"] == _tus(2)
+    assert "click_id" not in asof_join(L, R).columns
