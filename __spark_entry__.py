@@ -350,6 +350,50 @@ def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_RANGE_WIN_S = 30 * 60  # clicks within 30 min after each purchase
+
+
+def q_events_range_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Time-range join (``kg/ops/events.py::range_join``): every
+    purchase opens a half-open 30-minute window; same-user clicks
+    inside it are paired via the bucketized equi-join (time mapped to
+    bucket ids — never a broadcast-nested-loop theta join), then
+    reduced per purchase to follow-click count + fixed-point value sum.
+    Purchases with no follow clicks report zeros (left join back).  The
+    DuckDB twin runs the naive inequality join — an independent
+    formulation."""
+    from kg.ops import range_join
+
+    ev = _read(spark, sf, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr(f"INTERVAL {_RANGE_WIN_S} SECONDS")).alias("t1"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id",
+        "ts",
+        F.floor(F.col("value") * 10000).cast("long").alias("click_fp"),
+    )
+    pairs = range_join(
+        purchases, clicks, "t0", "t1", key_col="user_id", bucket_s=600
+    )
+    per_purchase = pairs.groupBy("purchase_id").agg(
+        F.count("*").cast("long").alias("n_follow_clicks"),
+        F.sum("click_fp").cast("long").alias("sum_click_fp"),
+    )
+    return purchases.join(
+        per_purchase, "purchase_id", "left"
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("t0").alias("ts"),
+        F.coalesce("n_follow_clicks", F.lit(0)).alias("n_follow_clicks"),
+        F.coalesce("sum_click_fp", F.lit(0)).alias("sum_click_fp"),
+    )
+
+
 def q_hourly_event_windows(spark: SparkSession, sf: str) -> DataFrame:
     """Tumbling-window aggregation (batch twin of the streaming operator
     kg.streaming.windowed_event_counts)."""
@@ -3616,6 +3660,7 @@ def queries() -> dict[str, _T]:
         "event_funnel": q_event_funnel,
         "event_retention": q_event_retention,
         "events_asof": q_events_asof,
+        "events_range_join": q_events_range_join,
         "event_sessions": q_event_sessions,
         "user_event_windows": q_user_event_windows,
         "dedup_exact": q_dedup_exact,
@@ -4291,6 +4336,23 @@ def oracle_sql() -> dict[str, str]:
             "CASE WHEN ok THEN m_cv ELSE -1.0 END AS click_value, "
             "CAST(CASE WHEN ok THEN epoch_us(ts) - epoch_us(m_ts) "
             "ELSE -1 END AS BIGINT) AS gap_us FROM s"
+        ),
+        "events_range_join": (
+            # independent formulation: naive half-open inequality join
+            "WITH p AS (SELECT event_id AS purchase_id, user_id, ts "
+            "FROM events WHERE event_type = 'purchase'), "
+            "c AS (SELECT user_id, ts, "
+            "CAST(floor(value * 10000) AS BIGINT) AS click_fp "
+            "FROM events WHERE event_type = 'click'), "
+            "j AS (SELECT p.purchase_id, count(*) AS n, "
+            "sum(c.click_fp) AS s FROM p JOIN c "
+            "ON c.user_id = p.user_id AND c.ts >= p.ts "
+            f"AND c.ts < p.ts + INTERVAL {_RANGE_WIN_S} SECOND "
+            "GROUP BY 1) "
+            "SELECT p.purchase_id, p.user_id, p.ts, "
+            "CAST(coalesce(j.n, 0) AS BIGINT) AS n_follow_clicks, "
+            "CAST(coalesce(j.s, 0) AS BIGINT) AS sum_click_fp "
+            "FROM p LEFT JOIN j USING (purchase_id)"
         ),
         "hourly_event_windows": (
             "SELECT date_trunc('hour', ts) AS window_start, event_type, "

@@ -50,6 +50,7 @@ from kg.ops.events import (  # noqa: F401
     asof_join,
     cohort_retention,
     funnel_steps,
+    range_join,
 )
 from kg.ops.graph import (  # noqa: F401
     adamic_adar,

@@ -267,3 +267,90 @@ def asof_join(
     out.append(F.col("_m._rts").alias(matched_ts_col))
     out.extend(F.col(f"_m._pay.`{c}`").alias(c) for c in value_cols)
     return merged.select(*out)
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    start_col: str,
+    end_col: str,
+    ts_col: str = "ts",
+    key_col: str | None = None,
+    bucket_s: int = 3600,
+    max_buckets: int = 10_000,
+) -> DataFrame:
+    """Time-range join: every ``left`` interval ``[start_col, end_col)``
+    pairs with every ``right`` row whose ``ts_col`` falls inside it
+    (half-open — standard window semantics), optionally ANDed with an
+    equi-key.  Output = all left columns + all right columns.
+
+    Plan shape (100 TB): Spark would execute the naive
+    ``ts >= start AND ts < end`` theta-join as broadcast-nested-loop —
+    quadratic and driver-killing.  This op instead maps TIME to an
+    equi-join key: each interval explodes into the ``bucket_s``-second
+    bucket ids it covers (``sequence`` — bounded by ``max_buckets``, an
+    in-plan ``assert_true`` guard against unbounded intervals), each
+    right row computes its single bucket id map-side, the join is a
+    plain hash equi-join on (bucket [, key]), and the exact range
+    predicate re-filters the candidates.  A right row lives in exactly
+    ONE bucket, so no pair is emitted twice and no dedup pass is
+    needed.  Pick ``bucket_s`` near the typical interval length: cost
+    is O(|left| · len/bucket + candidates), the standard interval
+    bucketization every streaming/temporal engine uses.  The DuckDB
+    twin runs the naive inequality join — an independent formulation.
+
+    Reference parity note: §2.1 new-engine surface (SURVEY.md); no
+    temporal operators exist in the reference.
+    """
+    if bucket_s <= 0:
+        raise ValueError(f"bucket_s must be > 0, got {bucket_s}")
+    if max_buckets <= 0:
+        raise ValueError(f"max_buckets must be > 0, got {max_buckets}")
+    for c, side, frame in (
+        (start_col, "left", left),
+        (end_col, "left", left),
+        (ts_col, "right", right),
+    ):
+        if c not in frame.columns:
+            raise ValueError(f"{side} frame is missing column {c!r}")
+    if key_col is not None and (
+        key_col not in left.columns or key_col not in right.columns
+    ):
+        raise ValueError(f"key_col {key_col!r} must exist on both sides")
+    clash = [c for c in right.columns if c in left.columns and c != key_col]
+    if clash:
+        raise ValueError(
+            f"right columns {clash} collide with left; rename them first"
+        )
+
+    bucket_us = int(bucket_s) * 1_000_000
+
+    def _us(c):
+        return F.unix_micros(F.col(c).cast("timestamp"))
+
+    b0 = F.floor(_us(start_col) / bucket_us)
+    # end is exclusive: the last covered bucket holds end_us - 1
+    b1 = F.floor((_us(end_col) - 1) / bucket_us)
+    n_buckets = b1 - b0 + 1
+    guard = F.assert_true(
+        n_buckets <= max_buckets,
+        F.concat(
+            F.lit(f"range_join: interval spans > {max_buckets} buckets "),
+            F.lit(f"of {bucket_s}s — raise bucket_s or max_buckets"),
+        ),
+    )
+    lx = left.where(
+        _us(end_col) > _us(start_col)  # empty/inverted intervals drop
+    ).withColumn(
+        "_bucket",
+        F.explode(F.when(guard.isNull(), F.sequence(b0, b1))),
+    )
+    rx = right.where(F.col(ts_col).isNotNull()).withColumn(
+        "_bucket", F.floor(_us(ts_col) / bucket_us)
+    )
+    on = ["_bucket"] + ([key_col] if key_col else [])
+    return (
+        lx.join(rx, on=on)
+        .where((_us(ts_col) >= _us(start_col)) & (_us(ts_col) < _us(end_col)))
+        .drop("_bucket")
+    )

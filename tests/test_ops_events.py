@@ -185,3 +185,63 @@ def test_asof_no_value_cols_reports_timestamp_only(spark):
     row = asof_join(L, R).collect()[0]
     assert row["matched_ts"] == _tus(2)
     assert "click_id" not in asof_join(L, R).columns
+
+
+def test_range_join_hand_pairs(spark):
+    """Half-open [start, end): start-instant matches, end-instant does
+    not; key mismatch excluded; interval longer than one bucket still
+    finds rows in every covered bucket exactly once."""
+    from kg.ops import range_join
+
+    L = spark.createDataFrame(
+        [(1, _tus(0), datetime(2024, 1, 1, 0, 30), "w1")],
+        "user_id long, t0 timestamp, t1 timestamp, wtag string",
+    )
+    R = spark.createDataFrame(
+        [(1, _tus(0), "at-start"), (1, datetime(2024, 1, 1, 0, 15), "mid"),
+         (1, datetime(2024, 1, 1, 0, 30), "at-end"), (2, _tus(5), "other")],
+        "user_id long, ts timestamp, rtag string",
+    )
+    got = sorted(
+        r["rtag"]
+        for r in range_join(
+            L, R, "t0", "t1", key_col="user_id", bucket_s=600
+        ).collect()
+    )
+    assert got == ["at-start", "mid"]  # each exactly once despite 3 buckets
+
+
+def test_range_join_unkeyed_is_global(spark):
+    from kg.ops import range_join
+
+    L = spark.createDataFrame(
+        [(_tus(0), _tus(10), "w")], "t0 timestamp, t1 timestamp, wtag string"
+    )
+    R = spark.createDataFrame(
+        [(99, _tus(5), "any-key")], "rid long, ts timestamp, rtag string"
+    )
+    assert range_join(L, R, "t0", "t1", bucket_s=60).count() == 1
+
+
+def test_range_join_guard_and_validation(spark):
+    from kg.ops import range_join
+
+    L = spark.createDataFrame(
+        [(_tus(0), datetime(2024, 1, 2), "w")],
+        "t0 timestamp, t1 timestamp, wtag string",
+    )
+    R = spark.createDataFrame([(_tus(5), "r")], "ts timestamp, rtag string")
+    with pytest.raises(Exception, match="buckets"):
+        range_join(L, R, "t0", "t1", bucket_s=1, max_buckets=10).count()
+    with pytest.raises(ValueError, match="bucket_s"):
+        range_join(L, R, "t0", "t1", bucket_s=0)
+    with pytest.raises(ValueError, match="missing column"):
+        range_join(L, R, "t0", "nope")
+    with pytest.raises(ValueError, match="collide"):
+        range_join(L, R.withColumnRenamed("rtag", "wtag"), "t0", "t1")
+    # empty/inverted intervals produce nothing rather than exploding
+    Li = spark.createDataFrame(
+        [(_tus(10), _tus(10), "empty"), (_tus(10), _tus(5), "inverted")],
+        "t0 timestamp, t1 timestamp, wtag string",
+    )
+    assert range_join(Li, R, "t0", "t1", bucket_s=60).count() == 0
