@@ -637,6 +637,31 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_SEM_THRESHOLD_FP = 950_000
+_SEM_MAX_CELL = 4096
+
+
+def q_dedup_semantic(spark: SparkSession, sf: str) -> DataFrame:
+    """Semantic dedup (SemDeDup; ``kg/ops/dedup.py::semantic_dedup``):
+    Lloyd's-clustered embedding space, per-cell pairwise cosine, drop
+    every vector with a lower-id near-dup witness in its cell — the
+    paraphrase/re-encode tier no n-gram method catches.  Runs over the
+    augmented corpus (planted perturbed twins, cosine ≈ 0.98+), so the
+    drops are non-vacuous; the DuckDB twin composes the verified
+    Lloyd's CTEs + the shared assignment CTE + the pair join."""
+    from kg.ops import semantic_dedup
+
+    return semantic_dedup(
+        _augmented_embeddings(spark, sf),
+        "vec_id",
+        "v",
+        k=_IVF_CELLS,
+        iters=_KMEANS_ITERS,
+        threshold_fp=_SEM_THRESHOLD_FP,
+        max_cell=_SEM_MAX_CELL,
+    )
+
+
 # ---------------------------------------------------------------------------
 # similarity search
 # ---------------------------------------------------------------------------
@@ -3673,6 +3698,7 @@ def queries() -> dict[str, _T]:
         "dedup_simhash": q_dedup_simhash,
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_embedding": q_dedup_embedding,
+        "dedup_semantic": q_dedup_semantic,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -4014,6 +4040,38 @@ def _kmeans_cent_ctes(k: int, iters: int) -> str:
             f"LEFT JOIN mn{i} m USING (cid))",
         ]
     return ", ".join(parts)
+
+
+def _dedup_semantic_sql() -> str:
+    """Twin of q_dedup_semantic: augmented base + the verified Lloyd's
+    CTE chain + the shared cell-assignment CTE, then the per-cell pair
+    join with the same cap, fixed-point cosine and lower-id witness
+    rule."""
+    return (
+        "WITH base0 AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "base AS (SELECT vec_id, v FROM base0 UNION ALL "
+        "         SELECT vec_id + 1000000, "
+        "         list_transform(v, x -> x + 0.6 * x * x) "
+        "         FROM base0 WHERE vec_id < 20), "
+        + _kmeans_cent_ctes(_IVF_CELLS, _KMEANS_ITERS)
+        + f", cent AS (SELECT cid, cv FROM cent{_KMEANS_ITERS}), "
+        + _ivf_assign_ctes()
+        + ", wv AS (SELECT c.vec_id, c.cid, b.v FROM cells c "
+        "JOIN base b USING (vec_id)), "
+        f"ok AS (SELECT cid FROM wv GROUP BY cid "
+        f"HAVING count(*) <= {_SEM_MAX_CELL}), "
+        "sm AS (SELECT wv.* FROM wv JOIN ok USING (cid)), "
+        "pr AS (SELECT vb.vec_id AS bid, "
+        f"CAST(floor(round({_COS_SQL}, 6) * 1000000 + 0.5) AS BIGINT) "
+        "AS cfp FROM sm va JOIN sm vb ON va.cid = vb.cid "
+        f"AND va.vec_id < vb.vec_id WHERE NOT isnan({_COS_SQL})), "
+        f"drp AS (SELECT DISTINCT bid FROM pr "
+        f"WHERE cfp >= {_SEM_THRESHOLD_FP}) "
+        "SELECT w.vec_id, CAST(w.cid AS INT) AS cid, "
+        "(d.bid IS NULL) AS kept FROM wv w "
+        "LEFT JOIN drp d ON d.bid = w.vec_id"
+    )
 
 
 def _ann_ivf_trained_sql() -> str:
@@ -4974,6 +5032,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
+        "dedup_semantic": _dedup_semantic_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),
         "embedding_outliers": _embedding_outliers_sql(),
         "embedding_pca": _pca_sql(_PCA_ROUNDS),

@@ -41,6 +41,7 @@ from kg.ops.dedup import (  # noqa: F401
     ngram_jaccard_pairs,
     overlap_duplicates,
     paragraph_dedup,
+    semantic_dedup,
     simhash_col,
     simhash_col_jvm,
     simhash_candidates,

@@ -660,3 +660,105 @@ def overlap_duplicates(
         .filter(F.col("_ov") >= threshold)
         .select("a", "b", F.round("_ov", 6).alias("overlap"), "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# semantic (SemDeDup)
+# ---------------------------------------------------------------------------
+def semantic_dedup(
+    df: DataFrame,
+    id_col: str,
+    vec_col: str,
+    k: int,
+    iters: int = 2,
+    threshold_fp: int = 950_000,
+    max_cell: int = 4096,
+) -> DataFrame:
+    """Semantic deduplication (SemDeDup, Abbas et al. 2023): cluster the
+    embedding space with the deterministic Lloyd's trainer
+    (:func:`kg.ops.kmeans.kmeans_fit`), then within each cluster drop
+    every vector that has a LOWER-id near-duplicate (pairwise cosine ≥
+    ``threshold_fp`` micro-units) in the same cell.  →
+    ``(id_col, cid, kept)`` for every assignable vector — the
+    embedding-space tier of the dedup ladder (exact → MinHash → SimHash
+    → embedding-LSH → semantic), catching paraphrases and re-encodes
+    that share no n-grams at all.
+
+    Keeper rule: a vector survives iff NO smaller-id vector in its cell
+    is within the threshold — a closed-form, order-free predicate (every
+    drop has an explicit surviving witness; contrast with chain-greedy
+    pair dropping, which this library replaced with CC keepers in the
+    clean stage — here the per-cell quadratic candidate set makes the
+    witness rule exact, no chain ambiguity exists within a cell).
+
+    Plan shape (100 TB): k-means cost is the IVF trainer's (k scales
+    with corpus so cells stay bounded); the pairwise stage is an
+    equi-join ON THE CELL ID — never a corpus cross join — and cells
+    larger than ``max_cell`` are excluded from pairing entirely (their
+    members all survive; the ``cap_buckets`` degenerate-bucket rule,
+    mirrored in the SQL twin).  Cosines are fixed-pointed
+    ``floor(round(cos,6)·10⁶ + ½)`` — the engine-stable integer used by
+    the whole kmeans family, so the twin matches bit-for-bit.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if not 0 < threshold_fp <= 1_000_000:
+        raise ValueError(
+            f"threshold_fp must be in (0, 1e6], got {threshold_fp}"
+        )
+    if max_cell < 1:
+        raise ValueError(f"max_cell must be >= 1, got {max_cell}")
+    from kg.hints import maybe_broadcast
+    from kg.ops.kmeans import FIXED_POINT, kmeans_fit
+    from kg.ops.similarity import _cosine, ivf_assign
+
+    base = df.select(
+        F.col(id_col).alias("_id"),
+        F.col(vec_col).cast("array<double>").alias("_v"),
+    )
+    centroids = kmeans_fit(df, id_col, vec_col, k=k, iters=iters)
+    asg = ivf_assign(base, "_id", "_v", centroids, nprobe=1)
+    # one materialization: the frame feeds both sides of the pair join
+    # AND the final report — without it the assignment (and the Lloyd's
+    # chain above it) re-executes three times
+    withv = (
+        asg.join(base, "_id").select("_id", "cid", "_v").localCheckpoint()
+    )
+    small = withv.join(
+        maybe_broadcast(
+            withv.groupBy("cid")
+            .agg(F.count("*").alias("_n"))
+            .filter(F.col("_n") <= max_cell)
+            .select("cid")
+        ),
+        "cid",
+    )
+    a = small.select("cid", F.col("_id").alias("_a"), F.col("_v").alias("_va"))
+    b = small.select("cid", F.col("_id").alias("_b"), F.col("_v").alias("_vb"))
+    # zero-norm vectors never reach here (ivf_assign drops NaN-cosine
+    # rows), but the isnan guard keeps the NaN→long ANSI cast impossible
+    # by construction rather than by data
+    cos = _cosine(F.col("_va"), F.col("_vb"))
+    dropped = (
+        a.join(b, "cid")
+        .filter(F.col("_a") < F.col("_b"))
+        .select("_b", cos.alias("_c"))
+        .filter(~F.isnan(F.col("_c")))
+        .select(
+            "_b",
+            F.floor(F.round(F.col("_c"), 6) * FIXED_POINT + F.lit(0.5))
+            .cast("long")
+            .alias("_cfp"),
+        )
+        .filter(F.col("_cfp") >= threshold_fp)
+        .select("_b")
+        .distinct()
+    )
+    return (
+        withv.join(dropped, withv["_id"] == dropped["_b"], "left")
+        .select(
+            F.col("_id").alias(id_col),
+            "cid",
+            F.col("_b").isNull().alias("kept"),
+        )
+    )

@@ -842,3 +842,69 @@ def test_overlap_empty_shingles_score_zero(spark):
         docs, "doc_id", "text", threshold=0.1, portable=True
     ).collect()
     assert got == []
+
+
+# ---------------------------------------------------------------------------
+# semantic (SemDeDup)
+# ---------------------------------------------------------------------------
+def test_semantic_dedup_drops_lower_id_witnessed_dups(spark):
+    """Two planted near-dup pairs land in opposite half-spaces; in each
+    pair the higher id drops and its lower-id witness survives; the
+    unrelated orthogonal vector survives."""
+    from kg.ops import semantic_dedup
+
+    rows = [
+        (1, [1.0, 0.0, 0.0]), (2, [0.999, 0.01, 0.0]),
+        (3, [0.0, 1.0, 0.0]),
+        (4, [-1.0, 0.0, 0.0]), (5, [-0.999, -0.02, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    got = {
+        r["vid"]: r["kept"]
+        for r in semantic_dedup(
+            df, "vid", "v", k=2, iters=1, threshold_fp=990_000
+        ).collect()
+    }
+    assert got == {1: True, 2: False, 3: True, 4: True, 5: False}
+
+
+def test_semantic_dedup_cell_cap_exempts_degenerate_cells(spark):
+    """A cell over max_cell contributes no pairs: everyone survives."""
+    from kg.ops import semantic_dedup
+
+    rows = [(i, [1.0, 0.001 * i]) for i in range(6)]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    out = semantic_dedup(df, "vid", "v", k=1, iters=1, max_cell=3)
+    assert all(r["kept"] for r in out.collect())
+    capped = semantic_dedup(df, "vid", "v", k=1, iters=1, max_cell=10)
+    assert sum(not r["kept"] for r in capped.collect()) == 5  # 0 survives
+
+
+def test_semantic_dedup_cross_cell_dups_are_not_paired(spark):
+    """Near-identical vectors split across cells never pair — the
+    SemDeDup trade-off is per-cell locality, not global recall."""
+    from kg.ops import semantic_dedup
+
+    rows = [(1, [1.0, 0.0]), (2, [-1.0, 0.0]), (3, [0.9999, 0.001]),
+            (4, [-0.9999, -0.001])]
+    df = spark.createDataFrame(rows, "vid long, v array<double>")
+    out = {r["vid"]: (r["cid"], r["kept"])
+           for r in semantic_dedup(df, "vid", "v", k=2, iters=1).collect()}
+    # 1,3 share a cell (3 drops); 2,4 share the other (4 drops)
+    assert out[3][1] is False and out[4][1] is False
+    assert out[1][1] is True and out[2][1] is True
+    assert out[1][0] != out[2][0]
+
+
+def test_semantic_dedup_validates(spark):
+    from kg.ops import semantic_dedup
+
+    df = spark.createDataFrame([(1, [1.0])], "vid long, v array<double>")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="k must"):
+        semantic_dedup(df, "vid", "v", k=0)
+    with _pt.raises(ValueError, match="threshold_fp"):
+        semantic_dedup(df, "vid", "v", k=1, threshold_fp=0)
+    with _pt.raises(ValueError, match="max_cell"):
+        semantic_dedup(df, "vid", "v", k=1, max_cell=0)
