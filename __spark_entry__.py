@@ -3051,6 +3051,58 @@ def q_tfidf_topk(spark: SparkSession, sf: str) -> DataFrame:
     return tfidf_topk(d, k=3)
 
 
+_SKETCH_K = 64
+
+
+def q_distinct_sketch(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-language distinct token-BIGRAM cardinality: exact count vs
+    the MinCount register sketch (``kg/ops/sketch.py::
+    mincount_distinct``, k=64 → ~12 % σ), plus the signed relative
+    error in micro-units — the sketch-accuracy report a 100 TB profiler
+    runs where exact distinct is unaffordable.  Bigrams (the in-array
+    ``slice``+``zip_with`` zip, never a self-join) give ~900 distinct
+    per language here, the n ≫ k regime the estimator is built for
+    (the unigram vocabulary of this corpus is 31 — smaller than k, the
+    regime where any order-statistics sketch degenerates).  The sketch
+    shuffle is O(langs·k) rows (min combines map-side); the exact count
+    is the yardstick the oracle can also compute, not the production
+    path."""
+    from kg.ops import mincount_distinct
+
+    t = F.col("_t")
+    n1 = F.greatest(F.size("_t") - 1, F.lit(0))
+    toks = (
+        _read_spread(spark, sf, "documents")
+        .select("lang", tokens_col(F.col("text")).alias("_t"))
+        .select(
+            "lang",
+            F.explode(
+                F.zip_with(
+                    F.slice(t, 1, n1),
+                    F.slice(t, 2, n1),
+                    lambda a, b: F.concat_ws(" ", a, b),
+                )
+            ).alias("token"),
+        )
+    )
+    exact = toks.groupBy("lang").agg(
+        F.count_distinct("token").alias("n_exact")
+    )
+    sk = mincount_distinct(toks, "lang", "token", k=_SKETCH_K)
+    return (
+        exact.join(sk, "lang")
+        .select(
+            "lang",
+            "n_exact",
+            "n_registers_hit",
+            "distinct_est",
+            F.expr(
+                "((distinct_est - n_exact) * 1000000) div n_exact"
+            ).alias("err_fp"),
+        )
+    )
+
+
 def q_lm_score(spark: SparkSession, sf: str) -> DataFrame:
     """Unigram-LM bits-per-token per document (the CCNet-style
     perplexity-filter stage, ``kg/ops/curate.py::lm_score``): corpus
@@ -3750,6 +3802,7 @@ def queries() -> dict[str, _T]:
         "split_assign": q_split_assign,
         "sample_stratified": q_sample_stratified,
         "tfidf_topk": q_tfidf_topk,
+        "distinct_sketch": q_distinct_sketch,
         "lm_score": q_lm_score,
         "dsir": q_dsir,
         "gopher_quality": q_gopher_quality,
@@ -4123,6 +4176,41 @@ def _lang_case() -> str:
     return f"CASE {whens} ELSE 'und' END"
 
 
+def _distinct_sketch_sql() -> str:
+    """Twin of q_distinct_sketch: same md5-60 register minima, same
+    exact-integer fill/estimate/cap arithmetic (HUGEINT side), same
+    trunc-toward-zero err division (sign-cased ``//``)."""
+    from kg.ops.sketch import _EST_CAP, DOMAIN
+
+    k = _SKETCH_K
+    num = k * (k - 1) * DOMAIN
+    cap_bound = num // _EST_CAP
+    tok = _TOK.format(c="text")
+    return (
+        f"WITH d AS (SELECT lang, {tok} AS toks FROM documents), "
+        "t AS (SELECT lang, toks[i] || ' ' || toks[i + 1] AS token "
+        "FROM d, unnest(range(1, len(toks))) AS r(i)), "
+        "h AS (SELECT DISTINCT lang, token FROM t), "
+        "hh AS (SELECT lang, ('0x' || substring(md5(token), 1, 15))::UBIGINT "
+        "AS hv FROM h), "
+        f"reg AS (SELECT lang, hv % {k} AS r, min(hv) AS m FROM hh "
+        "GROUP BY 1, 2), "
+        "ag AS (SELECT lang, CAST(count(*) AS INT) AS n_registers_hit, "
+        f"sum(m::HUGEINT) + ({k} - count(*))::HUGEINT * "
+        f"{DOMAIN}::HUGEINT AS s FROM reg GROUP BY 1), "
+        "ex AS (SELECT lang, count(*) AS n_exact FROM h GROUP BY 1), "
+        "est AS (SELECT lang, n_registers_hit, "
+        f"CASE WHEN s <= {cap_bound} THEN {_EST_CAP}::HUGEINT "
+        f"ELSE '{num}'::HUGEINT // s END AS e FROM ag) "
+        "SELECT ex.lang, CAST(n_exact AS BIGINT) AS n_exact, "
+        "n_registers_hit, CAST(e AS BIGINT) AS distinct_est, "
+        "CAST(CASE WHEN e >= n_exact THEN "
+        "((e - n_exact) * 1000000) // n_exact "
+        "ELSE -(((n_exact - e) * 1000000) // n_exact) END AS BIGINT) "
+        "AS err_fp FROM ex JOIN est USING (lang)"
+    )
+
+
 def _event_funnel_sql() -> str:
     """Twin of q_event_funnel: the same first-touch strict-after
     chaining (min-ts CTE per step, each joining the previous step's
@@ -4340,6 +4428,7 @@ def oracle_sql() -> dict[str, str]:
             + " FROM orders GROUP BY o_orderstatus"
         ),
         "event_funnel": _event_funnel_sql(),
+        "distinct_sketch": _distinct_sketch_sql(),
         "event_retention": (
             # same integer day arithmetic: CAST(ts AS DATE) truncation,
             # date_diff('day', ...) == Spark datediff

@@ -1,0 +1,84 @@
+"""Distinct-count sketching: stochastic-averaged minimum-count (KMV /
+MinCount family, Giroire 2009; the order-statistics cousin of HLL).
+
+Why this shape at 100 TB: exact COUNT(DISTINCT x) per group shuffles
+every distinct value.  ``approx_count_distinct`` (HLL++) fixes the
+shuffle but its sketch is Spark-internal — nothing else can replay it,
+so it can never carry a cross-engine oracle.  MinCount gets both: hash
+every value once (md5-60, the library's portable hash primitive), route
+it to one of ``k`` registers by ``h mod k``, and keep the register MIN —
+``min`` is a perfectly associative aggregate, so Spark's partial hash
+aggregation combines it map-side and the shuffle carries exactly
+O(groups × k) rows no matter how many values flow through.  The
+estimator is closed-form integer arithmetic, so the DuckDB twin matches
+bit-for-bit.
+
+Estimator: register r sees n_r ≈ n/k distinct uniform draws on [0, D);
+its min is ≈ Exp(n/(D·k)), so Σ_r min_r ~ Gamma(k, n/(D·k)) and
+``k·(k−1)·D / Σ`` is the (Exp-approximation) unbiased inverse-Gamma
+estimate of n, with relative error ≈ 1/√k.  Registers that never fire
+contribute the domain max D (the empty-stream min).
+
+Reference parity note: §2.1 new-engine surface (SURVEY.md); the
+reference (syedhassaanahmed/neo-to-cosmos) has no sketching.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+from kg.ops.minhash import md5_60
+
+DOMAIN = 1 << 60  # md5_60 range: [0, 2^60)
+_EST_CAP = 1 << 62  # ANSI-safe long bound; unreachable on real streams
+
+
+def mincount_distinct(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    k: int = 64,
+) -> DataFrame:
+    """Approximate distinct ``value_col`` count per ``group_col`` →
+    ``(group_col, n_registers_hit, distinct_est)``.
+
+    ``distinct_est = ⌊k·(k−1)·D / Σ'⌋`` with Σ' = Σ register minima,
+    missing registers filled with D.  All arithmetic is exact
+    decimal(38,0) (the sum of 64 minima overflows BIGINT), truncating
+    division matching Spark's ``div`` / the twin's sign-cased ``//``.
+    Groups never seen produce no row; the estimate is capped at 2^62
+    (an ANSI overflow guard that no real stream reaches, mirrored in
+    the twin).  Accuracy ~ 1/√k; k=64 → ~12 % σ.
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2 (the estimator needs k-1), got {k}")
+    h = md5_60(F.col(value_col))
+    regs = (
+        df.select(F.col(group_col), h.alias("_h"))
+        .groupBy(group_col, F.pmod(F.col("_h"), F.lit(k)).alias("_r"))
+        .agg(F.min("_h").alias("_m"))
+    )
+    dec = "decimal(38,0)"
+    num = k * (k - 1) * DOMAIN
+    # Σ' below this bound would push the quotient past the cap — branch
+    # BEFORE dividing so the ANSI long-overflow of `div` is unreachable
+    cap_bound = num // _EST_CAP
+    agg = regs.groupBy(group_col).agg(
+        F.count("*").cast("int").alias("n_registers_hit"),
+        F.sum(F.col("_m").cast(dec)).alias("_sm"),
+    )
+    s = (
+        F.col("_sm")
+        + (F.lit(k) - F.col("n_registers_hit")).cast(dec)
+        * F.lit(DOMAIN).cast(dec)
+    ).alias("_s")
+    return agg.select(group_col, "n_registers_hit", s).select(
+        group_col,
+        "n_registers_hit",
+        F.when(F.col("_s") <= F.lit(cap_bound).cast(dec), F.lit(_EST_CAP))
+        .otherwise(
+            F.expr(f"CAST({num} AS DECIMAL(38,0)) div _s")
+        )
+        .cast("long")
+        .alias("distinct_est"),
+    )
