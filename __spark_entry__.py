@@ -194,6 +194,22 @@ def q_top_tokens_per_lang(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ols_price_qty(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-returnflag OLS of line price (cents) on quantity
+    (``kg/ops/stats.py::ols_fit``): closed-form normal equations from
+    ONE moment-sum hash agg — slope ≈ cents per unit quantity,
+    r² ≈ how linear pricing is.  All moment sums exact decimal(38,0)
+    (HUGEINT twin); floats only in the three final divisions (6dp)."""
+    from kg.ops import ols_fit
+
+    li = _read(spark, sf, "lineitem").select(
+        "l_returnflag",
+        F.floor(F.col("l_quantity")).cast("long").alias("x"),
+        F.floor(F.col("l_extendedprice") * 100).cast("long").alias("y"),
+    )
+    return ols_fit(li, "l_returnflag", "x", "y")
+
+
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-style agg; money kept in integer cents (floor) so the
     cross-engine comparison is exact."""
@@ -3729,6 +3745,7 @@ def queries() -> dict[str, _T]:
         "shard_bounds": q_shard_bounds,
         "top_tokens_per_lang": q_top_tokens_per_lang,
         "pricing_summary": q_pricing_summary,
+        "ols_price_qty": q_ols_price_qty,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
         "cube_pricing": q_cube_pricing,
@@ -4429,6 +4446,29 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_funnel": _event_funnel_sql(),
         "distinct_sketch": _distinct_sketch_sql(),
+        "ols_price_qty": (
+            # same exact HUGEINT moment sums, same double finals
+            "WITH b AS (SELECT l_returnflag, "
+            "CAST(floor(l_quantity) AS HUGEINT) AS x, "
+            "CAST(floor(l_extendedprice * 100) AS HUGEINT) AS y "
+            "FROM lineitem), "
+            "a AS (SELECT l_returnflag, count(*)::HUGEINT AS n, "
+            "sum(x) AS sx, sum(y) AS sy, sum(x * y) AS sxy, "
+            "sum(x * x) AS sxx, sum(y * y) AS syy FROM b GROUP BY 1), "
+            "t AS (SELECT l_returnflag, n, n * sxy - sx * sy AS num, "
+            "n * sxx - sx * sx AS dx, n * syy - sy * sy AS dy, "
+            "sy * sxx - sx * sxy AS inum FROM a) "
+            "SELECT l_returnflag, CAST(n AS BIGINT) AS n, "
+            "round(CASE WHEN dx <> 0 THEN "
+            "CAST(num AS DOUBLE) / CAST(dx AS DOUBLE) END, 6) AS slope, "
+            "round(CASE WHEN dx <> 0 THEN "
+            "CAST(inum AS DOUBLE) / CAST(dx AS DOUBLE) END, 6) "
+            "AS intercept, "
+            "round(CASE WHEN dx <> 0 AND dy <> 0 THEN "
+            "(CAST(num AS DOUBLE) * CAST(num AS DOUBLE)) / "
+            "(CAST(dx AS DOUBLE) * CAST(dy AS DOUBLE)) END, 6) AS r2 "
+            "FROM t"
+        ),
         "event_retention": (
             # same integer day arithmetic: CAST(ts AS DATE) truncation,
             # date_diff('day', ...) == Spark datediff

@@ -1,0 +1,90 @@
+"""Exact closed-form statistics: per-group OLS simple linear regression.
+
+Why closed-form at 100 TB: OLS on one regressor needs only the five
+moment sums (n, Σx, Σy, Σxy, Σx², Σy²) — ONE map-side-combinable hash
+aggregation over the corpus, no iteration, no solver, no Python.  The
+sums are taken over INTEGER-valued inputs in decimal(38,0) (DuckDB
+HUGEINT), so every intermediate is exact on both engines; floats appear
+only in the final slope/intercept/r² divisions, computed from identical
+exact integers via identical IEEE operations and rounded to 6dp — the
+library's standard cross-engine float contract.
+
+Reference parity note: §2.1 new-engine surface (SURVEY.md); the
+reference (syedhassaanahmed/neo-to-cosmos) has no analytics operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+_DEC = "decimal(38,0)"
+
+
+def ols_fit(
+    df: DataFrame,
+    group_col: str,
+    x_col: str,
+    y_col: str,
+) -> DataFrame:
+    """Per-group simple OLS ``y = slope·x + intercept`` →
+    ``(group_col, n, slope, intercept, r2)``.
+
+    ``x_col``/``y_col`` must already be INTEGER-valued (the caller
+    fixes units — e.g. money as cents); they are cast to decimal(38,0)
+    before summing, so the moment sums are exact at any row count.
+    Closed forms (all-integer numerators/denominators):
+
+    * ``slope     = (n·Σxy − Σx·Σy) / (n·Σx² − (Σx)²)``
+    * ``intercept = (Σy·Σx² − Σx·Σxy) / (n·Σx² − (Σx)²)``
+    * ``r²        = (n·Σxy − Σx·Σy)² / ((n·Σx² − (Σx)²)·(n·Σy² − (Σy)²))``
+
+    r²'s squared terms would overflow decimal(38,0) at extreme scale,
+    so each exact integer term converts to double FIRST (int→double
+    rounding is IEEE-identical across engines for identical integers)
+    and the quotient rounds to 6dp.  Zero-variance groups (constant x,
+    or constant y for r²) yield NULL — never a division blow-up.
+    """
+    for c in (group_col, x_col, y_col):
+        if c not in df.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    x = F.col(x_col).cast(_DEC)
+    y = F.col(y_col).cast(_DEC)
+    agg = df.groupBy(group_col).agg(
+        F.count("*").cast(_DEC).alias("_n"),
+        F.sum(x).alias("_sx"),
+        F.sum(y).alias("_sy"),
+        F.sum(x * y).alias("_sxy"),
+        F.sum(x * x).alias("_sxx"),
+        F.sum(y * y).alias("_syy"),
+    )
+    num = (F.col("_n") * F.col("_sxy") - F.col("_sx") * F.col("_sy")).alias(
+        "_num"
+    )
+    den_x = (F.col("_n") * F.col("_sxx") - F.col("_sx") * F.col("_sx")).alias(
+        "_dx"
+    )
+    den_y = (F.col("_n") * F.col("_syy") - F.col("_sy") * F.col("_sy")).alias(
+        "_dy"
+    )
+    inum = (F.col("_sy") * F.col("_sxx") - F.col("_sx") * F.col("_sxy")).alias(
+        "_inum"
+    )
+    t = agg.select(group_col, "_n", num, den_x, den_y, inum)
+
+    def _d(c):
+        return F.col(c).cast("double")
+
+    nz = F.col("_dx") != 0
+    return t.select(
+        group_col,
+        F.col("_n").cast("long").alias("n"),
+        F.round(F.when(nz, _d("_num") / _d("_dx")), 6).alias("slope"),
+        F.round(F.when(nz, _d("_inum") / _d("_dx")), 6).alias("intercept"),
+        F.round(
+            F.when(
+                nz & (F.col("_dy") != 0),
+                (_d("_num") * _d("_num")) / (_d("_dx") * _d("_dy")),
+            ),
+            6,
+        ).alias("r2"),
+    )

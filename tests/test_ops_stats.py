@@ -1,0 +1,48 @@
+"""Exact closed-form OLS (kg/ops/stats.py): hand values, perfect fit,
+zero-variance NULL contract, numpy cross-check, validation."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from kg.ops.stats import ols_fit
+
+
+def test_ols_perfect_line(spark):
+    rows = [("a", x, 3 * x + 2) for x in range(1, 6)]
+    df = spark.createDataFrame(rows, "g string, x long, y long")
+    r = ols_fit(df, "g", "x", "y").collect()[0]
+    assert (r["n"], r["slope"], r["intercept"], r["r2"]) == (5, 3.0, 2.0, 1.0)
+
+
+def test_ols_matches_numpy_polyfit(spark):
+    xs = [1, 2, 3, 4, 5, 6, 7, 8]
+    ys = [3, 5, 4, 8, 9, 8, 12, 11]
+    df = spark.createDataFrame(
+        [("g", x, y) for x, y in zip(xs, ys)], "g string, x long, y long"
+    )
+    r = ols_fit(df, "g", "x", "y").collect()[0]
+    slope, intercept = np.polyfit(xs, ys, 1)
+    corr = np.corrcoef(xs, ys)[0, 1]
+    assert r["slope"] == pytest.approx(slope, abs=1e-6)
+    assert r["intercept"] == pytest.approx(intercept, abs=1e-6)
+    assert r["r2"] == pytest.approx(corr**2, abs=1e-6)
+
+
+def test_ols_zero_variance_yields_null(spark):
+    df = spark.createDataFrame(
+        [("cx", 1, 7), ("cx", 1, 9), ("cy", 1, 5), ("cy", 2, 5)],
+        "g string, x long, y long",
+    )
+    got = {r["g"]: r for r in ols_fit(df, "g", "x", "y").collect()}
+    assert got["cx"]["slope"] is None and got["cx"]["r2"] is None
+    # constant y: slope/intercept defined (0, 5), r2 NULL (0/0)
+    assert got["cy"]["slope"] == 0.0 and got["cy"]["intercept"] == 5.0
+    assert got["cy"]["r2"] is None
+
+
+def test_ols_validates(spark):
+    df = spark.createDataFrame([("g", 1, 2)], "g string, x long, y long")
+    with pytest.raises(ValueError, match="not in frame"):
+        ols_fit(df, "g", "nope", "y")
