@@ -653,6 +653,23 @@ def q_dedup_embedding(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_DIVERSE_K = 5
+
+
+def q_diverse_select(spark: SparkSession, sf: str) -> DataFrame:
+    """Farthest-point diverse selection (``kg/ops/diverse.py::
+    select_diverse``, Gonzalez 1985 k-center 2-approx): the 5 vectors
+    that best spread the embedding space, with selection order and the
+    per-pick max fixed-point cosine to the prior picks.  Deterministic
+    total order (min-id seed, min(max-sim, id) per round), so the
+    DuckDB twin unrolls the rounds as CTEs."""
+    from kg.ops import select_diverse
+
+    return select_diverse(
+        _read(spark, sf, "embeddings"), "vec_id", "embedding", k=_DIVERSE_K
+    )
+
+
 _SEM_THRESHOLD_FP = 950_000
 _SEM_MAX_CELL = 4096
 
@@ -3768,6 +3785,7 @@ def queries() -> dict[str, _T]:
         "dedup_simhash_portable": q_dedup_simhash_portable,
         "dedup_embedding": q_dedup_embedding,
         "dedup_semantic": q_dedup_semantic,
+        "diverse_select": q_diverse_select,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_brute_force": q_ann_brute_force,
         "ann_lsh": q_ann_lsh,
@@ -4141,6 +4159,40 @@ def _dedup_semantic_sql() -> str:
         "SELECT w.vec_id, CAST(w.cid AS INT) AS cid, "
         "(d.bid IS NULL) AS kept FROM wv w "
         "LEFT JOIN drp d ON d.bid = w.vec_id"
+    )
+
+
+def _diverse_select_sql() -> str:
+    """Twin of q_diverse_select: the farthest-point rounds unrolled —
+    each round maxes the fixed-point cosine against the accumulated
+    selection CTE and picks the (ms asc, id asc) minimum."""
+    cos_fp = f"CAST(floor(round({_COS_SQL}, 6) * 1000000 + 0.5) AS BIGINT)"
+    parts = [
+        "base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings WHERE list_dot_product("
+        "CAST(embedding AS DOUBLE[]), CAST(embedding AS DOUBLE[])) > 0)",
+        "sel1 AS (SELECT vec_id, 1 AS r, CAST(0 AS BIGINT) AS ms "
+        "FROM base ORDER BY vec_id LIMIT 1)",
+    ]
+    for i in range(2, _DIVERSE_K + 1):
+        parts.append(
+            f"m{i} AS (SELECT va.vec_id, max({cos_fp}) AS ms "
+            f"FROM base va JOIN sel{i - 1} s ON va.vec_id NOT IN "
+            f"(SELECT vec_id FROM sel{i - 1}) "
+            "JOIN base vb ON vb.vec_id = s.vec_id GROUP BY va.vec_id)"
+        )
+        parts.append(
+            f"p{i} AS (SELECT vec_id, {i} AS r, ms FROM m{i} "
+            "ORDER BY ms ASC, vec_id ASC LIMIT 1)"
+        )
+        parts.append(
+            f"sel{i} AS (SELECT * FROM sel{i - 1} "
+            f"UNION ALL SELECT * FROM p{i})"
+        )
+    return (
+        "WITH " + ", ".join(parts)
+        + f" SELECT vec_id, CAST(r AS INT) AS sel_round, "
+        f"ms AS max_sim_fp FROM sel{_DIVERSE_K}"
     )
 
 
@@ -5162,6 +5214,7 @@ def oracle_sql() -> dict[str, str]:
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
+        "diverse_select": _diverse_select_sql(),
         "kmeans_clusters": _kmeans_clusters_sql(),
         "embedding_outliers": _embedding_outliers_sql(),
         "embedding_pca": _pca_sql(_PCA_ROUNDS),
