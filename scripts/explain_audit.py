@@ -57,6 +57,8 @@ def main() -> None:
         "dedup_overlap", "kmeans_clusters", "embedding_outliers",
         "event_funnel", "event_retention", "graph_mis", "span_census",
         "graph_coloring", "graph_matching", "graph_msf",
+        "events_asof", "events_range_join", "dedup_semantic",
+        "distinct_sketch", "ols_price_qty", "diverse_select",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib
