@@ -210,6 +210,18 @@ def q_ols_price_qty(spark: SparkSession, sf: str) -> DataFrame:
     return ols_fit(li, "l_returnflag", "x", "y")
 
 
+def q_skew_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Shuffle-key skew diagnostic (``kg/ops/stats.py::skew_profile``)
+    over the orders→customer join key: top-5 heaviest keys + the exact
+    max/avg hot-partition multiplier.  One hash agg + one constant-size
+    reduce + sort-limit top-k (TakeOrderedAndProject, never a global
+    window over the key-count frame) — the query that decides
+    plain-join vs broadcast vs salting before a 100 TB shuffle."""
+    from kg.ops import skew_profile
+
+    return skew_profile(_read(spark, sf, "orders"), "o_custkey", top=5)
+
+
 def q_pricing_summary(spark: SparkSession, sf: str) -> DataFrame:
     """TPC-H Q1-style agg; money kept in integer cents (floor) so the
     cross-engine comparison is exact."""
@@ -3763,6 +3775,7 @@ def queries() -> dict[str, _T]:
         "top_tokens_per_lang": q_top_tokens_per_lang,
         "pricing_summary": q_pricing_summary,
         "ols_price_qty": q_ols_price_qty,
+        "skew_profile": q_skew_profile,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
         "cube_pricing": q_cube_pricing,
@@ -4498,6 +4511,19 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_funnel": _event_funnel_sql(),
         "distinct_sketch": _distinct_sketch_sql(),
+        "skew_profile": (
+            "WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key, "
+            "count(*) AS n FROM orders GROUP BY 1), "
+            "s AS (SELECT sum(n)::HUGEINT AS rws, "
+            "count(*)::HUGEINT AS ks, max(n)::HUGEINT AS mx FROM c), "
+            "t AS (SELECT key, n, row_number() OVER "
+            "(ORDER BY n DESC, key ASC) AS rank FROM c) "
+            "SELECT key, CAST(n AS BIGINT) AS n, "
+            "CAST(rank AS INT) AS rank, CAST(rws AS BIGINT) AS n_rows, "
+            "CAST(ks AS BIGINT) AS n_keys, "
+            "CAST((mx * ks * 1000000) // rws AS BIGINT) AS skew_fp "
+            "FROM t, s WHERE rank <= 5"
+        ),
         "ols_price_qty": (
             # same exact HUGEINT moment sums, same double finals
             "WITH b AS (SELECT l_returnflag, "

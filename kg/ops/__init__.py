@@ -102,7 +102,7 @@ from kg.ops.pca import (  # noqa: F401
 )
 from kg.ops.retrieval import bm25_topk, rrf_fuse  # noqa: F401
 from kg.ops.sketch import mincount_distinct  # noqa: F401
-from kg.ops.stats import ols_fit  # noqa: F401
+from kg.ops.stats import ols_fit, skew_profile  # noqa: F401
 from kg.ops.similarity import (  # noqa: F401
     banded_lsh_pairs,
     banded_signatures,

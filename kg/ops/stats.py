@@ -88,3 +88,56 @@ def ols_fit(
             6,
         ).alias("r2"),
     )
+
+
+def skew_profile(
+    df: DataFrame,
+    key_col: str,
+    top: int = 5,
+) -> DataFrame:
+    """Join/shuffle-key skew diagnostic → the ``top`` heaviest keys with
+    corpus-level context: ``(key, n, rank, n_rows, n_keys, skew_fp)``
+    where ``skew_fp = ⌊10⁶ · max_key_count / avg_key_count⌋`` — the
+    hot-partition multiplier a shuffle on this key would suffer (1.0 ⇒
+    perfectly balanced; the pipeline's own repo-key measurement read
+    20.65× before salting, BENCH/BASELINE.md).  Run this BEFORE keying
+    a 100 TB join: it is one hash agg + one constant-size reduce + one
+    top-k over the (small) key-count frame, and its verdict decides
+    between a plain equi-join, a broadcast, or salting.
+
+    ``skew_fp`` is exact integer arithmetic (decimal sums, truncating
+    division), so the SQL twin matches bit-for-bit; key is reported as
+    string (the profile is a diagnostic, not a join input).
+    """
+    if top < 1:
+        raise ValueError(f"top must be >= 1, got {top}")
+    from pyspark.sql import Window
+
+    counts = df.groupBy(F.col(key_col).cast("string").alias("key")).agg(
+        F.count("*").alias("n")
+    )
+    stats = counts.agg(
+        F.sum(F.col("n").cast(_DEC)).alias("_rows"),
+        F.count("*").cast(_DEC).alias("_keys"),
+        F.max("n").cast(_DEC).alias("_max"),
+    ).select(
+        F.col("_rows").cast("long").alias("n_rows"),
+        F.col("_keys").cast("long").alias("n_keys"),
+        # max/avg = max·n_keys/n_rows, all-integer before one div
+        F.expr("(_max * _keys * 1000000) div _rows")
+        .cast("long")
+        .alias("skew_fp"),
+    )
+    # top-k via sort-limit (TakeOrderedAndProject: per-partition partial
+    # top-k, then one merge) — never a global window over the key-count
+    # frame, which is O(n_keys) and can itself be huge; the rank window
+    # runs over the <= `top` survivors only
+    order = [F.desc("n"), F.asc("key")]
+    topk = (
+        counts.orderBy(*order)
+        .limit(top)
+        .withColumn("rank", F.row_number().over(Window.orderBy(*order)).cast("int"))
+    )
+    return topk.crossJoin(F.broadcast(stats)).select(
+        "key", "n", "rank", "n_rows", "n_keys", "skew_fp"
+    )

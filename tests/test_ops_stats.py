@@ -46,3 +46,32 @@ def test_ols_validates(spark):
     df = spark.createDataFrame([("g", 1, 2)], "g string, x long, y long")
     with pytest.raises(ValueError, match="not in frame"):
         ols_fit(df, "g", "nope", "y")
+
+
+def test_skew_profile_hand_values(spark):
+    """Keys a×4, b×2, c×1, d×1: max=4, avg=2 -> skew 2.0; rank order by
+    (count desc, key asc)."""
+    from kg.ops.stats import skew_profile
+
+    rows = [("a",)] * 4 + [("b",)] * 2 + [("c",)] + [("d",)]
+    df = spark.createDataFrame(rows, "k string")
+    got = [
+        (r["key"], r["n"], r["rank"], r["n_rows"], r["n_keys"], r["skew_fp"])
+        for r in skew_profile(df, "k", top=3).orderBy("rank").collect()
+    ]
+    assert got == [
+        ("a", 4, 1, 8, 4, 2_000_000),
+        ("b", 2, 2, 8, 4, 2_000_000),
+        ("c", 1, 3, 8, 4, 2_000_000),
+    ]
+
+
+def test_skew_profile_balanced_and_validation(spark):
+    from kg.ops.stats import skew_profile
+
+    df = spark.createDataFrame([(1,), (2,), (3,)], "k long")
+    r = skew_profile(df, "k", top=1).collect()[0]
+    assert r["skew_fp"] == 1_000_000  # perfectly balanced
+    assert r["key"] == "1"  # integral keys cast to string
+    with pytest.raises(ValueError, match="top"):
+        skew_profile(df, "k", top=0)
