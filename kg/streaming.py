@@ -234,3 +234,67 @@ def stateful_session_stats(events: DataFrame, gap_seconds: int = 1800) -> DataFr
             timeoutConf=GroupStateTimeout.NoTimeout,
         )
     )
+
+
+def stream_range_join(
+    left: DataFrame,
+    right: DataFrame,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    window_s: int = 1800,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream interval join: each left event pairs with the same
+    key's right events inside the half-open window ``[ts, ts+window_s)``
+    — the streaming twin of the batch ``kg.ops.events.range_join``
+    (identical pair semantics, tested for parity).  Output = every left
+    column + the right side's timestamp and payload columns prefixed
+    ``r_``.
+
+    Scale posture: Spark's symmetric hash join buffers BOTH sides keyed
+    on ``key_col``; the watermark + the explicit time bound let it
+    EVICT state once ``right.ts`` can no longer land inside any live
+    left window — without the time-range conjunct the state grows
+    forever, which is the classic stream-join OOM.  State is therefore
+    O(events inside watermark+window horizon), not O(stream).  Late
+    rows beyond the watermark are dropped (the windowed-agg contract).
+
+    Works on batch frames too (the same plan without state) — used by
+    the parity test; the bucketized ``range_join`` remains the batch
+    path of choice because it never buffers.
+    """
+    if window_s <= 0:
+        raise ValueError(f"window_s must be > 0, got {window_s}")
+    for c in (key_col, ts_col):
+        if c not in left.columns or c not in right.columns:
+            raise ValueError(f"key/ts column {c!r} must exist on both sides")
+    clash = [
+        c for c in right.columns if c != key_col and f"r_{c}" in left.columns
+    ]
+    if clash:
+        raise ValueError(f"left already has prefixed columns for {clash}")
+    l = left.withColumn(ts_col, F.col(ts_col).cast("timestamp")).alias("l")
+    r = right.withColumn(ts_col, F.col(ts_col).cast("timestamp")).select(
+        F.col(key_col),
+        *[
+            F.col(c).alias(f"r_{c}")
+            for c in right.columns
+            if c != key_col
+        ],
+    ).alias("r")
+    if l.isStreaming:
+        l = l.withWatermark(ts_col, watermark)
+    if r.isStreaming:
+        r = r.withWatermark(f"r_{ts_col}", watermark)
+    cond = (
+        (F.col(f"l.{key_col}") == F.col(f"r.{key_col}"))
+        & (F.col(f"r.r_{ts_col}") >= F.col(f"l.{ts_col}"))
+        & (
+            F.col(f"r.r_{ts_col}")
+            < F.col(f"l.{ts_col}") + F.expr(f"INTERVAL {window_s} SECONDS")
+        )
+    )
+    return l.join(r, cond).select(
+        *[F.col(f"l.{c}") for c in left.columns],
+        *[F.col(f"r.r_{c}") for c in right.columns if c != key_col],
+    )

@@ -342,3 +342,102 @@ def test_stateful_session_stats_matches_batch_rule(spark, tmp_path, sf_dir):
     for uid, stats in exp_full.items():
         if uid not in touched:
             assert got1[uid] == stats
+
+
+def test_stream_range_join_matches_batch_range_join(spark, tmp_path):
+    """Stream-stream interval join over two file streams == the batch
+    bucketized range_join pair set, exactly once across micro-batches."""
+    import os
+    from datetime import datetime
+
+    from kg.ops import range_join
+    from kg.streaming import stream_range_join
+
+    def _t(m, s=0):
+        return datetime(2024, 1, 1, 0, m, s)
+
+    lrows = [(1, 10, _t(0)), (2, 10, _t(30)), (3, 11, _t(5))]
+    rrows = [
+        (101, 10, _t(10), 1.5),   # inside anchor 1's 30-min window
+        (102, 10, _t(30), 2.5),   # at end: exclusive for 1, inside 2
+        (103, 11, _t(40), 3.5),   # outside anchor 3's window
+        (104, 12, _t(1), 4.5),    # other key
+    ]
+    ldir, rdir = str(tmp_path / "l"), str(tmp_path / "r")
+    lschema = "anchor_id long, user_id long, ts timestamp"
+    rschema = "rid long, user_id long, ts timestamp, val double"
+    # two files per side -> multiple micro-batches
+    spark.createDataFrame(lrows[:2], lschema).write.parquet(
+        os.path.join(ldir, "a")
+    )
+    spark.createDataFrame(lrows[2:], lschema).write.parquet(
+        os.path.join(ldir, "b")
+    )
+    spark.createDataFrame(rrows[:2], rschema).write.parquet(
+        os.path.join(rdir, "a")
+    )
+    spark.createDataFrame(rrows[2:], rschema).write.parquet(
+        os.path.join(rdir, "b")
+    )
+
+    ls = spark.readStream.schema(lschema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(ldir)
+    rs = spark.readStream.schema(rschema).option(
+        "recursiveFileLookup", "true"
+    ).parquet(rdir)
+    joined = stream_range_join(ls, rs, window_s=1800)
+    q = (
+        joined.writeStream.format("memory")
+        .queryName("srj")
+        .outputMode("append")
+        .option(
+            "checkpointLocation", str(tmp_path / "ckpt")
+        )
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r["anchor_id"], r["r_rid"])
+        for r in spark.sql("SELECT * FROM srj").collect()
+    }
+    assert got == {(1, 101), (2, 102)}
+
+    # batch parity: same pairs through the bucketized batch operator
+    lb = spark.createDataFrame(lrows, lschema).select(
+        "anchor_id", "user_id", F.col("ts").alias("t0"),
+        (F.col("ts") + F.expr("INTERVAL 1800 SECONDS")).alias("t1"),
+    )
+    rb = spark.createDataFrame(rrows, rschema)
+    batch = {
+        (r["anchor_id"], r["rid"])
+        for r in range_join(
+            lb, rb, "t0", "t1", key_col="user_id", bucket_s=600
+        ).collect()
+    }
+    assert batch == got
+
+
+def test_stream_range_join_batch_mode_and_validation(spark):
+    from datetime import datetime
+
+    from kg.streaming import stream_range_join
+
+    L = spark.createDataFrame(
+        [(1, 5, datetime(2024, 1, 1))], "aid long, user_id long, ts timestamp"
+    )
+    R = spark.createDataFrame(
+        [(2, 5, datetime(2024, 1, 1, 0, 10), 9.0)],
+        "rid long, user_id long, ts timestamp, val double",
+    )
+    out = stream_range_join(L, R, window_s=3600)
+    assert [tuple(r) for r in out.collect()] == [
+        (1, 5, datetime(2024, 1, 1), 2, datetime(2024, 1, 1, 0, 10), 9.0)
+    ]
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="window_s"):
+        stream_range_join(L, R, window_s=0)
+    with _pt.raises(ValueError, match="must exist"):
+        stream_range_join(L.drop("user_id"), R)
