@@ -2327,6 +2327,36 @@ _MSF_ROUNDS = 3
 _MSF_JUMPS = 2
 
 
+_TOPO_ROUNDS = 40
+
+
+def q_graph_toposort(spark: SparkSession, sf: str) -> DataFrame:
+    """Kahn topological layering
+    (``kg/ops/graph.py::topological_layers``) over the per-customer
+    order-succession DAG (each order points at the customer's next
+    order by (o_orderdate, o_orderkey)): layer = dependency wave.  The
+    oracle is an INDEPENDENT closed form — on disjoint chains the Kahn
+    layer equals the chain position, so DuckDB computes
+    ``row_number() − 1`` directly and agreement checks the peeling
+    loop itself (the ``graph_components`` twin-independence pattern).
+    Single-order customers are isolated vertices → layer 0."""
+    from kg.ops.graph import topological_layers
+
+    o = _read(spark, sf, "orders")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    nxt = o.select("o_custkey", "o_orderkey", "o_orderdate").withColumn(
+        "_nxt", F.lead("o_orderkey").over(w)
+    )
+    edges = nxt.filter(F.col("_nxt").isNotNull()).select(
+        F.col("o_orderkey").cast("string").alias("out_id"),
+        F.col("_nxt").cast("string").alias("in_id"),
+    )
+    verts = o.select(F.col("o_orderkey").cast("string").alias("id"))
+    return topological_layers(
+        edges, rounds=_TOPO_ROUNDS, vertices=verts
+    )
+
+
 def q_graph_msf(spark: SparkSession, sf: str) -> DataFrame:
     """Borůvka minimum spanning forest
     (``kg/ops/graph.py::minimum_spanning_forest``) over the weighted
@@ -3837,6 +3867,7 @@ def queries() -> dict[str, _T]:
         "graph_coloring": q_graph_coloring,
         "graph_matching": q_graph_matching,
         "graph_msf": q_graph_msf,
+        "graph_toposort": q_graph_toposort,
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
@@ -4511,6 +4542,13 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_funnel": _event_funnel_sql(),
         "distinct_sketch": _distinct_sketch_sql(),
+        "graph_toposort": (
+            # independent closed form: chain position, not peeling
+            "SELECT CAST(o_orderkey AS VARCHAR) AS id, "
+            "CAST(row_number() OVER (PARTITION BY o_custkey "
+            "ORDER BY o_orderdate, o_orderkey) - 1 AS INT) AS layer "
+            "FROM orders"
+        ),
         "skew_profile": (
             "WITH c AS (SELECT CAST(o_custkey AS VARCHAR) AS key, "
             "count(*) AS n FROM orders GROUP BY 1), "

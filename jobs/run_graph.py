@@ -62,6 +62,7 @@ QUERIES = (
     "cooccur",
     "pmi",
     "summary",
+    "toposort",
 )
 
 
@@ -101,7 +102,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                          "(kcore); min-label propagation budget per "
                          "coloring pass (scc); BFS budget "
                          "(harmonic/betweenness/eccentricity); "
-                         "selection rounds (mis/coloring)")
+                         "selection rounds (mis/coloring); peel "
+                         "rounds = longest dependency chain (toposort)")
     ap.add_argument("--trips", type=int, default=2,
                     help="trim+color trips (scc)")
     ap.add_argument("--weight-col", default=None,
@@ -299,6 +301,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             out = g.maximal_matching(
                 edges, rounds=args.rounds, seed=args.seed
             )
+        elif args.query == "toposort":
+            out = g.topological_layers(edges, rounds=args.rounds)
         elif args.query == "msf":
             out = g.minimum_spanning_forest(
                 edges, weight_col=args.weight_col, rounds=args.rounds

@@ -3157,3 +3157,82 @@ def minimum_spanning_forest(
         .agg(F.min("round").alias("round"))
         .select("u", "v", "w", "round")
     )
+
+
+def topological_layers(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    rounds: int = 20,
+    vertices: DataFrame | None = None,
+) -> DataFrame:
+    """Kahn topological layering of a DAG → ``(id, layer)``: layer r
+    holds the vertices whose every predecessor sits in an earlier layer
+    — the dependency-wave schedule (build systems, feature DAGs, table
+    lineage: everything in one layer can run in parallel once the
+    previous layers finished; the DAG cousin of ``greedy_coloring``'s
+    conflict waves).  Vertices still holding incoming edges after
+    ``rounds`` peels — every member of a cycle, and everything
+    downstream of one within the budget — report NULL, never a wrong
+    layer (the k_core/SCC bounded-degradation contract), which makes
+    the operator double as a CYCLE DETECTOR: any NULL under a
+    sufficient budget proves the graph is not a DAG.
+
+    ``vertices`` (one ``id`` column, optional) adds isolated vertices —
+    they peel in round 0 by definition; without the frame only
+    edge-touching vertices are reported (the ``components`` contract).
+
+    Plan shape (100 TB): per round ONE distinct head set over the
+    remaining edges, one anti-join for the new roots, one anti-join to
+    drop their out-edges — all narrow two-column frames keyed on vertex
+    id; state localCheckpointed per round (the k_core linear-chain
+    rule), rounds = longest dependency chain (driver-bounded, early
+    exit on fixpoint).  Per-round driver reads are O(1) counts.
+
+    Reference parity note: the reference's migration itself is a fixed
+    2-stage DAG (vertices before edges, Program.cs); this generalizes
+    that scheduling question to arbitrary dependency graphs.  §2.1
+    new-engine surface (SURVEY.md).
+    """
+    if rounds < 1:
+        raise ValueError(f"rounds must be >= 1, got {rounds}")
+    e = (
+        edges.select(
+            F.col(out_col).cast("string").alias("src"),
+            F.col(in_col).cast("string").alias("dst"),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    verts = e.select(F.col("src").alias("id")).unionAll(
+        e.select(F.col("dst").alias("id"))
+    )
+    if vertices is not None:
+        verts = verts.unionAll(
+            vertices.select(F.col("id").cast("string").alias("id"))
+        )
+    active_v = verts.distinct().localCheckpoint()
+    assigned = None
+    for rnd in range(rounds):
+        heads = e.select(F.col("dst").alias("id")).distinct()
+        roots = active_v.join(heads, "id", "left_anti").select(
+            "id", F.lit(rnd).cast("int").alias("layer")
+        ).localCheckpoint()
+        n_roots = roots.count()
+        if n_roots == 0:  # fixpoint: done, or only cycles remain
+            break
+        assigned = (
+            roots if assigned is None else assigned.unionByName(roots)
+        ).localCheckpoint()
+        active_v = active_v.join(roots, "id", "left_anti").localCheckpoint()
+        e = e.join(
+            roots.select(F.col("id").alias("src")), "src", "left_anti"
+        ).localCheckpoint()
+    out_schema_verts = verts.distinct()
+    if assigned is None:
+        return out_schema_verts.select(
+            "id", F.lit(None).cast("int").alias("layer")
+        )
+    return out_schema_verts.join(assigned, "id", "left").select(
+        "id", F.col("layer").cast("int").alias("layer")
+    )

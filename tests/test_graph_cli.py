@@ -409,3 +409,13 @@ def test_cli_msf_unit_weights(spark, warehouse, tmp_path):
     assert all(r["w"] == 1 for r in rows)
     verts = {x for e in adj for x in e}
     assert len(got) == len(verts) - 1  # fixture graph is connected
+
+
+def test_cli_toposort(spark, warehouse, tmp_path):
+    """a->b->c chain plus d->c: layers 0,1,2 with d at 0."""
+    df = _run(
+        spark, warehouse, tmp_path, "--query", "toposort",
+        "--rounds", "5",
+    )
+    got = {r["id"]: r["layer"] for r in df.collect()}
+    assert got == {"a": 0, "d": 0, "b": 1, "c": 2}

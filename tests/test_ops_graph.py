@@ -2473,3 +2473,69 @@ def test_msf_validates_args(spark):
         minimum_spanning_forest(e, rounds=0)
     with pytest.raises(ValueError, match="jumps"):
         minimum_spanning_forest(e, jumps=0)
+
+
+# ---------------------------------------------------------------------------
+# topological layers (Kahn)
+# ---------------------------------------------------------------------------
+def test_toposort_diamond_cycle_and_isolated(spark):
+    """Diamond layers 0/1/1/2; a 2-cycle and everything downstream of it
+    report NULL (cycle detector); isolated vertices take layer 0."""
+    from kg.ops.graph import topological_layers
+
+    E = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "d"), ("c", "d"),
+         ("x", "y"), ("y", "x"), ("x", "z")],
+        "out_id string, in_id string",
+    )
+    V = spark.createDataFrame([("iso",)], "id string")
+    got = {
+        r["id"]: r["layer"]
+        for r in topological_layers(E, rounds=10, vertices=V).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": 1, "d": 2,
+                   "x": None, "y": None, "z": None, "iso": 0}
+
+
+def test_toposort_budget_degrades_to_null_never_wrong(spark):
+    from kg.ops.graph import topological_layers
+
+    E = spark.createDataFrame(
+        [("a", "b"), ("b", "c"), ("c", "d")], "out_id string, in_id string"
+    )
+    got = {
+        r["id"]: r["layer"]
+        for r in topological_layers(E, rounds=2).collect()
+    }
+    assert got == {"a": 0, "b": 1, "c": None, "d": None}
+    full = {
+        r["id"]: r["layer"]
+        for r in topological_layers(E, rounds=10).collect()
+    }
+    assert full == {"a": 0, "b": 1, "c": 2, "d": 3}
+
+
+def test_toposort_chain_layers_equal_chain_positions(spark):
+    """Disjoint per-key chains: Kahn layer == position in chain — the
+    closed form the driver entry's oracle computes independently."""
+    from kg.ops.graph import topological_layers
+
+    rows = [(f"k{k}_{i}", f"k{k}_{i+1}") for k in range(3) for i in range(4)]
+    E = spark.createDataFrame(rows, "out_id string, in_id string")
+    got = {
+        r["id"]: r["layer"]
+        for r in topological_layers(E, rounds=10).collect()
+    }
+    assert got == {
+        f"k{k}_{i}": i for k in range(3) for i in range(5)
+    }
+
+
+def test_toposort_validates(spark):
+    from kg.ops.graph import topological_layers
+
+    E = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="rounds"):
+        topological_layers(E, rounds=0)
