@@ -378,6 +378,43 @@ def q_events_asof(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_BLOOM_M, _BLOOM_K = 256, 2  # deliberately small: FPs visible, not just 0
+
+
+def q_bloom_semi_join(spark: SparkSession, sf: str) -> DataFrame:
+    """Portable Bloom semi-join reduction (``kg/ops/bloom.py``): clicks
+    are pruned map-side against a 256-bit / 2-probe Bloom filter of the
+    high-value-purchase user set — the shuffle-reduction pattern, with
+    the filter built from the library's md5-60 hash so the DuckDB twin
+    reproduces the exact bit array.  Output carries ``exact_member`` so
+    the false positives (guaranteed-present members never drop; the
+    small m makes FPs non-zero here) are visible data, not hidden
+    state."""
+    from kg.hints import maybe_broadcast
+    from kg.ops import bloom_semi_join
+
+    ev = _read(spark, sf, "events")
+    keys = (
+        ev.filter(
+            (F.col("event_type") == "purchase") & (F.col("value") > 95)
+        )
+        .select("user_id")
+        .distinct()
+    )
+    probe = ev.filter(F.col("event_type") == "click").select(
+        "event_id", "user_id"
+    )
+    kept = bloom_semi_join(
+        probe, keys, "user_id", m_bits=_BLOOM_M, k=_BLOOM_K
+    )
+    exact = keys.select("user_id", F.lit(True).alias("_m"))
+    return kept.join(maybe_broadcast(exact), "user_id", "left").select(
+        "event_id",
+        "user_id",
+        F.coalesce(F.col("_m"), F.lit(False)).alias("exact_member"),
+    )
+
+
 _RANGE_WIN_S = 30 * 60  # clicks within 30 min after each purchase
 
 
@@ -3814,6 +3851,7 @@ def queries() -> dict[str, _T]:
         "event_funnel": q_event_funnel,
         "event_retention": q_event_retention,
         "events_asof": q_events_asof,
+        "bloom_semi_join": q_bloom_semi_join,
         "events_range_join": q_events_range_join,
         "event_sessions": q_event_sessions,
         "user_event_windows": q_user_event_windows,
@@ -4289,6 +4327,43 @@ def _lang_case() -> str:
     return f"CASE {whens} ELSE 'und' END"
 
 
+def _bloom_semi_join_sql() -> str:
+    """Twin of q_bloom_semi_join: identical md5-60 probe positions and
+    32-bit OR words, membership as two successive word joins."""
+    m, k = _BLOOM_M, _BLOOM_K
+    assert k == 2  # the unroll below is two probes
+
+    def _p(i: str) -> str:
+        return (
+            f"(('0x' || substring(md5('{i}:' || "
+            f"CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT % {m})"
+        )
+
+    return (
+        "WITH kset AS (SELECT DISTINCT user_id FROM events "
+        "WHERE event_type = 'purchase' AND value > 95), "
+        f"pos AS (SELECT (('0x' || substring(md5(i::VARCHAR || ':' || "
+        f"CAST(user_id AS VARCHAR)), 1, 15))::UBIGINT % {m}) AS p "
+        "FROM kset CROSS JOIN (VALUES (0), (1)) t(i)), "
+        "words AS (SELECT p // 32 AS wi, "
+        "bit_or(1::BIGINT << CAST(p % 32 AS INT)) AS w "
+        "FROM pos GROUP BY 1), "
+        "probe AS (SELECT event_id, user_id FROM events "
+        "WHERE event_type = 'click'), "
+        f"p0 AS (SELECT probe.*, {_p('0')} AS q FROM probe), "
+        "f0 AS (SELECT p0.event_id, p0.user_id FROM p0 JOIN words "
+        "ON words.wi = q // 32 "
+        "AND ((words.w >> CAST(q % 32 AS INT)) & 1) = 1), "
+        f"p1 AS (SELECT f0.*, {_p('1')} AS q FROM f0), "
+        "f1 AS (SELECT p1.event_id, p1.user_id FROM p1 JOIN words "
+        "ON words.wi = q // 32 "
+        "AND ((words.w >> CAST(q % 32 AS INT)) & 1) = 1) "
+        "SELECT f1.event_id, f1.user_id, "
+        "coalesce(kk.m, FALSE) AS exact_member FROM f1 LEFT JOIN "
+        "(SELECT user_id, TRUE AS m FROM kset) kk USING (user_id)"
+    )
+
+
 def _distinct_sketch_sql() -> str:
     """Twin of q_distinct_sketch: same md5-60 register minima, same
     exact-integer fill/estimate/cap arithmetic (HUGEINT side), same
@@ -4542,6 +4617,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "event_funnel": _event_funnel_sql(),
         "distinct_sketch": _distinct_sketch_sql(),
+        "bloom_semi_join": _bloom_semi_join_sql(),
         "graph_toposort": (
             # independent closed form: chain position, not peeling
             "SELECT CAST(o_orderkey AS VARCHAR) AS id, "

@@ -5,7 +5,7 @@
         [--benchmark /path/to/eval_docs] [--min-quality 0.1] \
         [--dedup exact|paragraph] [--ngram 13] \
         [--split train=0.98,val=0.01,test=0.01] [--seed kg-split-v1] \
-        [--mix en=1.0,de=0.5 --mix-by lang] [--profile] [--pack 2048] \
+        [--mix en=1.0,de=0.5 --mix-by lang] [--profile] [--skew-col COL] [--pack 2048] \
         [--clean-lines] [--redact-pii] [--gopher] \
         [--dsir-target /path/to/target_docs --min-dsir 0.0]
 
@@ -99,6 +99,10 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                          "md5 thresholds); groups not listed are DROPPED")
     ap.add_argument("--mix-by", default="lang",
                     help="group column for --mix and --profile")
+    ap.add_argument("--skew-col", default=None,
+                    help="report shuffle-key skew of this input column "
+                         "(top keys + exact max/avg multiplier) in the "
+                         "JSON report — run before keying a big join")
     ap.add_argument("--profile", action="store_true",
                     help="append a per-group corpus profile of the curated "
                          "output to the report (one aggregation pass)")
@@ -331,6 +335,22 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             ).drop("bucket", "split")
             stages["decontaminate_dropped"] = cur.count() - nxt.count()
         report["stages"] = stages
+    if args.skew_col:
+        if args.skew_col not in docs.columns:
+            raise SystemExit(
+                f"--skew-col {args.skew_col!r} not in input columns "
+                f"{docs.columns}"
+            )
+        from kg.ops import skew_profile
+
+        # top-5 rows only; the diagnostic is O(keys) distributed work
+        # and an O(top) collect
+        report["skew"] = [
+            r.asDict()
+            for r in skew_profile(docs, args.skew_col, top=5)
+            .orderBy("rank")
+            .collect()
+        ]
     if args.profile:
         from kg.ops.curate import corpus_profile
 

@@ -47,6 +47,7 @@ from kg.ops.dedup import (  # noqa: F401
     simhash_candidates,
     winnow_duplicates,
 )
+from kg.ops.bloom import bloom_bits, bloom_semi_join  # noqa: F401
 from kg.ops.diverse import select_diverse  # noqa: F401
 from kg.ops.events import (  # noqa: F401
     asof_join,

@@ -59,7 +59,7 @@ def main() -> None:
         "graph_coloring", "graph_matching", "graph_msf",
         "events_asof", "events_range_join", "dedup_semantic",
         "distinct_sketch", "ols_price_qty", "diverse_select",
-        "skew_profile", "graph_toposort",
+        "skew_profile", "graph_toposort", "bloom_semi_join",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

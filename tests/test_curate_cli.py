@@ -345,3 +345,29 @@ def test_curate_corpus_max_contamination_validates(spark):
     docs = spark.createDataFrame([(1, "a")], ["doc_id", "text"])
     with _pytest.raises(ValueError, match="max_contamination"):
         curate_corpus(docs, benchmark=docs, max_contamination=1.5)
+
+
+def test_cli_skew_col_reports_multiplier(spark, tmp_path, capsys):
+    """--skew-col appends the top-key skew diagnostic of the INPUT."""
+    docs = str(tmp_path / "docs_skew")
+    rows = [(i, f"text body number {i} alpha bravo",
+             "hot" if i < 30 else f"cold{i}") for i in range(40)]
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.mode(
+        "overwrite"
+    ).parquet(docs)
+    out = str(tmp_path / "curated_skew")
+    cli.main(
+        ["--input", docs, "--output", out, "--skew-col", "lang"],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    skew = report["skew"]
+    assert skew[0]["key"] == "hot" and skew[0]["n"] == 30
+    assert skew[0]["n_keys"] == 11
+    # max/avg = 30 / (40/11) = 8.25
+    assert skew[0]["skew_fp"] == 8_250_000
+    with pytest.raises(SystemExit, match="skew-col"):
+        cli.main(
+            ["--input", docs, "--output", out, "--skew-col", "nope"],
+            spark=spark,
+        )
