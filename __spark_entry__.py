@@ -3827,6 +3827,34 @@ def _media_decode_sql() -> str:
     )
 
 
+def q_length_quantiles(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact per-language document-length quantiles
+    (``kg/ops/stats.py::group_quantiles``): type-1 nearest-rank
+    p25/p50/p75/p90/p99 of ``n_chars`` via the histogram-CDF
+    formulation — the corpus collapses into a (lang, length, count)
+    histogram in one map-side-combinable hash agg and the rank windows
+    run over the histogram only, never a per-group sort of the raw
+    rows.  Target ranks are pure integer arithmetic
+    (``(n·num + den − 1) div den``), so the twin matches bit-for-bit
+    with no interpolation-mode mismatch."""
+    from kg.ops import group_quantiles
+
+    return group_quantiles(_read(spark, sf, "documents"), "lang", "n_chars")
+
+
+def q_decayed_activity(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user exponentially time-decayed engagement score
+    (``kg/ops/events.py::decayed_activity``): half-life-bucketed
+    power-of-two decay (7-day half-life, anchored at corpus-max ts),
+    weighted event count + value in exact decimal(38,0) integer sums
+    (weights are literal ``1 << (60 − b)``), floats only in the final
+    division by 2^60 and the 6dp round.  One broadcast anchor + one
+    map-side-combinable hash agg — no window, no sort, no Python."""
+    from kg.ops import decayed_activity
+
+    return decayed_activity(_read(spark, sf, "events"))
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3843,6 +3871,8 @@ def queries() -> dict[str, _T]:
         "pricing_summary": q_pricing_summary,
         "ols_price_qty": q_ols_price_qty,
         "skew_profile": q_skew_profile,
+        "length_quantiles": q_length_quantiles,
+        "decayed_activity": q_decayed_activity,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
         "cube_pricing": q_cube_pricing,
@@ -4637,6 +4667,37 @@ def oracle_sql() -> dict[str, str]:
             "CAST(ks AS BIGINT) AS n_keys, "
             "CAST((mx * ks * 1000000) // rws AS BIGINT) AS skew_fp "
             "FROM t, s WHERE rank <= 5"
+        ),
+        "length_quantiles": (
+            # same histogram-CDF + integer nearest-rank formulation
+            "WITH h AS (SELECT lang, CAST(n_chars AS BIGINT) AS v, "
+            "count(*) AS n FROM documents GROUP BY 1, 2), "
+            "c AS (SELECT lang, v, n, "
+            "sum(n) OVER (PARTITION BY lang ORDER BY v "
+            "ROWS UNBOUNDED PRECEDING) AS cum, "
+            "sum(n) OVER (PARTITION BY lang) AS tot FROM h) "
+            "SELECT lang, CAST(sum(n) AS BIGINT) AS n, "
+            "min(CASE WHEN cum >= (tot * 1 + 3) // 4 THEN v END) AS p25, "
+            "min(CASE WHEN cum >= (tot * 1 + 1) // 2 THEN v END) AS p50, "
+            "min(CASE WHEN cum >= (tot * 3 + 3) // 4 THEN v END) AS p75, "
+            "min(CASE WHEN cum >= (tot * 9 + 9) // 10 THEN v END) AS p90, "
+            "min(CASE WHEN cum >= (tot * 99 + 99) // 100 THEN v END) AS p99 "
+            "FROM c GROUP BY lang"
+        ),
+        "decayed_activity": (
+            # exact power-of-two weights: 1 << (60 - b), HUGEINT sums
+            "WITH a AS (SELECT max(epoch_us(ts)) AS anc FROM events), "
+            "e AS (SELECT user_id, "
+            "least(60, (anc - epoch_us(ts)) // 604800000000) AS b, "
+            "CAST(floor(value * 100) AS BIGINT) AS cents "
+            "FROM events, a) "
+            "SELECT user_id, count(*)::BIGINT AS n_events, "
+            "round(CAST(sum(CAST(1::BIGINT << (60 - b) AS HUGEINT)) "
+            "AS DOUBLE) / 1152921504606846976.0, 6) AS decayed_count, "
+            "round(CAST(sum(CAST(cents AS HUGEINT) * "
+            "CAST(1::BIGINT << (60 - b) AS HUGEINT)) AS DOUBLE) "
+            "/ 1152921504606846976.0 / 100.0, 6) AS decayed_value "
+            "FROM e GROUP BY user_id"
         ),
         "ols_price_qty": (
             # same exact HUGEINT moment sums, same double finals

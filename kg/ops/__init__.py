@@ -52,6 +52,7 @@ from kg.ops.diverse import select_diverse  # noqa: F401
 from kg.ops.events import (  # noqa: F401
     asof_join,
     cohort_retention,
+    decayed_activity,
     funnel_steps,
     range_join,
 )
@@ -103,7 +104,11 @@ from kg.ops.pca import (  # noqa: F401
 )
 from kg.ops.retrieval import bm25_topk, rrf_fuse  # noqa: F401
 from kg.ops.sketch import mincount_distinct  # noqa: F401
-from kg.ops.stats import ols_fit, skew_profile  # noqa: F401
+from kg.ops.stats import (  # noqa: F401
+    group_quantiles,
+    ols_fit,
+    skew_profile,
+)
 from kg.ops.similarity import (  # noqa: F401
     banded_lsh_pairs,
     banded_signatures,

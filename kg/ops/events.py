@@ -354,3 +354,80 @@ def range_join(
         .where((_us(ts_col) >= _us(start_col)) & (_us(ts_col) < _us(end_col)))
         .drop("_bucket")
     )
+
+
+def decayed_activity(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    half_life_s: int = 7 * 86400,
+    max_buckets: int = 60,
+) -> DataFrame:
+    """Per-user exponentially time-decayed activity score →
+    ``(user_col, n_events, decayed_count, decayed_value)`` — the
+    standard recency-weighted engagement/contribution signal, anchored
+    at the corpus-max timestamp so the result is a pure function of
+    the input (no wall clock; deterministic, resumable).
+
+    Decay discretization: weight = 2^−b where
+    ``b = min(max_buckets, Δt_us div half_life_us)`` — whole
+    half-lives, the classic power-of-two decay bucketing.  That makes
+    every weight an EXACT binary integer ``1 << (max_buckets − b)``
+    scaled by 2^max_buckets, so the weighted sums are decimal(38,0)
+    integer arithmetic and the op carries a bit-exact SQL twin; floats
+    appear only in the final division by 2^max_buckets (itself exactly
+    representable) and the 6dp round.  ``value`` enters as integer
+    cents (``floor(value·100)``, the library's money contract).
+
+    Plan shape (100 TB): the anchor is a 1-row agg broadcast back via
+    ``crossJoin(broadcast(...))`` — no driver action, the whole op is
+    one job — then ONE map-side-combinable hash agg per user.  No
+    window, no sort, no Python.
+
+    Reference parity note: §2.1 new-engine surface (SURVEY.md); the
+    reference (syedhassaanahmed/neo-to-cosmos) has no analytics
+    operators.
+    """
+    if not (1 <= max_buckets <= 62):
+        raise ValueError(f"max_buckets must be in [1, 62], got {max_buckets}")
+    if half_life_s < 1:
+        raise ValueError(f"half_life_s must be >= 1, got {half_life_s}")
+    hl_us = half_life_s * 1_000_000
+    dec = "decimal(38,0)"
+    # cast("timestamp") accepts TIMESTAMP and TIMESTAMP_NTZ alike
+    # (unix_micros rejects NTZ); anchor and event share any session-tz
+    # shift, so the DIFFERENCE is tz-invariant
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    anchor = events.agg(F.max(us).alias("_anchor"))
+    scale = float(1 << max_buckets)
+    e = events.crossJoin(F.broadcast(anchor)).select(
+        F.col(user_col),
+        F.least(
+            F.lit(max_buckets).cast("long"),
+            F.expr(
+                f"(_anchor - unix_micros(cast({ts_col} as timestamp)))"
+                f" div {hl_us}"
+            ),
+        ).alias("_b"),
+        F.floor(F.col(value_col) * 100).cast("long").alias("_cents"),
+    )
+    wfp = F.expr(f"shiftleft(1L, cast({max_buckets} - _b as int))")
+    return (
+        e.groupBy(user_col)
+        .agg(
+            F.count("*").alias("n_events"),
+            F.sum(wfp.cast(dec)).alias("_wsum"),
+            F.sum(F.col("_cents").cast(dec) * wfp.cast(dec)).alias("_vsum"),
+        )
+        .select(
+            user_col,
+            "n_events",
+            F.round(F.col("_wsum").cast("double") / scale, 6).alias(
+                "decayed_count"
+            ),
+            F.round(
+                F.col("_vsum").cast("double") / scale / 100.0, 6
+            ).alias("decayed_value"),
+        )
+    )

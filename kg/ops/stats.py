@@ -141,3 +141,75 @@ def skew_profile(
     return topk.crossJoin(F.broadcast(stats)).select(
         "key", "n", "rank", "n_rows", "n_keys", "skew_fp"
     )
+
+
+def group_quantiles(
+    df: DataFrame,
+    group_col: str,
+    value_col: str,
+    qs: list[tuple[str, int, int]] | None = None,
+) -> DataFrame:
+    """Exact per-group quantiles of an integer column via the
+    histogram-CDF formulation → ``(group_col, n, <one column per q>)``.
+
+    Quantile semantics are type-1 nearest-rank (the value at rank
+    ``ceil(q·n)``), with each ``q`` given as an exact fraction
+    ``(name, num, den)`` so the target rank is pure integer arithmetic
+    — ``(n·num + den − 1) div den`` — and the op carries a bit-exact
+    SQL twin (no float quantile, no interpolation-mode mismatch
+    between engines).
+
+    Plan shape (100 TB): the corpus collapses FIRST into a
+    ``(group, value, count)`` histogram via one map-side-combinable
+    hash agg — for discrete-valued columns (lengths, token counts,
+    scores in fixed-point) that frame is |groups|×|distinct values|,
+    orders of magnitude smaller than the corpus — and the rank windows
+    run over the histogram only.  This is deliberately NOT a per-group
+    sort of the raw rows (``percentile``/``sort`` over 100 TB) and NOT
+    ``approx_percentile`` (not exact, so not oracle-checkable); it is
+    the classic two-level CDF quantile every distributed engine uses
+    for bounded-cardinality domains.  All requested quantiles come out
+    of ONE final agg — adding a q adds a conditional min, not a pass.
+
+    Reference parity note: §2.1 new-engine surface (SURVEY.md); the
+    reference (syedhassaanahmed/neo-to-cosmos) has no analytics
+    operators.
+    """
+    from pyspark.sql import Window
+
+    if qs is None:
+        qs = [
+            ("p25", 1, 4),
+            ("p50", 1, 2),
+            ("p75", 3, 4),
+            ("p90", 9, 10),
+            ("p99", 99, 100),
+        ]
+    for name, num, den in qs:
+        if not (0 < num <= den):
+            raise ValueError(f"quantile {name}: need 0 < num <= den")
+    hist = df.groupBy(
+        group_col, F.col(value_col).cast("long").alias("_value")
+    ).agg(F.count("*").alias("_n"))
+    w_cum = (
+        Window.partitionBy(group_col)
+        .orderBy("_value")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_tot = Window.partitionBy(group_col).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    cdf = hist.select(
+        group_col,
+        "_value",
+        "_n",
+        F.sum("_n").over(w_cum).alias("_cum"),
+        F.sum("_n").over(w_tot).alias("_tot"),
+    )
+    aggs = [F.sum("_n").cast("long").alias("n")]
+    for name, num, den in qs:
+        target = F.expr(f"(_tot * {num} + {den - 1}) div {den}")
+        aggs.append(
+            F.min(F.when(F.col("_cum") >= target, F.col("_value"))).alias(name)
+        )
+    return cdf.groupBy(group_col).agg(*aggs)

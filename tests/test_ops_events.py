@@ -4,7 +4,7 @@ and arg validation."""
 
 from __future__ import annotations
 
-from datetime import datetime
+from datetime import datetime, timedelta
 
 import pytest
 
@@ -245,3 +245,48 @@ def test_range_join_guard_and_validation(spark):
         "t0 timestamp, t1 timestamp, wtag string",
     )
     assert range_join(Li, R, "t0", "t1", bucket_s=60).count() == 0
+
+
+def test_decayed_activity_hand_values(spark):
+    """Weights are 2^-floor(age/half_life), anchored at max ts."""
+    from kg.ops.events import decayed_activity
+
+    # half_life_s=10: ages 0s, 10s, 25s → buckets 0, 1, 2 →
+    # weights 1, 0.5, 0.25
+    def _t(sec):
+        return datetime(2024, 1, 1) + timedelta(seconds=sec)
+
+    rows = [
+        (1, _t(25), 1.00),   # age 25s → bucket 2 → 0.25, cents 100
+        (1, _t(40), 2.00),   # age 10s → bucket 1 → 0.5,  cents 200
+        (1, _t(50), 4.00),   # age  0s → bucket 0 → 1.0,  cents 400
+        (2, _t(50), 10.00),  # age  0s → bucket 0 → 1.0,  cents 1000
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_count"], r["decayed_value"])
+        for r in decayed_activity(df, half_life_s=10).collect()
+    }
+    assert got == {
+        1: (3, 1.75, 0.25 * 1.0 + 0.5 * 2.0 + 1.0 * 4.0),
+        2: (1, 1.0, 10.0),
+    }
+
+
+def test_decayed_activity_bucket_cap_and_validation(spark):
+    from kg.ops.events import decayed_activity
+
+    # age 1000s at half_life 1s → bucket capped at max_buckets → the
+    # weight floors to 2^-max_buckets, never a negative shift
+    rows = [
+        (1, datetime(2024, 1, 1), 1.0),
+        (1, datetime(2024, 1, 1) + timedelta(seconds=1000), 1.0),
+    ]
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    r = decayed_activity(df, half_life_s=1, max_buckets=10).collect()[0]
+    assert r["n_events"] == 2
+    assert r["decayed_count"] == round(1.0 + 2.0 ** -10, 6)
+    with pytest.raises(ValueError, match="max_buckets"):
+        decayed_activity(df, max_buckets=63)
+    with pytest.raises(ValueError, match="half_life_s"):
+        decayed_activity(df, half_life_s=0)

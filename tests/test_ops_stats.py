@@ -75,3 +75,36 @@ def test_skew_profile_balanced_and_validation(spark):
     assert r["key"] == "1"  # integral keys cast to string
     with pytest.raises(ValueError, match="top"):
         skew_profile(df, "k", top=0)
+
+
+def test_group_quantiles_hand_values(spark):
+    """Nearest-rank (type 1): value at rank ceil(q*n)."""
+    from kg.ops.stats import group_quantiles
+
+    # g=a: values 1..10 (n=10): p25→rank 3→3, p50→rank 5→5,
+    # p75→rank 8→8, p90→rank 9→9, p99→rank 10→10
+    # g=b: [7,7,7,100] (n=4): p25→rank 1→7, p50→rank 2→7,
+    # p75→rank 3→7, p90→rank 4→100, p99→rank 4→100
+    rows = [("a", v) for v in range(1, 11)] + [
+        ("b", 7), ("b", 7), ("b", 7), ("b", 100)
+    ]
+    df = spark.createDataFrame(rows, "g string, v long")
+    got = {
+        r["g"]: (r["n"], r["p25"], r["p50"], r["p75"], r["p90"], r["p99"])
+        for r in group_quantiles(df, "g", "v").collect()
+    }
+    assert got == {
+        "a": (10, 3, 5, 8, 9, 10),
+        "b": (4, 7, 7, 7, 100, 100),
+    }
+
+
+def test_group_quantiles_single_row_and_validation(spark):
+    from kg.ops.stats import group_quantiles
+
+    df = spark.createDataFrame([("a", 42)], "g string, v long")
+    r = group_quantiles(df, "g", "v").collect()[0]
+    # every quantile of a 1-row group is that row
+    assert (r["p25"], r["p50"], r["p99"]) == (42, 42, 42)
+    with pytest.raises(ValueError, match="quantile"):
+        group_quantiles(df, "g", "v", qs=[("bad", 5, 4)])
