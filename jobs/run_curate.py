@@ -99,6 +99,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                          "md5 thresholds); groups not listed are DROPPED")
     ap.add_argument("--mix-by", default="lang",
                     help="group column for --mix and --profile")
+    ap.add_argument("--quantiles-col", default=None,
+                    help="report exact nearest-rank quantiles "
+                         "(p25/p50/p75/p90/p99) of this integer input "
+                         "column per --mix-by group (histogram-CDF, "
+                         "never a raw-row sort)")
     ap.add_argument("--skew-col", default=None,
                     help="report shuffle-key skew of this input column "
                          "(top keys + exact max/avg multiplier) in the "
@@ -349,6 +354,24 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             r.asDict()
             for r in skew_profile(docs, args.skew_col, top=5)
             .orderBy("rank")
+            .collect()
+        ]
+    if args.quantiles_col:
+        if args.quantiles_col not in docs.columns:
+            raise SystemExit(
+                f"--quantiles-col {args.quantiles_col!r} not in input "
+                f"columns {docs.columns}"
+            )
+        from kg.ops import group_quantiles
+
+        # one row per group (groups bounded by nature); collect is
+        # O(groups)
+        report["quantiles"] = [
+            r.asDict()
+            for r in group_quantiles(
+                docs, args.mix_by, args.quantiles_col
+            )
+            .orderBy(args.mix_by)
             .collect()
         ]
     if args.profile:

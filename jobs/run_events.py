@@ -23,6 +23,10 @@ Queries:
                     same user's ``--right-type`` events within the
                     following ``--window-s`` seconds (bucketized
                     equi-join, never a theta join).
+* ``decayed``     — per-user exponentially time-decayed activity score
+                    (``--half-life-s``, anchored at the corpus-max
+                    timestamp; power-of-two bucketed weights, exact
+                    integer sums).
 """
 
 from __future__ import annotations
@@ -33,7 +37,7 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ("funnel", "retention", "asof", "range-join")
+QUERIES = ("funnel", "retention", "asof", "range-join", "decayed")
 
 
 def main(argv: list[str] | None = None, spark=None) -> None:
@@ -60,6 +64,9 @@ def main(argv: list[str] | None = None, spark=None) -> None:
     ap.add_argument("--bucket-s", type=int, default=None,
                     help="equi-join bucket width in seconds "
                          "(range-join; default window-s/3, min 1)")
+    ap.add_argument("--half-life-s", type=int, default=None,
+                    help="decay half-life in seconds (decayed; "
+                         "default 7 days)")
     ap.add_argument("--user-col", default="user_id")
     ap.add_argument("--type-col", default="event_type")
     ap.add_argument("--ts-col", default="ts")
@@ -84,6 +91,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         ("--steps", args.steps, ("funnel",)),
         ("--left-type", args.left_type, ("asof", "range-join")),
         ("--tolerance-s", args.tolerance_s, ("asof",)),
+        ("--half-life-s", args.half_life_s, ("decayed",)),
     ):
         if val is not None and args.query not in owners:
             raise SystemExit(
@@ -92,7 +100,13 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
     from pyspark.sql import functions as F
 
-    from kg.ops import asof_join, cohort_retention, funnel_steps, range_join
+    from kg.ops import (
+        asof_join,
+        cohort_retention,
+        decayed_activity,
+        funnel_steps,
+        range_join,
+    )
 
     own_session = spark is None
     if own_session:
@@ -115,6 +129,15 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 ev, user_col=u, ts_col=ts, max_offset=args.max_offset
             )
             order = ["cohort_date", "day_offset"]
+        elif args.query == "decayed":
+            res = decayed_activity(
+                ev,
+                user_col=u,
+                ts_col=ts,
+                value_col=args.value_col,
+                half_life_s=args.half_life_s or 7 * 86400,
+            )
+            order = [u]
         elif args.query == "asof":
             left = ev.filter(F.col(et) == args.left_type).select(
                 F.col(args.id_col).alias("anchor_id"), u, ts

@@ -60,6 +60,7 @@ def main() -> None:
         "events_asof", "events_range_join", "dedup_semantic",
         "distinct_sketch", "ols_price_qty", "diverse_select",
         "skew_profile", "graph_toposort", "bloom_semi_join",
+        "length_quantiles", "decayed_activity",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

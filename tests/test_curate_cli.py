@@ -371,3 +371,32 @@ def test_cli_skew_col_reports_multiplier(spark, tmp_path, capsys):
             ["--input", docs, "--output", out, "--skew-col", "nope"],
             spark=spark,
         )
+
+
+def test_cli_quantiles_col_reports_per_group(spark, tmp_path, capsys):
+    """--quantiles-col appends exact nearest-rank quantiles of the INPUT
+    per --mix-by group."""
+    docs = str(tmp_path / "docs_quant")
+    rows = [
+        (i, f"text body number {i} alpha bravo", "en", (i + 1) * 10)
+        for i in range(10)
+    ]
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "n_chars"]
+    ).write.mode("overwrite").parquet(docs)
+    out = str(tmp_path / "curated_quant")
+    cli.main(
+        ["--input", docs, "--output", out, "--quantiles-col", "n_chars"],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    q = report["quantiles"]
+    assert len(q) == 1 and q[0]["lang"] == "en"
+    # values 10..100: nearest-rank p25→30, p50→50, p75→80, p99→100
+    assert (q[0]["n"], q[0]["p25"], q[0]["p50"], q[0]["p75"], q[0]["p99"]) \
+        == (10, 30, 50, 80, 100)
+    with pytest.raises(SystemExit, match="quantiles-col"):
+        cli.main(
+            ["--input", docs, "--output", out, "--quantiles-col", "nope"],
+            spark=spark,
+        )

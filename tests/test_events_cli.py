@@ -86,3 +86,28 @@ def test_cli_retention_and_guards(spark, events_path, tmp_path):
              "--steps", "a,b"],
             spark=spark,
         )
+
+
+def test_cli_decayed(spark, events_path, tmp_path):
+    """--query decayed: power-of-two half-life weights, corpus-max
+    anchor.  Anchor ts is _t(20); half-life 10 s → ages 20,15,11,19,18,0
+    → buckets 2,1,1,1,1,0."""
+    df = _run(
+        spark, events_path, tmp_path,
+        "--query", "decayed", "--half-life-s", "10",
+    )
+    got = {
+        r["user_id"]: (r["n_events"], r["decayed_count"])
+        for r in df.collect()
+    }
+    # user 10: buckets 2,1,1,0 → 0.25+0.5+0.5+1.0; user 11: 1,1 → 1.0
+    assert got == {10: (4, 2.25), 11: (2, 1.0)}
+
+
+def test_cli_decayed_flag_ownership(spark, events_path, tmp_path):
+    with pytest.raises(SystemExit, match="half-life-s"):
+        _run(
+            spark, events_path, tmp_path,
+            "--query", "funnel", "--steps", "a,b",
+            "--half-life-s", "10",
+        )
