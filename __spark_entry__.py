@@ -3855,6 +3855,32 @@ def q_decayed_activity(spark: SparkSession, sf: str) -> DataFrame:
     return decayed_activity(_read(spark, sf, "events"))
 
 
+def q_column_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Deequ-style per-column completeness/distinctness profile
+    (``kg/ops/quality.py::column_profile``) over the documents table:
+    unpivot to (col_name, value) pairs, ONE (col_name, value) hash agg
+    (map-side combine collapses the unpivot before any shuffle), one
+    |columns|-sized reduce — never an N-way Expand of count_distincts
+    over the raw corpus.  The table-health gate a trainer runs before
+    trusting a corpus drop."""
+    from kg.ops import column_profile
+
+    return column_profile(_read(spark, sf, "documents"))
+
+
+def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
+    """k-anonymity risk report (``kg/ops/quality.py::k_anonymity``,
+    Sweeney 2002) over the (user_id, event_type) quasi-identifier of
+    the events table at k=5: one hash agg on the quasi tuple + a
+    constant-size reduce.  Nonzero at_risk_fraction ⇒ generalize or
+    suppress before release — the governance twin of redact_pii."""
+    from kg.ops import k_anonymity
+
+    return k_anonymity(
+        _read(spark, sf, "events"), ["user_id", "event_type"], k=5
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3873,6 +3899,8 @@ def queries() -> dict[str, _T]:
         "skew_profile": q_skew_profile,
         "length_quantiles": q_length_quantiles,
         "decayed_activity": q_decayed_activity,
+        "column_profile": q_column_profile,
+        "k_anonymity": q_k_anonymity,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
         "cube_pricing": q_cube_pricing,
@@ -4698,6 +4726,43 @@ def oracle_sql() -> dict[str, str]:
             "CAST(1::BIGINT << (60 - b) AS HUGEINT)) AS DOUBLE) "
             "/ 1152921504606846976.0 / 100.0, 6) AS decayed_value "
             "FROM e GROUP BY user_id"
+        ),
+        "column_profile": (
+            # same unpivot → (col_name, value) hash agg formulation
+            "WITH p AS ("
+            "SELECT 'doc_id' AS col_name, CAST(doc_id AS VARCHAR) AS value "
+            "FROM documents "
+            "UNION ALL SELECT 'text', text FROM documents "
+            "UNION ALL SELECT 'lang', lang FROM documents "
+            "UNION ALL SELECT 'source', source FROM documents "
+            "UNION ALL SELECT 'n_chars', CAST(n_chars AS VARCHAR) "
+            "FROM documents), "
+            "vc AS (SELECT col_name, value, count(*) AS cnt "
+            "FROM p GROUP BY 1, 2), "
+            "pr AS (SELECT col_name, CAST(sum(cnt) AS BIGINT) AS n_rows, "
+            "CAST(sum(CASE WHEN value IS NULL THEN cnt ELSE 0 END) "
+            "AS BIGINT) AS n_nulls, "
+            "CAST(count(CASE WHEN value IS NOT NULL THEN 1 END) "
+            "AS BIGINT) AS n_distinct FROM vc GROUP BY 1) "
+            "SELECT col_name, n_rows, n_nulls, "
+            "round((n_rows - n_nulls) / CAST(n_rows AS DOUBLE), 6) "
+            "AS completeness, n_distinct, "
+            "CASE WHEN n_rows - n_nulls > 0 THEN "
+            "round(n_distinct / CAST(n_rows - n_nulls AS DOUBLE), 6) "
+            "END AS distinctness FROM pr"
+        ),
+        "k_anonymity": (
+            "WITH g AS (SELECT user_id, event_type, count(*) AS n "
+            "FROM events GROUP BY 1, 2) "
+            "SELECT CAST(5 AS BIGINT) AS k, "
+            "CAST(sum(n) AS BIGINT) AS n_rows, "
+            "count(*)::BIGINT AS n_groups, "
+            "CAST(sum(CASE WHEN n < 5 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS at_risk_groups, "
+            "CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) AS BIGINT) "
+            "AS at_risk_rows, "
+            "round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) "
+            "AS DOUBLE) / sum(n), 6) AS at_risk_fraction FROM g"
         ),
         "ols_price_qty": (
             # same exact HUGEINT moment sums, same double finals

@@ -1,0 +1,127 @@
+"""Data-governance profiling: per-column completeness/distinctness and
+k-anonymity risk.
+
+Why this lives in a training-data engine: before a corpus feeds a
+trainer, two governance questions precede every statistical one — "is
+the table complete enough to trust" (Deequ-style column profiling) and
+"can rows be re-identified from quasi-identifier combinations"
+(k-anonymity, Sweeney 2002).  Both reduce to hash aggregations, so at
+100 TB they cost one corpus pass each — there is no excuse to skip
+them, and no reason to leave them un-oracle-checked.
+
+Reference parity note: §2.1 new-engine surface (SURVEY.md); the
+reference (syedhassaanahmed/neo-to-cosmos) has no analytics operators.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, functions as F
+
+
+def column_profile(df: DataFrame, columns: list[str] | None = None) -> DataFrame:
+    """Per-column completeness/distinctness profile →
+    ``(col_name, n_rows, n_nulls, completeness, n_distinct,
+    distinctness)`` — the Deequ-class table health report
+    (completeness = non-null fraction; distinctness = distinct
+    non-null values / non-null rows; both 6dp).
+
+    Plan shape (100 TB): the frame unpivots to ``(col_name, value)``
+    pairs via ``stack`` (row-count × |columns|, but map-side combine on
+    the very next hash agg collapses it to |columns| × |distinct
+    values| before any shuffle), then ONE (col_name, value) hash agg +
+    one |columns|-sized reduce.  This is deliberately NOT N separate
+    ``count_distinct`` aggregates in one row (Spark expands those into
+    an N-way Expand over the raw corpus with no pre-agg collapse) and
+    NOT N sequential jobs.
+
+    Values are compared as strings (profile semantics — distinctness
+    of the printed value).  Float columns are legal but their string
+    forms differ across engines; keep oracle-twinned profiles on
+    int/string/date columns.
+    """
+    cols = columns or df.columns
+    missing = set(cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"columns {sorted(missing)} not in frame")
+    if not cols:
+        raise ValueError("need at least one column to profile")
+    stack_args = ", ".join(
+        f"'{c}', cast(`{c}` as string)" for c in cols
+    )
+    pairs = df.select(
+        F.expr(f"stack({len(cols)}, {stack_args}) as (col_name, value)")
+    )
+    vc = pairs.groupBy("col_name", "value").agg(F.count("*").alias("cnt"))
+    prof = vc.groupBy("col_name").agg(
+        F.sum("cnt").cast("long").alias("n_rows"),
+        F.sum(
+            F.when(F.col("value").isNull(), F.col("cnt")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("n_nulls"),
+        F.count(F.when(F.col("value").isNotNull(), True))
+        .cast("long")
+        .alias("n_distinct"),
+    )
+    non_null = F.col("n_rows") - F.col("n_nulls")
+    return prof.select(
+        "col_name",
+        "n_rows",
+        "n_nulls",
+        F.round(non_null.cast("double") / F.col("n_rows"), 6).alias(
+            "completeness"
+        ),
+        "n_distinct",
+        F.when(
+            non_null > 0,
+            F.round(F.col("n_distinct").cast("double") / non_null, 6),
+        ).alias("distinctness"),
+    )
+
+
+def k_anonymity(
+    df: DataFrame, quasi_cols: list[str], k: int = 5
+) -> DataFrame:
+    """k-anonymity risk report over a quasi-identifier combination →
+    ONE row ``(k, n_rows, n_groups, at_risk_groups, at_risk_rows,
+    at_risk_fraction)``: rows whose quasi-identifier group has fewer
+    than ``k`` members are re-identifiable at that granularity
+    (Sweeney 2002).  Run it on the columns a release would expose;
+    a nonzero ``at_risk_fraction`` means generalize or suppress
+    before publishing.
+
+    Plan shape (100 TB): one map-side-combinable hash agg on the
+    quasi-identifier tuple, then a constant-size reduce — the group
+    frame never leaves the executors, no window, no Python.  NULL
+    quasi-values group together (SQL GROUP BY semantics, mirrored in
+    the twin).
+    """
+    if k < 2:
+        raise ValueError(f"k must be >= 2, got {k}")
+    missing = set(quasi_cols) - set(df.columns)
+    if missing:
+        raise ValueError(f"quasi_cols {sorted(missing)} not in frame")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    groups = df.groupBy(*quasi_cols).agg(F.count("*").alias("_n"))
+    risk = F.col("_n") < k
+    return groups.agg(
+        F.lit(k).cast("long").alias("k"),
+        F.sum("_n").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(risk, 1).otherwise(0)).cast("long").alias(
+            "at_risk_groups"
+        ),
+        F.sum(F.when(risk, F.col("_n")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("at_risk_rows"),
+    ).select(
+        "k",
+        "n_rows",
+        "n_groups",
+        "at_risk_groups",
+        "at_risk_rows",
+        F.round(
+            F.col("at_risk_rows").cast("double") / F.col("n_rows"), 6
+        ).alias("at_risk_fraction"),
+    )

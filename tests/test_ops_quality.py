@@ -1,0 +1,72 @@
+"""Unit tests for kg/ops/quality.py (column_profile, k_anonymity)."""
+
+from __future__ import annotations
+
+import pytest
+
+from kg.ops.quality import column_profile, k_anonymity
+
+
+def test_column_profile_hand_values(spark):
+    rows = [
+        (1, "a", None),
+        (2, "a", "x"),
+        (3, None, "x"),
+        (4, "b", "x"),
+    ]
+    df = spark.createDataFrame(rows, "id long, g string, h string")
+    got = {
+        r["col_name"]: (
+            r["n_rows"],
+            r["n_nulls"],
+            r["completeness"],
+            r["n_distinct"],
+            r["distinctness"],
+        )
+        for r in column_profile(df).collect()
+    }
+    assert got == {
+        "id": (4, 0, 1.0, 4, 1.0),
+        "g": (4, 1, 0.75, 2, round(2 / 3, 6)),
+        "h": (4, 1, 0.75, 1, round(1 / 3, 6)),
+    }
+
+
+def test_column_profile_all_null_and_validation(spark):
+    df = spark.createDataFrame([(None,), (None,)], "x string")
+    r = column_profile(df).collect()[0]
+    # zero non-null rows: distinctness is NULL, never a div blow-up
+    assert (r["n_nulls"], r["completeness"], r["distinctness"]) == (
+        2,
+        0.0,
+        None,
+    )
+    with pytest.raises(ValueError, match="not in frame"):
+        column_profile(df, columns=["nope"])
+
+
+def test_k_anonymity_hand_values(spark):
+    # groups: (a,1)x3, (a,2)x1, (b,1)x2 → k=3: at-risk groups {(a,2),(b,1)}
+    rows = [("a", 1)] * 3 + [("a", 2)] + [("b", 1)] * 2
+    df = spark.createDataFrame(rows, "q1 string, q2 long")
+    r = k_anonymity(df, ["q1", "q2"], k=3).collect()[0]
+    assert (
+        r["k"],
+        r["n_rows"],
+        r["n_groups"],
+        r["at_risk_groups"],
+        r["at_risk_rows"],
+        r["at_risk_fraction"],
+    ) == (3, 6, 3, 2, 3, 0.5)
+
+
+def test_k_anonymity_nulls_group_together_and_validation(spark):
+    rows = [(None,), (None,), ("a",)]
+    df = spark.createDataFrame(rows, "q string")
+    r = k_anonymity(df, ["q"], k=2).collect()[0]
+    # the two NULLs form one group of 2 (not at risk at k=2)
+    assert (r["n_groups"], r["at_risk_groups"], r["at_risk_rows"]) == (2, 1, 1)
+    with pytest.raises(ValueError, match="k must"):
+        k_anonymity(df, ["q"], k=1)
+    with pytest.raises(ValueError, match="not in frame"):
+        k_anonymity(df, ["nope"])
