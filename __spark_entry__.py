@@ -3881,6 +3881,24 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
+    """PSI drift gate between two corpus snapshots
+    (``kg/ops/stats.py::distribution_drift``): the ``lang``
+    distribution of even-doc_id documents vs odd-doc_id documents —
+    two deterministic halves standing in for consecutive corpus drops.
+    md5-hash bins, Laplace-smoothed shares, per-bin fixed-point terms
+    summed as decimal — two hash aggs + a ≤65-row join, no Python."""
+    from kg.ops import distribution_drift
+
+    docs = _read(spark, sf, "documents")
+    return distribution_drift(
+        docs.filter(F.col("doc_id") % 2 == 0),
+        docs.filter(F.col("doc_id") % 2 == 1),
+        "lang",
+        n_buckets=64,
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3901,6 +3919,7 @@ def queries() -> dict[str, _T]:
         "decayed_activity": q_decayed_activity,
         "column_profile": q_column_profile,
         "k_anonymity": q_k_anonymity,
+        "distribution_drift": q_distribution_drift,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
         "cube_pricing": q_cube_pricing,
@@ -4763,6 +4782,32 @@ def oracle_sql() -> dict[str, str]:
             "AS at_risk_rows, "
             "round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) "
             "AS DOUBLE) / sum(n), 6) AS at_risk_fraction FROM g"
+        ),
+        "distribution_drift": (
+            # same md5 bins, Laplace smoothing, fixed-point terms
+            "WITH sa AS (SELECT lang FROM documents WHERE doc_id % 2 = 0), "
+            "sb AS (SELECT lang FROM documents WHERE doc_id % 2 = 1), "
+            "ba AS (SELECT CASE WHEN lang IS NULL THEN -1 ELSE "
+            "CAST(('0x' || substring(md5(lang), 1, 15))::UBIGINT % 64 "
+            "AS BIGINT) END AS bin, count(*) AS ca FROM sa GROUP BY 1), "
+            "bb AS (SELECT CASE WHEN lang IS NULL THEN -1 ELSE "
+            "CAST(('0x' || substring(md5(lang), 1, 15))::UBIGINT % 64 "
+            "AS BIGINT) END AS bin, count(*) AS cb FROM sb GROUP BY 1), "
+            "j AS (SELECT coalesce(ca, 0) AS ca, coalesce(cb, 0) AS cb "
+            "FROM ba FULL OUTER JOIN bb USING (bin)), "
+            "n AS (SELECT (SELECT count(*) FROM sa) AS na, "
+            "(SELECT count(*) FROM sb) AS nb), "
+            "t AS (SELECT na, nb, "
+            "CAST(floor(1e9 * ((ca + 1)::DOUBLE / (na + 65)::DOUBLE - "
+            "(cb + 1)::DOUBLE / (nb + 65)::DOUBLE) * "
+            "ln(((ca + 1)::DOUBLE / (na + 65)::DOUBLE) / "
+            "((cb + 1)::DOUBLE / (nb + 65)::DOUBLE))) AS HUGEINT) AS tf "
+            "FROM j, n) "
+            "SELECT CAST(max(na) AS BIGINT) AS n_a, "
+            "CAST(max(nb) AS BIGINT) AS n_b, "
+            "count(*)::BIGINT AS n_bins, "
+            "CAST(sum(tf) AS BIGINT) AS psi_fp, "
+            "round(CAST(sum(tf) AS DOUBLE) / 1e9, 6) AS psi FROM t"
         ),
         "ols_price_qty": (
             # same exact HUGEINT moment sums, same double finals

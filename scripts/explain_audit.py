@@ -61,7 +61,7 @@ def main() -> None:
         "distinct_sketch", "ols_price_qty", "diverse_select",
         "skew_profile", "graph_toposort", "bloom_semi_join",
         "length_quantiles", "decayed_activity",
-        "column_profile", "k_anonymity",
+        "column_profile", "k_anonymity", "distribution_drift",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

@@ -108,3 +108,43 @@ def test_group_quantiles_single_row_and_validation(spark):
     assert (r["p25"], r["p50"], r["p99"]) == (42, 42, 42)
     with pytest.raises(ValueError, match="quantile"):
         group_quantiles(df, "g", "v", qs=[("bad", 5, 4)])
+
+
+def test_distribution_drift_identical_is_zero(spark):
+    from kg.ops.stats import distribution_drift
+
+    df = spark.createDataFrame(
+        [("x",)] * 5 + [("y",)] * 5 + [(None,)], "v string"
+    )
+    r = distribution_drift(df, df, "v").collect()[0]
+    # identical snapshots: p == q in every bin, terms exactly zero
+    assert (r["n_a"], r["n_b"], r["psi_fp"], r["psi"]) == (11, 11, 0, 0.0)
+    assert r["n_bins"] == 3  # x-bin, y-bin, null-bin
+
+
+def test_distribution_drift_disjoint_shift(spark):
+    """Full categorical swap: psi lands in the 'investigate' band, and
+    psi_fp equals the closed-form fixed-point sum."""
+    import math
+
+    from kg.ops.stats import distribution_drift
+
+    a = spark.createDataFrame([("x",)] * 10, "v string")
+    b = spark.createDataFrame([("y",)] * 10, "v string")
+    r = distribution_drift(a, b, "v").collect()[0]
+    # md5('x') % 64 = 3, md5('y') % 64 = 32 — distinct bins
+    p, q = 11 / 75.0, 1 / 75.0
+    term = math.floor(1e9 * (p - q) * math.log(p / q))
+    assert r["n_bins"] == 2
+    assert r["psi_fp"] == 2 * term
+    assert r["psi"] > 0.25
+
+
+def test_distribution_drift_validation(spark):
+    from kg.ops.stats import distribution_drift
+
+    df = spark.createDataFrame([("x",)], "v string")
+    with pytest.raises(ValueError, match="n_buckets"):
+        distribution_drift(df, df, "v", n_buckets=1)
+    with pytest.raises(ValueError, match="not in frame"):
+        distribution_drift(df, df, "nope")
