@@ -238,9 +238,13 @@ def distribution_drift(
     computed from exact integers, floored to 1e-9 units, then summed
     as decimal(38,0) — association-order-free, bit-exact twin.
 
-    Plan shape (100 TB): one map-side-combinable hash agg per
-    snapshot (corpus → ≤ B rows each), a ≤ B-row full outer join, a
-    constant-size reduce.  No window, no sort, no Python.
+    Plan shape (100 TB): the two snapshots union with a side tag and
+    collapse in ONE map-side-combinable hash agg (corpus → ≤ B rows,
+    both counts in the same row — no join of any kind; a full-outer
+    bin join cannot broadcast and would sort-merge); totals come from
+    an O(B) bounded window over the bin frame so the corpus is scanned
+    exactly once per snapshot, then a constant-size reduce.  No
+    corpus-sized window, no sort, no Python.
     """
     from kg.ops.minhash import md5_60
 
@@ -250,28 +254,44 @@ def distribution_drift(
         if col not in df.columns:
             raise ValueError(f"column {col!r} not in frame {side!r}")
 
-    def _bins(df: DataFrame, name: str) -> DataFrame:
+    def _tagged(df: DataFrame, side: int) -> DataFrame:
         v = F.col(col).cast("string")
         bucket = F.when(v.isNull(), F.lit(-1)).otherwise(
             F.pmod(md5_60(v), F.lit(n_buckets))
         )
-        return df.groupBy(bucket.alias("_bin")).agg(
-            F.count("*").alias(name)
-        )
+        return df.select(bucket.alias("_bin"), F.lit(side).alias("_side"))
 
-    B = n_buckets + 1
-    joined = (
-        _bins(a, "ca")
-        .join(_bins(b, "cb"), "_bin", "full_outer")
-        .select(
-            F.coalesce("ca", F.lit(0)).alias("ca"),
-            F.coalesce("cb", F.lit(0)).alias("cb"),
+    # union + ONE hash agg instead of two aggs + a full-outer join:
+    # Spark cannot broadcast a full-outer join, so the join formulation
+    # sort-merges even on the <= B-row bin frames; the tagged union
+    # collapses map-side into (bin, ca, cb) with no join at all, and
+    # N_a/N_b fall out of the same frame (no extra corpus scans)
+    counts = (
+        _tagged(a, 0)
+        .unionByName(_tagged(b, 1))
+        .groupBy("_bin")
+        .agg(
+            F.sum(F.when(F.col("_side") == 0, 1).otherwise(0)).alias("ca"),
+            F.sum(F.when(F.col("_side") == 1, 1).otherwise(0)).alias("cb"),
         )
     )
-    # N_a / N_b as lazy 1-row broadcast scalars (no driver action)
-    na = a.agg(F.count("*").alias("na"))
-    nb = b.agg(F.count("*").alias("nb"))
-    terms = joined.crossJoin(F.broadcast(na)).crossJoin(F.broadcast(nb))
+    B = n_buckets + 1
+    # totals via a window over the <= B-row bin frame (NOT a second agg
+    # cross-joined back, which re-derives the whole scan subplan and
+    # doubles the corpus reads).  A single-partition window is banned on
+    # corpus-sized frames; here the frame is bounded by B by
+    # construction, so it is O(B) on one task.
+    from pyspark.sql import Window
+
+    w = Window.partitionBy(F.lit(1)).rowsBetween(
+        Window.unboundedPreceding, Window.unboundedFollowing
+    )
+    terms = counts.select(
+        "ca",
+        "cb",
+        F.sum("ca").over(w).cast("long").alias("na"),
+        F.sum("cb").over(w).cast("long").alias("nb"),
+    )
     p = (F.col("ca") + 1).cast("double") / (F.col("na") + B).cast("double")
     q = (F.col("cb") + 1).cast("double") / (F.col("nb") + B).cast("double")
     term_fp = F.floor(F.lit(1e9) * (p - q) * F.log(p / q)).cast("long")
