@@ -99,6 +99,23 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                          "md5 thresholds); groups not listed are DROPPED")
     ap.add_argument("--mix-by", default="lang",
                     help="group column for --mix and --profile")
+    ap.add_argument("--column-profile", action="store_true",
+                    help="report per-column completeness/distinctness "
+                         "of the INPUT (Deequ-style table health)")
+    ap.add_argument("--k-anon", default=None, metavar="COL,...",
+                    help="report k-anonymity risk of this "
+                         "quasi-identifier column combination of the "
+                         "INPUT")
+    ap.add_argument("--k-anon-k", type=int, default=5,
+                    help="group-size threshold for --k-anon "
+                         "(default 5)")
+    ap.add_argument("--drift-against", default=None, metavar="DIR",
+                    help="previous-snapshot documents parquet: report "
+                         "the PSI drift of --drift-col between it and "
+                         "the INPUT")
+    ap.add_argument("--drift-col", default=None,
+                    help="column for --drift-against "
+                         "(default: --mix-by)")
     ap.add_argument("--quantiles-col", default=None,
                     help="report exact nearest-rank quantiles "
                          "(p25/p50/p75/p90/p99) of this integer input "
@@ -356,6 +373,40 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             .orderBy("rank")
             .collect()
         ]
+    if args.column_profile:
+        from kg.ops import column_profile
+
+        # one row per input column; collect is O(columns)
+        report["column_profile"] = [
+            r.asDict()
+            for r in column_profile(docs).orderBy("col_name").collect()
+        ]
+    if args.k_anon:
+        quasi = [c.strip() for c in args.k_anon.split(",") if c.strip()]
+        missing = set(quasi) - set(docs.columns)
+        if missing:
+            raise SystemExit(
+                f"--k-anon columns {sorted(missing)} not in input "
+                f"columns {docs.columns}"
+            )
+        from kg.ops import k_anonymity
+
+        report["k_anonymity"] = k_anonymity(
+            docs, quasi, k=args.k_anon_k
+        ).collect()[0].asDict()
+    if args.drift_against:
+        from kg.ops import distribution_drift
+
+        drift_col = args.drift_col or args.mix_by
+        prev = spark.read.parquet(args.drift_against)
+        for side, frame in (("input", docs), ("--drift-against", prev)):
+            if drift_col not in frame.columns:
+                raise SystemExit(
+                    f"drift column {drift_col!r} not in {side} columns"
+                )
+        report["drift"] = distribution_drift(
+            prev, docs, drift_col
+        ).collect()[0].asDict()
     if args.quantiles_col:
         if args.quantiles_col not in docs.columns:
             raise SystemExit(

@@ -400,3 +400,53 @@ def test_cli_quantiles_col_reports_per_group(spark, tmp_path, capsys):
             ["--input", docs, "--output", out, "--quantiles-col", "nope"],
             spark=spark,
         )
+
+
+def test_cli_governance_reports(spark, tmp_path, capsys):
+    """--column-profile / --k-anon / --drift-against append governance
+    sections to the JSON report."""
+    rows = [
+        (i, f"body text number {i} alpha bravo", "en" if i % 4 else "de",
+         f"src{i % 3}")
+        for i in range(24)
+    ]
+    cur = str(tmp_path / "docs_gov")
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "lang", "source"]
+    ).write.mode("overwrite").parquet(cur)
+    prev = str(tmp_path / "docs_prev")
+    spark.createDataFrame(
+        [(100 + i, f"older body {i} alpha", "en", "src0") for i in range(24)],
+        ["doc_id", "text", "lang", "source"],
+    ).write.mode("overwrite").parquet(prev)
+    out = str(tmp_path / "curated_gov")
+    cli.main(
+        [
+            "--input", cur, "--output", out,
+            "--column-profile",
+            "--k-anon", "lang,source", "--k-anon-k", "4",
+            "--drift-against", prev,
+        ],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    prof = {r["col_name"]: r for r in report["column_profile"]}
+    assert prof["doc_id"]["completeness"] == 1.0
+    assert prof["doc_id"]["n_distinct"] == 24
+    ka = report["k_anonymity"]
+    # lang=de only pairs with src0/src1/src2 twice each (6 de rows over
+    # 3 sources) — groups of 2 < 4 are at risk
+    assert ka["k"] == 4 and ka["n_rows"] == 24 and ka["at_risk_rows"] > 0
+    # prev is all-en, input is 3/4 en — drift nonzero
+    assert report["drift"]["psi"] > 0.0
+    with pytest.raises(SystemExit, match="k-anon"):
+        cli.main(
+            ["--input", cur, "--output", out, "--k-anon", "nope"],
+            spark=spark,
+        )
+    with pytest.raises(SystemExit, match="drift column"):
+        cli.main(
+            ["--input", cur, "--output", out, "--drift-against", prev,
+             "--drift-col", "nope"],
+            spark=spark,
+        )
