@@ -28,6 +28,11 @@ Four operators:
   second stateful aggregation over those rows — here it is one
   operator holding 3 longs of state per user.  Streaming twin of the
   batch ``user_event_windows`` query.
+* ``stream_range_join`` — stream-stream interval join with
+  watermark-evicted symmetric-hash state (batch-parity tested).
+* ``stream_drift_monitor`` — per-micro-batch PSI drift of a column
+  against a static reference snapshot via ``foreachBatch``: online
+  corpus-mix monitoring with exactly-once monitor appends.
 """
 
 from __future__ import annotations
@@ -297,4 +302,56 @@ def stream_range_join(
     return l.join(r, cond).select(
         *[F.col(f"l.{c}") for c in left.columns],
         *[F.col(f"r.r_{c}") for c in right.columns if c != key_col],
+    )
+
+
+def stream_drift_monitor(
+    stream_df: DataFrame,
+    reference: DataFrame,
+    col: str,
+    monitor_dir: str,
+    checkpoint_dir: str,
+    n_buckets: int = 64,
+):
+    """Online drift monitor: for every micro-batch, compute the PSI of
+    ``col``'s distribution in the batch against a STATIC reference
+    snapshot (``kg.ops.stats.distribution_drift``) and append one row
+    ``(batch_id, n_a, n_b, n_bins, psi_fp, psi)`` to ``monitor_dir``
+    — the streaming face of the governance gate: an ingest pipeline
+    alerts when an upstream crawler change shifts the language/source
+    mix mid-stream rather than at the next corpus release.
+
+    ``foreachBatch`` is the right integration (not a streaming agg):
+    PSI is a whole-batch statistic against an external frame, and
+    foreachBatch hands each micro-batch to the BATCH operator —
+    identical semantics to the oracle-checked batch op, exactly-once
+    appends via the stream checkpoint.  Returns the started query
+    (AvailableNow: drains the backlog, then stops).
+
+    Scale posture: the reference frame re-aggregates per batch (≤ B
+    bins shuffled); pre-aggregate the reference once and pass the
+    ≤ B-row bin frame if batches are small and frequent.
+    """
+    from kg.ops.stats import distribution_drift
+
+    def _one_batch(batch_df: DataFrame, batch_id: int) -> None:
+        (
+            distribution_drift(reference, batch_df, col, n_buckets)
+            .select(
+                F.lit(batch_id).cast("long").alias("batch_id"),
+                "n_a",
+                "n_b",
+                "n_bins",
+                "psi_fp",
+                "psi",
+            )
+            .write.mode("append")
+            .parquet(monitor_dir)
+        )
+
+    return (
+        stream_df.writeStream.foreachBatch(_one_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
     )

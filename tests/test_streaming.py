@@ -441,3 +441,51 @@ def test_stream_range_join_batch_mode_and_validation(spark):
         stream_range_join(L, R, window_s=0)
     with _pt.raises(ValueError, match="must exist"):
         stream_range_join(L.drop("user_id"), R)
+
+
+def test_stream_drift_monitor_matches_batch_psi(spark, tmp_path):
+    """Each micro-batch's monitor row equals the batch operator run on
+    the same slice; checkpoint makes re-runs exactly-once."""
+    from kg.ops.stats import distribution_drift
+    from kg.streaming import stream_drift_monitor
+
+    src = str(tmp_path / "src")
+    mon = str(tmp_path / "monitor")
+    ckpt = str(tmp_path / "ckpt")
+    ref = spark.createDataFrame(
+        [(i, "en" if i % 4 else "de") for i in range(40)],
+        "doc_id long, lang string",
+    )
+
+    # batch 1: same mix as the reference -> low psi
+    b1 = [(100 + i, "en" if i % 4 else "de") for i in range(40)]
+    spark.createDataFrame(b1, "doc_id long, lang string").write.parquet(
+        src, mode="append"
+    )
+    q = stream_drift_monitor(
+        spark.readStream.schema("doc_id long, lang string").parquet(src),
+        ref, "lang", mon, ckpt,
+    )
+    q.awaitTermination(120)
+    rows = spark.read.parquet(mon).collect()
+    assert len(rows) == 1
+    expect = distribution_drift(
+        ref, spark.createDataFrame(b1, "doc_id long, lang string"), "lang"
+    ).collect()[0]
+    assert rows[0]["psi_fp"] == expect["psi_fp"]
+    assert rows[0]["psi"] < 0.05  # same mix: stable band
+
+    # batch 2: all-fr shift -> investigate band; first batch not re-read
+    b2 = [(200 + i, "fr") for i in range(40)]
+    spark.createDataFrame(b2, "doc_id long, lang string").write.parquet(
+        src, mode="append"
+    )
+    q = stream_drift_monitor(
+        spark.readStream.schema("doc_id long, lang string").parquet(src),
+        ref, "lang", mon, ckpt,
+    )
+    q.awaitTermination(120)
+    rows = {r["batch_id"]: r for r in spark.read.parquet(mon).collect()}
+    assert len(rows) == 2
+    shifted = [r for r in rows.values() if r["psi"] > 0.25]
+    assert len(shifted) == 1 and shifted[0]["n_b"] == 40
