@@ -3899,6 +3899,21 @@ def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
+    """word2vec negative sampling over the walk-corpus skip-gram pairs
+    (``kg/ops/graph.py::negative_samples`` ∘ ``skipgram_pairs`` ∘
+    ``random_walks``): k=3 deterministic draws per pair from the
+    unigram^(3/4) noise CDF — damped weights via IEEE-exact nested
+    sqrt, md5 draws, bucketized interval lookup (never an inequality
+    theta join).  Pins the full walks→pairs→negatives composition."""
+    from kg.ops import negative_samples, random_walks, skipgram_pairs
+
+    walks = random_walks(_star_graph_edges(spark, sf), walk_length=_WALK_LEN)
+    return negative_samples(
+        skipgram_pairs(walks, window=_SG_WINDOW), k=3
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3920,6 +3935,7 @@ def queries() -> dict[str, _T]:
         "column_profile": q_column_profile,
         "k_anonymity": q_k_anonymity,
         "distribution_drift": q_distribution_drift,
+        "negative_samples": q_negative_samples,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
         "cube_pricing": q_cube_pricing,
@@ -4808,6 +4824,36 @@ def oracle_sql() -> dict[str, str]:
             "count(*)::BIGINT AS n_bins, "
             "CAST(sum(tf) AS BIGINT) AS psi_fp, "
             "round(CAST(sum(tf) AS DOUBLE) / 1e9, 6) AS psi FROM t"
+        ),
+        "negative_samples": (
+            # verified walks twin → skip-gram band self-join → the same
+            # damped-CDF draw: weights floor(sqrt(sqrt(c^3))) (sqrt is
+            # correctly rounded per IEEE-754, unlike pow), md5-60 draws
+            # mod the exact integer total, interval membership
+            "WITH w AS ("
+            + _graph_walks_sql(_GRAPH_EDGES_SQL, _WALK_LEN)
+            + "), sg AS ("
+            "SELECT x.walk_id, x.vertex AS center, y.vertex AS context, "
+            "CAST(y.step - x.step AS INTEGER) AS delta "
+            "FROM w x JOIN w y ON x.walk_id = y.walk_id "
+            f"AND x.step <> y.step AND abs(y.step - x.step) <= {_SG_WINDOW}"
+            "), vb AS (SELECT context AS word, count(*) AS c "
+            "FROM sg GROUP BY 1), "
+            "vw AS (SELECT word, CAST(floor(sqrt(sqrt("
+            "(c * c * c)::DOUBLE))) AS BIGINT) AS wt FROM vb), "
+            "iv AS (SELECT word, wt, CAST(SUM(wt) OVER (ORDER BY word "
+            "ROWS UNBOUNDED PRECEDING) AS BIGINT) AS hi FROM vw), "
+            "iv2 AS (SELECT word, hi - wt AS lo, hi FROM iv), "
+            "t AS (SELECT CAST(SUM(wt) AS BIGINT) AS tot FROM vw), "
+            "js AS (SELECT unnest(range(0, 3)) AS j), "
+            "d AS (SELECT sg.*, j, CAST((('0x' || substring(md5("
+            "'kg-neg-v1:' || center || ':' || context || ':' || "
+            "CAST(j AS VARCHAR)), 1, 15))::UBIGINT % "
+            "(SELECT CAST(tot AS UBIGINT) FROM t)) AS BIGINT) AS draw "
+            "FROM sg CROSS JOIN js) "
+            "SELECT d.walk_id, d.center, d.context, d.delta, "
+            "CAST(d.j AS INTEGER) AS neg_rank, iv2.word AS negative "
+            "FROM d JOIN iv2 ON d.draw >= iv2.lo AND d.draw < iv2.hi"
         ),
         "ols_price_qty": (
             # same exact HUGEINT moment sums, same double finals

@@ -58,6 +58,7 @@ from kg.ops.events import (  # noqa: F401
 )
 from kg.ops.graph import (  # noqa: F401
     adamic_adar,
+    negative_samples,
     assortativity,
     betweenness,
     clustering_coefficient,

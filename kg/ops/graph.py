@@ -3236,3 +3236,128 @@ def topological_layers(
     return out_schema_verts.join(assigned, "id", "left").select(
         "id", F.col("layer").cast("int").alias("layer")
     )
+
+
+def negative_samples(
+    pairs: DataFrame,
+    k: int = 5,
+    center_col: str = "center",
+    context_col: str = "context",
+    seed: str = "kg-neg-v1",
+    n_buckets: int = 4096,
+) -> DataFrame:
+    """word2vec-style negative sampling over skip-gram pairs → every
+    input row × ``k`` rows ``(*pairs.columns, neg_rank, negative)``:
+    deterministic draws from the unigram^(3/4) noise distribution of
+    the context vocabulary (Mikolov et al. 2013's damping — frequent
+    words down-weighted so negatives aren't all stopword-class
+    vertices).
+
+    Exactness contract: the damped weight is
+    ``floor(sqrt(sqrt(c³)))`` — IEEE-754 requires *correctly rounded*
+    ``sqrt`` (unlike ``pow``/``ln``), so c^{3/4} floors identically on
+    every engine; draws are ``md5_60(seed:center:context:j) mod Σw``
+    (the library's portable hash primitive) mapped into the exact
+    integer CDF.  Duplicate (center, context) rows draw identical
+    negatives by construction (the draw key is the pair, not the row).
+    A drawn negative may equal the pair's own context (standard w2v
+    behavior — consumers drop or keep per their loss); it is never
+    resampled, which would break determinism.
+
+    Plan shape (100 TB): vocab CDF via the pack_sequences discipline —
+    range-shuffle the vocab by word, O(partitions) collect of
+    per-partition totals, broadcast exclusive prefixes back (never a
+    single-partition global window); interval→bucket explode is
+    bounded by |vocab| + n_buckets rows; draw→interval lookup is a
+    bucket equi-join (broadcast-gated) + a band filter — never an
+    inequality theta join over the corpus.
+    """
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    if n_buckets < 1:
+        raise ValueError(f"n_buckets must be >= 1, got {n_buckets}")
+    for c in (center_col, context_col):
+        if c not in pairs.columns:
+            raise ValueError(f"column {c!r} not in pairs")
+    from pyspark.sql import Window
+
+    from kg.hints import maybe_broadcast
+    from kg.ops.minhash import md5_60
+
+    spark = pairs.sparkSession
+    vocab = pairs.groupBy(
+        F.col(context_col).cast("string").alias("_word")
+    ).agg(F.count("*").alias("_c"))
+    # c^(3/4) = sqrt(sqrt(c^3)): both sqrts correctly rounded per
+    # IEEE-754, so the floor is engine-identical; c >= 1 ⇒ w >= 1
+    damped = F.floor(
+        F.sqrt(
+            F.sqrt((F.col("_c") * F.col("_c") * F.col("_c")).cast("double"))
+        )
+    ).cast("long")
+    weights = vocab.select("_word", damped.alias("_w"))
+    n_parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    ordered = (
+        weights.repartitionByRange(n_parts, F.col("_word"))
+        .sortWithinPartitions("_word")
+        .withColumn("_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    totals = {
+        r["_pid"]: r["t"]
+        for r in ordered.groupBy("_pid").agg(F.sum("_w").alias("t")).collect()
+    }
+    prefix, acc = {}, 0
+    for pid in sorted(totals):
+        prefix[pid] = acc
+        acc += totals[pid]
+    total_w = int(acc)
+    if total_w <= 0:
+        raise ValueError("pairs frame has no context rows to sample from")
+    prefix_df = F.broadcast(
+        spark.createDataFrame(
+            [(int(p), int(v)) for p, v in prefix.items()],
+            "_pid int, _pre long",
+        )
+    )
+    win = (
+        Window.partitionBy("_pid")
+        .orderBy("_word")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hi = F.col("_pre") + F.sum("_w").over(win)
+    intervals = ordered.join(prefix_df, "_pid").select(
+        "_word",
+        (hi - F.col("_w")).alias("_lo"),
+        hi.alias("_hi"),
+    )
+    bucket_w = max(1, -(-total_w // n_buckets))  # ceil(total / n_buckets)
+    iv_b = intervals.withColumn(
+        "_bucket",
+        F.explode(
+            F.sequence(
+                F.expr(f"_lo div {bucket_w}"),
+                F.expr(f"(_hi - 1) div {bucket_w}"),
+            )
+        ),
+    )
+    draw_key = F.concat_ws(
+        ":",
+        F.lit(seed),
+        F.col(center_col).cast("string"),
+        F.col(context_col).cast("string"),
+        F.col("_j").cast("string"),
+    )
+    draws = pairs.withColumn(
+        "_j", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
+    ).withColumn("_draw", F.pmod(md5_60(draw_key), F.lit(total_w)))
+    return (
+        draws.withColumn("_bucket", F.expr(f"_draw div {bucket_w}"))
+        .join(maybe_broadcast(iv_b), "_bucket")
+        .where((F.col("_draw") >= F.col("_lo")) & (F.col("_draw") < F.col("_hi")))
+        .select(
+            *pairs.columns,
+            F.col("_j").cast("int").alias("neg_rank"),
+            F.col("_word").alias("negative"),
+        )
+    )

@@ -2539,3 +2539,56 @@ def test_toposort_validates(spark):
 
     with _pt.raises(ValueError, match="rounds"):
         topological_layers(E, rounds=0)
+
+
+def test_negative_samples_exact_cdf_and_determinism(spark):
+    """Hand-checkable CDF: contexts {a: c=8, b: c=1} → damped weights
+    w_a = floor((8^3)^(1/4)) = 4, w_b = 1, T = 5; intervals a=[0,4),
+    b=[4,5); every draw md5_60(seed:center:context:j) % 5 maps
+    accordingly."""
+    import hashlib
+
+    from kg.ops.graph import negative_samples
+
+    rows = [("u", "a")] * 8 + [("u", "b")]
+    pairs = spark.createDataFrame(rows, "center string, context string")
+    got = negative_samples(pairs, k=2).collect()
+    assert len(got) == len(rows) * 2
+
+    def draw(center, context, j):
+        key = f"kg-neg-v1:{center}:{context}:{j}"
+        return int(hashlib.md5(key.encode()).hexdigest()[:15], 16) % 5
+
+    for r in got:
+        d = draw(r["center"], r["context"], r["neg_rank"])
+        assert r["negative"] == ("a" if d < 4 else "b"), (r, d)
+    # duplicate (center, context) rows share identical negatives
+    a_rows = {(r["neg_rank"], r["negative"]) for r in got
+              if r["context"] == "a"}
+    assert len(a_rows) == 2
+    # determinism across runs
+    again = negative_samples(pairs, k=2).collect()
+    assert sorted(map(tuple, got)) == sorted(map(tuple, again))
+
+
+def test_negative_samples_damped_frequency_and_validation(spark):
+    from kg.ops.graph import negative_samples
+
+    rows = [("u", "hot")] * 100 + [("u", f"cold{i}") for i in range(10)]
+    pairs = spark.createDataFrame(rows, "center string, context string")
+    got = negative_samples(pairs, k=5).collect()
+    assert len(got) == len(rows) * 5
+    freq = {}
+    for r in got:
+        freq[r["negative"]] = freq.get(r["negative"], 0) + 1
+    # hot has w = floor(100^0.75) = 31 vs 1 per cold word: it must
+    # dominate any single cold word, but damping caps its share well
+    # below its 100/110 unigram share
+    assert freq["hot"] > max(
+        (v for w, v in freq.items() if w != "hot"), default=0
+    )
+    assert freq["hot"] / len(got) < 0.95
+    with pytest.raises(ValueError, match="k must"):
+        negative_samples(pairs, k=0)
+    with pytest.raises(ValueError, match="not in pairs"):
+        negative_samples(pairs, context_col="nope")
