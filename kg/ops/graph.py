@@ -3303,10 +3303,11 @@ def negative_samples(
         .withColumn("_pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    totals = {
-        r["_pid"]: r["t"]
-        for r in ordered.groupBy("_pid").agg(F.sum("_w").alias("t")).collect()
-    }
+    part_rows = ordered.groupBy("_pid").agg(
+        F.sum("_w").alias("t"), F.count("*").alias("n")
+    ).collect()
+    totals = {r["_pid"]: r["t"] for r in part_rows}
+    vocab_n = sum(r["n"] for r in part_rows)
     prefix, acc = {}, 0
     for pid in sorted(totals):
         prefix[pid] = acc
@@ -3351,9 +3352,20 @@ def negative_samples(
     draws = pairs.withColumn(
         "_j", F.explode(F.sequence(F.lit(0), F.lit(k - 1)))
     ).withColumn("_draw", F.pmod(md5_60(draw_key), F.lit(total_w)))
+    # evidence-gated broadcast: the bucketized interval frame is
+    # provably <= vocab_n + n_buckets rows (each interval adds one row
+    # per spanned bucket and the spans partition the bucket range), and
+    # vocab_n is already known driver-side from the prefix-scan collect;
+    # Catalyst's size estimate is UNKNOWN after the localCheckpoint, so
+    # maybe_broadcast alone would sort-merge the corpus-sized draw frame
+    # against this dim
+    if vocab_n + n_buckets <= 2_000_000:
+        iv_b = F.broadcast(iv_b)
+    else:
+        iv_b = maybe_broadcast(iv_b)
     return (
         draws.withColumn("_bucket", F.expr(f"_draw div {bucket_w}"))
-        .join(maybe_broadcast(iv_b), "_bucket")
+        .join(iv_b, "_bucket")
         .where((F.col("_draw") >= F.col("_lo")) & (F.col("_draw") < F.col("_hi")))
         .select(
             *pairs.columns,
