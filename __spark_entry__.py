@@ -3914,6 +3914,40 @@ def q_negative_samples(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+_CMS_W, _CMS_D = 512, 4
+
+
+def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
+    """Count–Min sketch frequency estimation
+    (``kg/ops/sketch.py::cms_cells``/``cms_estimate``): a 4×512
+    salted-md5 sketch of the token stream, point-estimated for the
+    exact top-10 tokens and reported next to truth — ``cms_n ≥
+    exact_n`` always (one-sided error), the heavy-hitter summary a
+    100 TB stream answers in O(depth·width) state.  The sketch is one
+    posexplode + one hash agg of ≤ 2048 cells; the probe side joins a
+    broadcast fixed-size dim."""
+    from kg.ops import cms_cells, cms_estimate
+    from kg.ops.text import tokens_col
+
+    toks = _read(spark, sf, "documents").select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    cells = cms_cells(toks, "token", width=_CMS_W, depth=_CMS_D)
+    top = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("long").alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("token"))
+        .limit(10)
+    )
+    est = cms_estimate(cells, top, "token", width=_CMS_W, depth=_CMS_D)
+    return est.select(
+        "token",
+        "exact_n",
+        "cms_n",
+        (F.col("cms_n") - F.col("exact_n")).cast("long").alias("overcount"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3936,6 +3970,7 @@ def queries() -> dict[str, _T]:
         "k_anonymity": q_k_anonymity,
         "distribution_drift": q_distribution_drift,
         "negative_samples": q_negative_samples,
+        "cms_token_counts": q_cms_token_counts,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
         "cube_pricing": q_cube_pricing,
@@ -4854,6 +4889,33 @@ def oracle_sql() -> dict[str, str]:
             "SELECT d.walk_id, d.center, d.context, d.delta, "
             "CAST(d.j AS INTEGER) AS neg_rank, iv2.word AS negative "
             "FROM d JOIN iv2 ON d.draw >= iv2.lo AND d.draw < iv2.hi"
+        ),
+        "cms_token_counts": (
+            # same salted-md5 cells, same min-over-rows point estimate
+            "WITH toks AS (SELECT unnest("
+            + _TOK.format(c="text")
+            + ") AS token FROM documents), "
+            "js AS (SELECT unnest(range(0, 4)) AS j), "
+            "cells AS (SELECT j AS row, "
+            "CAST(('0x' || substring(md5('kg-cms-v1:' || "
+            "CAST(j AS VARCHAR) || ':' || token), 1, 15))::UBIGINT "
+            "% 512 AS BIGINT) AS bucket, count(*) AS cnt "
+            "FROM toks CROSS JOIN js GROUP BY 1, 2), "
+            "exact AS (SELECT token, count(*) AS exact_n "
+            "FROM toks GROUP BY 1), "
+            "top AS (SELECT token, exact_n FROM exact "
+            "ORDER BY exact_n DESC, token ASC LIMIT 10), "
+            "probes AS (SELECT top.token, top.exact_n, js.j AS row, "
+            "CAST(('0x' || substring(md5('kg-cms-v1:' || "
+            "CAST(js.j AS VARCHAR) || ':' || top.token), 1, "
+            "15))::UBIGINT % 512 AS BIGINT) AS bucket "
+            "FROM top CROSS JOIN js), "
+            "est AS (SELECT token, exact_n, "
+            "min(coalesce(cnt, 0)) AS cms_n FROM probes "
+            "LEFT JOIN cells USING (row, bucket) GROUP BY 1, 2) "
+            "SELECT token, CAST(exact_n AS BIGINT) AS exact_n, "
+            "CAST(cms_n AS BIGINT) AS cms_n, "
+            "CAST(cms_n - exact_n AS BIGINT) AS overcount FROM est"
         ),
         "ols_price_qty": (
             # same exact HUGEINT moment sums, same double finals

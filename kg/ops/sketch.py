@@ -82,3 +82,100 @@ def mincount_distinct(
         .cast("long")
         .alias("distinct_est"),
     )
+
+
+def cms_cells(
+    df: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "kg-cms-v1",
+) -> DataFrame:
+    """Count–Min sketch (Cormode–Muthukrishnan 2005) of ``col``'s
+    frequency distribution → ``(row, bucket, cnt)`` cells, ``depth``
+    hash rows × ``width`` buckets.
+
+    The CMS is the frequency-estimation counterpart of
+    :func:`mincount_distinct`: a fixed ``depth × width`` summary whose
+    point estimate ``min_i cells[i][h_i(x)]`` never under-counts and
+    over-counts by ≤ ε·N with probability 1−δ (ε = e/width,
+    δ = e^−depth) — the sub-linear state behind heavy-hitter and
+    frequency queries a 100 TB stream cannot answer exactly online.
+
+    Exactness contract: rows are salted md5-60 buckets
+    (``md5_60(seed:i:value) % width`` — the library's portable hash),
+    so the sketch itself is DETERMINISTIC and carries a bit-exact SQL
+    twin (no random seeds, no engine-specific hashing).
+
+    Plan shape (100 TB): one ``depth``-way posexplode (map-side
+    combine collapses it before any shuffle — the same discipline as
+    the unpivot in ``column_profile``) into ONE hash agg of at most
+    ``depth × width`` output cells.  Perfectly map-side mergeable:
+    shards' sketches ADD cell-wise, which is why this is the standard
+    distributed-stream summary.
+    """
+    if width < 2:
+        raise ValueError(f"width must be >= 2, got {width}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in frame")
+    v = F.col(col).cast("string")
+    buckets = F.array(
+        *[
+            F.pmod(
+                md5_60(F.concat_ws(":", F.lit(seed), F.lit(str(i)), v)),
+                F.lit(width),
+            )
+            for i in range(depth)
+        ]
+    )
+    return (
+        df.select(F.posexplode(buckets).alias("row", "bucket"))
+        .groupBy("row", "bucket")
+        .agg(F.count("*").cast("long").alias("cnt"))
+    )
+
+
+def cms_estimate(
+    cells: DataFrame,
+    items: DataFrame,
+    col: str,
+    width: int = 1024,
+    depth: int = 4,
+    seed: str = "kg-cms-v1",
+) -> DataFrame:
+    """Point-estimate ``col``'s frequency for every row of ``items``
+    from a :func:`cms_cells` sketch → ``(*items.columns, cms_n)``:
+    ``cms_n = min`` over the ``depth`` hashed cells (missing cell ⇒
+    the bucket was never touched ⇒ 0).  Must be called with the SAME
+    width/depth/seed the sketch was built with.
+
+    Plan shape: items explode ×depth, equi-join the ≤ depth×width cell
+    frame (broadcast — the sketch is a fixed-size dim by
+    construction), one min-agg back to one row per item.
+    """
+    if col not in items.columns:
+        raise ValueError(f"column {col!r} not in items")
+    v = F.col(col).cast("string")
+    buckets = F.array(
+        *[
+            F.pmod(
+                md5_60(F.concat_ws(":", F.lit(seed), F.lit(str(i)), v)),
+                F.lit(width),
+            )
+            for i in range(depth)
+        ]
+    )
+    probes = items.select(
+        "*", F.posexplode(buckets).alias("row", "bucket")
+    )
+    joined = probes.join(F.broadcast(cells), ["row", "bucket"], "left")
+    return (
+        joined.groupBy(*items.columns)
+        .agg(
+            F.min(F.coalesce(F.col("cnt"), F.lit(0)))
+            .cast("long")
+            .alias("cms_n")
+        )
+    )

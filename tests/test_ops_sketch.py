@@ -62,3 +62,53 @@ def test_mincount_validates(spark):
     df = spark.createDataFrame([("g", "v")], "g string, v string")
     with pytest.raises(ValueError, match="k must"):
         mincount_distinct(df, "g", "v", k=1)
+
+
+def test_cms_never_undercounts_and_is_deterministic(spark):
+    from kg.ops.sketch import cms_cells, cms_estimate
+    from pyspark.sql import functions as F
+
+    rows = [("w%d" % (i % 37),) for i in range(500)]
+    df = spark.createDataFrame(rows, "v string")
+    cells = cms_cells(df, "v", width=64, depth=4)
+    # cell invariant: per-row totals each equal the stream length
+    per_row = {
+        r["row"]: r["t"]
+        for r in cells.groupBy("row").agg(F.sum("cnt").alias("t")).collect()
+    }
+    assert per_row == {0: 500, 1: 500, 2: 500, 3: 500}
+    exact = df.groupBy("v").agg(F.count("*").cast("long").alias("exact_n"))
+    est = cms_estimate(cells, exact, "v", width=64, depth=4).collect()
+    assert len(est) == 37
+    for r in est:
+        assert r["cms_n"] >= r["exact_n"], r  # one-sided error
+    again = cms_estimate(cells, exact, "v", width=64, depth=4).collect()
+    assert sorted(map(tuple, est)) == sorted(map(tuple, again))
+
+
+def test_cms_wide_sketch_is_exact_and_validation(spark):
+    """With width >> distinct values, collisions are unlikely and the
+    estimate should equal truth for this fixed seed."""
+    import pytest as _pytest
+
+    from kg.ops.sketch import cms_cells, cms_estimate
+    from pyspark.sql import functions as F
+
+    rows = [("a",)] * 7 + [("b",)] * 3 + [("c",)]
+    df = spark.createDataFrame(rows, "v string")
+    cells = cms_cells(df, "v", width=4096, depth=4)
+    exact = df.groupBy("v").agg(F.count("*").cast("long").alias("exact_n"))
+    got = {
+        r["v"]: (r["exact_n"], r["cms_n"])
+        for r in cms_estimate(cells, exact, "v", width=4096, depth=4).collect()
+    }
+    assert got == {"a": (7, 7), "b": (3, 3), "c": (1, 1)}
+    # unseen value probes empty cells -> 0
+    unseen = spark.createDataFrame([("zzz",)], "v string")
+    assert cms_estimate(cells, unseen, "v", width=4096, depth=4).collect()[0][
+        "cms_n"
+    ] == 0
+    with _pytest.raises(ValueError, match="width"):
+        cms_cells(df, "v", width=1)
+    with _pytest.raises(ValueError, match="not in frame"):
+        cms_cells(df, "nope")
