@@ -3948,6 +3948,18 @@ def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_jl_projected(spark: SparkSession, sf: str) -> DataFrame:
+    """Johnson–Lindenstrauss ±1 random projection
+    (``kg/ops/pca.py::jl_projection``, Achlioptas 2003): 64-dim
+    embeddings → 16 exact fixed-point coordinates via a driver-built
+    md5-sign matrix inlined as literals — zero joins, zero shuffles,
+    zero execution-time Python; the distance-preserving cheapening run
+    before ANN indexing at scale."""
+    from kg.ops import jl_projection
+
+    return jl_projection(_read(spark, sf, "embeddings"), out_dim=16)
+
+
 # ---------------------------------------------------------------------------
 # registry
 # ---------------------------------------------------------------------------
@@ -3971,6 +3983,7 @@ def queries() -> dict[str, _T]:
         "distribution_drift": q_distribution_drift,
         "negative_samples": q_negative_samples,
         "cms_token_counts": q_cms_token_counts,
+        "jl_projected": q_jl_projected,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
         "cube_pricing": q_cube_pricing,
@@ -4916,6 +4929,25 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(exact_n AS BIGINT) AS exact_n, "
             "CAST(cms_n AS BIGINT) AS cms_n, "
             "CAST(cms_n - exact_n AS BIGINT) AS overcount FROM est"
+        ),
+        "jl_projected": (
+            # same md5 sign rule (i is 0-based in the op; DuckDB list
+            # indexing is 1-based, hence i-1 in the hash key), inputs
+            # fix-pointed before the integer sum
+            "WITH ii AS (SELECT unnest(range(1, 65)) AS i), "
+            "js AS (SELECT unnest(range(0, 16)) AS j), "
+            "u AS (SELECT vec_id, i, CAST(floor(CAST(embedding[i] "
+            "AS DOUBLE) * 1000000) AS BIGINT) AS ef "
+            "FROM embeddings CROSS JOIN ii), "
+            "terms AS (SELECT vec_id, j, ef * (CASE WHEN "
+            "('0x' || substring(md5('kg-jl-v1:' || "
+            "CAST(i - 1 AS VARCHAR) || ':' || CAST(j AS VARCHAR)), "
+            "1, 15))::UBIGINT % 2 = 0 THEN 1 ELSE -1 END) AS term "
+            "FROM u CROSS JOIN js), "
+            "p AS (SELECT vec_id, j, CAST(sum(term) AS BIGINT) AS pj "
+            "FROM terms GROUP BY 1, 2) "
+            "SELECT vec_id, list(pj ORDER BY j) AS projected "
+            "FROM p GROUP BY vec_id"
         ),
         "ols_price_qty": (
             # same exact HUGEINT moment sums, same double finals

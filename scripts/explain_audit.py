@@ -62,7 +62,7 @@ def main() -> None:
         "skew_profile", "graph_toposort", "bloom_semi_join",
         "length_quantiles", "decayed_activity",
         "column_profile", "k_anonymity", "distribution_drift",
-        "negative_samples", "cms_token_counts",
+        "negative_samples", "cms_token_counts", "jl_projected",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

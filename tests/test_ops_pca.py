@@ -129,3 +129,39 @@ def test_pca_validates_rounds(spark):
     df = _mk(spark, [[1.0, 2.0]])
     with pytest.raises(ValueError, match="rounds"):
         top_principal_component(df, rounds=0)
+
+
+def test_jl_projection_hand_values_and_determinism(spark):
+    """p_j = sum_i floor(1e6*e_i) * s(i,j) with s from the portable
+    md5 rule — recomputed independently here."""
+    import hashlib
+
+    from kg.ops.pca import jl_projection
+
+    def sign(i, j):
+        h = int(hashlib.md5(f"kg-jl-v1:{i}:{j}".encode()).hexdigest()[:15], 16)
+        return 1 if h % 2 == 0 else -1
+
+    rows = [(1, [1.5, -2.0]), (2, [0.25, 0.75])]
+    df = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    got = {r["vec_id"]: r["projected"]
+           for r in jl_projection(df, out_dim=3).collect()}
+    for vid, emb in rows:
+        fp = [int(x * 1_000_000) for x in emb]  # exact for these values
+        expect = [sum(fp[i] * sign(i, j) for i in range(2)) for j in range(3)]
+        assert got[vid] == expect, (vid, got[vid], expect)
+    again = {r["vec_id"]: r["projected"]
+             for r in jl_projection(df, out_dim=3).collect()}
+    assert got == again
+
+
+def test_jl_projection_validation(spark):
+    from kg.ops.pca import jl_projection
+
+    df = spark.createDataFrame(
+        [(1, [1.0])], "vec_id long, embedding array<double>"
+    )
+    with pytest.raises(ValueError, match="out_dim"):
+        jl_projection(df, out_dim=0)
+    with pytest.raises(ValueError, match="not in frame"):
+        jl_projection(df, emb_col="nope")
