@@ -3948,6 +3948,56 @@ def q_cms_token_counts(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ams_f2_tokens(spark: SparkSession, sf: str) -> DataFrame:
+    """AMS second-moment sketch (``kg/ops/sketch.py::ams_f2``, AMS
+    1996): 9 ±1-sign estimators of F2 = Σ f_token² — the exact
+    self-join size of the token stream — each a single no-group agg
+    (k longs of shuffle total), with the lower-median-of-9 estimate
+    and the exact F2 reported side-by-side.  The planner-side answer
+    to "will this shuffle key blow up" a 100 TB table can't afford to
+    compute exactly."""
+    from kg.ops import ams_f2
+    from kg.ops.text import tokens_col
+
+    k = 9
+    toks = _read(spark, sf, "documents").select(
+        F.explode(tokens_col(F.col("text"))).alias("token")
+    )
+    est = ams_f2(toks, "token", k=k)
+    # lower median over k=9 rows: row_number over the (tiny) estimator
+    # frame, pick rank 5; ties broken by estimator id — mirrored in the
+    # twin's ORDER BY ... LIMIT 1 OFFSET 4
+    ranked = est.withColumn(
+        "_rn", F.row_number().over(W.orderBy("f2_est", "estimator"))
+    )
+    med = F.max(F.when(F.col("_rn") == (k + 1) // 2, F.col("f2_est"))).over(
+        W.partitionBy()
+    )
+    # exact F2 as a lazy 1-row broadcast-joined scalar (the tfidf N
+    # idiom): 9 × 1 rows, no driver action
+    exact = (
+        toks.groupBy("token")
+        .agg(F.count("*").cast("decimal(19,0)").alias("_c"))
+        .agg(
+            F.sum(F.col("_c") * F.col("_c"))
+            .cast("decimal(38,0)")
+            .alias("exact_f2")
+        )
+    )
+    return (
+        ranked.withColumn("f2_median", med)
+        .drop("_rn")
+        .crossJoin(F.broadcast(exact))
+        .select(
+            "estimator",
+            "z",
+            F.col("f2_est").cast("long").alias("f2_est"),
+            F.col("f2_median").cast("long").alias("f2_median"),
+            F.col("exact_f2").cast("long").alias("exact_f2"),
+        )
+    )
+
+
 def q_jl_projected(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection
     (``kg/ops/pca.py::jl_projection``, Achlioptas 2003): 64-dim
@@ -3983,6 +4033,7 @@ def queries() -> dict[str, _T]:
         "distribution_drift": q_distribution_drift,
         "negative_samples": q_negative_samples,
         "cms_token_counts": q_cms_token_counts,
+        "ams_f2_tokens": q_ams_f2_tokens,
         "jl_projected": q_jl_projected,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
@@ -4929,6 +4980,29 @@ def oracle_sql() -> dict[str, str]:
             "SELECT token, CAST(exact_n AS BIGINT) AS exact_n, "
             "CAST(cms_n AS BIGINT) AS cms_n, "
             "CAST(cms_n - exact_n AS BIGINT) AS overcount FROM est"
+        ),
+        "ams_f2_tokens": (
+            # same ±1 md5 sign draws per (estimator, token) row, same
+            # z² estimates, same lower-median (ORDER BY f2_est,
+            # estimator OFFSET (k-1)/2) and exact F2 = Σ f²
+            "WITH toks AS (SELECT unnest("
+            + _TOK.format(c="text")
+            + ") AS token FROM documents), "
+            "es AS (SELECT unnest(range(0, 9)) AS e), "
+            "zs AS (SELECT e, CAST(sum(CASE WHEN "
+            "('0x' || substring(md5('kg-ams-v1:' || "
+            "CAST(e AS VARCHAR) || ':' || token), 1, 15))::UBIGINT "
+            "% 2 = 0 THEN 1 ELSE -1 END) AS BIGINT) AS z "
+            "FROM toks CROSS JOIN es GROUP BY e), "
+            "ests AS (SELECT CAST(e AS BIGINT) AS estimator, z, "
+            "z * z AS f2_est FROM zs), "
+            "med AS (SELECT f2_est FROM ests "
+            "ORDER BY f2_est, estimator LIMIT 1 OFFSET 4), "
+            "ex AS (SELECT CAST(sum(c * c) AS BIGINT) AS exact_f2 "
+            "FROM (SELECT count(*) AS c FROM toks GROUP BY token)) "
+            "SELECT estimator, z, CAST(f2_est AS BIGINT) AS f2_est, "
+            "(SELECT CAST(f2_est AS BIGINT) FROM med) AS f2_median, "
+            "(SELECT exact_f2 FROM ex) AS exact_f2 FROM ests"
         ),
         "jl_projected": (
             # same md5 sign rule (i is 0-based in the op; DuckDB list

@@ -105,7 +105,12 @@ from kg.ops.pca import (  # noqa: F401
     top_principal_component,
 )
 from kg.ops.retrieval import bm25_topk, rrf_fuse  # noqa: F401
-from kg.ops.sketch import cms_cells, cms_estimate, mincount_distinct  # noqa: F401
+from kg.ops.sketch import (  # noqa: F401
+    ams_f2,
+    cms_cells,
+    cms_estimate,
+    mincount_distinct,
+)
 from kg.ops.quality import column_profile, k_anonymity  # noqa: F401
 from kg.ops.stats import (  # noqa: F401
     distribution_drift,

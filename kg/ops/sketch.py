@@ -1,5 +1,10 @@
-"""Distinct-count sketching: stochastic-averaged minimum-count (KMV /
-MinCount family, Giroire 2009; the order-statistics cousin of HLL).
+"""Stream sketching: MinCount distinct-count (F0), Count–Min point
+frequency, and AMS second moment (F2) — the three classical
+frequency-moment summaries, each deterministic via salted md5-60 so
+every one carries a bit-exact cross-engine SQL twin.
+
+MinCount (KMV family, Giroire 2009; the order-statistics cousin of
+HLL):
 
 Why this shape at 100 TB: exact COUNT(DISTINCT x) per group shuffles
 every distinct value.  ``approx_count_distinct`` (HLL++) fixes the
@@ -81,6 +86,68 @@ def mincount_distinct(
         )
         .cast("long")
         .alias("distinct_est"),
+    )
+
+
+def ams_f2(
+    df: DataFrame,
+    col: str,
+    k: int = 9,
+    seed: str = "kg-ams-v1",
+) -> DataFrame:
+    """AMS second-moment (F2) sketch (Alon–Matias–Szegedy 1996) of
+    ``col``'s frequency distribution → one row per estimator
+    ``(estimator, z, f2_est)`` with ``z_e = Σ_rows s_e(x)`` over ±1
+    four-wise-style sign draws and ``f2_est = z_e²``; the caller takes
+    the median over the ``k`` estimators (median-of-means) for the
+    standard (ε, δ) guarantee.
+
+    Why F2 at 100 TB: ``F2 = Σ_x f_x²`` IS the self-join size — the
+    number of output rows a key-equi self-join (or the skew term of any
+    shuffle on that key) would produce.  Computing it exactly costs a
+    full groupBy on the key; this sketch answers it in ``k`` counters,
+    which is how a planner decides *before* shuffling whether a join
+    will blow up.  Completes the library's sketch family: MinCount =
+    F0 (distinct), Count–Min = point frequency, AMS = F2.
+
+    Exactness contract: ``s_e(x) = +1 iff md5_60(seed:e:x) is even`` —
+    the library's portable hash, so the SAME draws are derivable in
+    SQL and the output is bit-exact cross-engine (``z²`` is computed
+    in decimal(38,0); |z| ≤ rowcount always fits a long).
+
+    Plan shape: the ``k`` sign sums ride ONE global no-group aggregate
+    — a perfectly associative partial agg, so the shuffle carries
+    exactly ``k`` longs per task regardless of input size; no explode,
+    no groupBy on the value, no Python.
+    """
+    if k < 1 or k % 2 == 0:
+        raise ValueError(f"k must be odd and >= 1 (median-of-k), got {k}")
+    if col not in df.columns:
+        raise ValueError(f"column {col!r} not in frame")
+    v = F.col(col).cast("string")
+    sums = []
+    for e in range(k):
+        sign = F.when(
+            F.pmod(
+                md5_60(F.concat_ws(":", F.lit(seed), F.lit(str(e)), v)),
+                F.lit(2),
+            )
+            == 0,
+            F.lit(1),
+        ).otherwise(F.lit(-1))
+        sums.append(F.sum(sign).cast("long").alias(f"_z{e}"))
+    agg = df.agg(*sums)
+    z_arr = F.array(
+        *[F.coalesce(F.col(f"_z{e}"), F.lit(0).cast("long")) for e in range(k)]
+    )
+    zdec = F.col("z").cast("decimal(19,0)")
+    return (
+        agg.select(F.posexplode(z_arr).alias("_e", "z"))
+        .select(
+            F.col("_e").cast("long").alias("estimator"),
+            F.col("z"),
+            (zdec * zdec).cast("decimal(38,0)").alias("f2_est"),
+        )
     )
 
 

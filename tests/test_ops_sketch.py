@@ -7,7 +7,7 @@ import hashlib
 
 import pytest
 
-from kg.ops.sketch import DOMAIN, mincount_distinct
+from kg.ops.sketch import DOMAIN, ams_f2, mincount_distinct
 
 
 def _md560(x: str) -> int:
@@ -112,3 +112,43 @@ def test_cms_wide_sketch_is_exact_and_validation(spark):
         cms_cells(df, "v", width=1)
     with _pytest.raises(ValueError, match="not in frame"):
         cms_cells(df, "nope")
+
+
+def _ams_sign(e: int, v: str, seed: str = "kg-ams-v1") -> int:
+    return 1 if _md560(f"{seed}:{e}:{v}") % 2 == 0 else -1
+
+
+def test_ams_matches_python_replica_bitwise(spark):
+    """z_e = sum of ±1 md5 signs over the ROW stream (not the distinct
+    set) — recomputed independently here, f2_est = z²."""
+    vals = [f"tok{i % 7}" for i in range(50)]  # repeats matter for F2
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    rows = {r["estimator"]: r for r in ams_f2(df, "v", k=5).collect()}
+    assert sorted(rows) == [0, 1, 2, 3, 4]
+    for e in range(5):
+        z = sum(_ams_sign(e, v) for v in vals)
+        assert rows[e]["z"] == z
+        assert int(rows[e]["f2_est"]) == z * z
+
+
+def test_ams_median_estimates_self_join_size(spark):
+    """Median-of-k estimate lands within 4/√k relative error of the
+    exact F2 = Σ f_x² (self-join size) on a skewed stream."""
+    freqs = {f"t{i}": (50 if i < 3 else 5) for i in range(40)}
+    vals = [v for v, c in freqs.items() for _ in range(c)]
+    exact = sum(c * c for c in freqs.values())
+    df = spark.createDataFrame([(v,) for v in vals], "v string")
+    ests = sorted(int(r["f2_est"]) for r in ams_f2(df, "v", k=9).collect())
+    med = ests[4]
+    assert abs(med - exact) <= 4 / (9 ** 0.5) * exact, (med, exact)
+
+
+def test_ams_empty_input_and_validation(spark):
+    df = spark.createDataFrame([], "v string")
+    rows = ams_f2(df, "v", k=3).collect()
+    assert [(r["z"], int(r["f2_est"])) for r in rows] == [(0, 0)] * 3
+    some = spark.createDataFrame([("a",)], "v string")
+    with pytest.raises(ValueError, match="odd"):
+        ams_f2(some, "v", k=4)
+    with pytest.raises(ValueError, match="not in frame"):
+        ams_f2(some, "nope")
