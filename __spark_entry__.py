@@ -3998,6 +3998,21 @@ def q_ams_f2_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_language_mix(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature sampling weights
+    (``kg/ops/curate.py::temperature_mix_weights``, the mBERT/XLM-R
+    α-rebalancing): p_lang ∝ n^0.5 via IEEE-exact sqrt, fix-pointed
+    before the normalizing sum; weight and up-sampling boost per
+    language.  One vocabulary-sized hash agg + a 1-row broadcast
+    scalar — the whole-corpus mixing decision at 100 TB costs one
+    count pass."""
+    from kg.ops import temperature_mix_weights
+
+    return temperature_mix_weights(
+        _read(spark, sf, "documents"), "lang", alpha=0.5
+    )
+
+
 def q_jl_projected(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection
     (``kg/ops/pca.py::jl_projection``, Achlioptas 2003): 64-dim
@@ -4034,6 +4049,7 @@ def queries() -> dict[str, _T]:
         "negative_samples": q_negative_samples,
         "cms_token_counts": q_cms_token_counts,
         "ams_f2_tokens": q_ams_f2_tokens,
+        "language_mix": q_language_mix,
         "jl_projected": q_jl_projected,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
@@ -5003,6 +5019,20 @@ def oracle_sql() -> dict[str, str]:
             "SELECT estimator, z, CAST(f2_est AS BIGINT) AS f2_est, "
             "(SELECT CAST(f2_est AS BIGINT) FROM med) AS f2_median, "
             "(SELECT exact_f2 FROM ex) AS exact_f2 FROM ests"
+        ),
+        "language_mix": (
+            # same IEEE sqrt damping, same ⌊10⁶·√n⌋ fix-point before
+            # the normalizing sum, same single-division finals
+            "WITH c AS (SELECT lang, CAST(count(*) AS BIGINT) AS n_docs "
+            "FROM documents GROUP BY lang), "
+            "d AS (SELECT lang, n_docs, CAST(floor(sqrt(CAST(n_docs AS "
+            "DOUBLE)) * 1000000) AS BIGINT) AS dfp FROM c), "
+            "t AS (SELECT sum(dfp) AS tot, sum(n_docs) AS n_total FROM d) "
+            "SELECT lang, n_docs, "
+            "round(CAST(dfp AS DOUBLE) / CAST(tot AS DOUBLE), 6) AS weight, "
+            "round((CAST(dfp AS DOUBLE) / CAST(tot AS DOUBLE)) / "
+            "(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) "
+            "AS boost FROM d CROSS JOIN t"
         ),
         "jl_projected": (
             # same md5 sign rule (i is 0-based in the op; DuckDB list

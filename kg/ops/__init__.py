@@ -30,6 +30,7 @@ from kg.ops.curate import (  # noqa: F401
     span_census,
     split_assign,
     stratified_sample,
+    temperature_mix_weights,
     tfidf_topk,
     word_ngrams,
 )

@@ -905,3 +905,76 @@ def span_census(
     return rep.select(
         F.row_number().over(w).alias("rank"), "gram", "n_docs"
     )
+
+
+def temperature_mix_weights(
+    docs: DataFrame,
+    group_col: str = "lang",
+    alpha: float = 0.5,
+) -> DataFrame:
+    """Temperature-based sampling weights per ``group_col`` →
+    ``(group_col, n_docs, weight, boost)``: the multilingual
+    rebalancing rule of mBERT / XLM-R — sample group g with
+    probability ``p_g ∝ n_g^α`` instead of its natural share, so
+    low-resource groups are up-sampled (α < 1 flattens the mix;
+    α = 1 is the natural distribution).  ``weight`` is the normalized
+    sampling probability; ``boost = weight / natural share`` is the
+    expected per-doc duplication factor a sampler applies (the number
+    the curate CLI's ``--mix g=r`` ratios come from).
+
+    Exactness contract: α is restricted to {0.25, 0.5, 0.75, 1.0} so
+    ``n^α`` is a chain of IEEE-754 ``sqrt`` calls (correctly rounded
+    by the standard on every engine — the ``negative_samples``
+    precedent), fix-pointed to ⌊10⁶·n^α⌋ BEFORE the normalizing sum
+    (integer sums are association-order-free); the two divisions that
+    produce ``weight`` and ``boost`` are single IEEE ops, rounded to
+    6 dp.  Bit-exact cross-engine, any partitioning.
+
+    Plan shape (100 TB): one group-count hash agg (vocabulary-sized
+    output), the normalizer as a lazy 1-row broadcast-joined scalar —
+    no window over the corpus, no Python.
+    """
+    if group_col not in docs.columns:
+        raise ValueError(f"column {group_col!r} not in frame")
+    if alpha not in (0.25, 0.5, 0.75, 1.0):
+        raise ValueError(
+            f"alpha must be one of 0.25/0.5/0.75/1.0 (exact sqrt chains), "
+            f"got {alpha}"
+        )
+    n = F.col("n_docs").cast("double")
+    if alpha == 1.0:
+        damped = n
+    elif alpha == 0.5:
+        damped = F.sqrt(n)
+    elif alpha == 0.25:
+        damped = F.sqrt(F.sqrt(n))
+    else:  # 0.75 = sqrt · sqrt∘sqrt, one product rounding
+        damped = F.sqrt(n) * F.sqrt(F.sqrt(n))
+    counts = docs.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("n_docs")
+    )
+    d = counts.withColumn(
+        "_dfp", F.floor(damped * F.lit(1_000_000)).cast("long")
+    )
+    totals = d.agg(
+        F.sum("_dfp").alias("_tot"), F.sum("n_docs").alias("_n_total")
+    )
+    return (
+        d.crossJoin(F.broadcast(totals))
+        .select(
+            group_col,
+            "n_docs",
+            F.round(
+                F.col("_dfp").cast("double") / F.col("_tot").cast("double"),
+                6,
+            ).alias("weight"),
+            F.round(
+                (F.col("_dfp").cast("double") / F.col("_tot").cast("double"))
+                / (
+                    F.col("n_docs").cast("double")
+                    / F.col("_n_total").cast("double")
+                ),
+                6,
+            ).alias("boost"),
+        )
+    )

@@ -704,3 +704,50 @@ def test_span_census_top_caps_and_validates(spark):
         span_census(docs, min_docs=0)
     with pytest.raises(ValueError, match="top"):
         span_census(docs, top=0)
+
+
+def test_temperature_mix_weights_hand_values(spark):
+    """alpha=0.5: weight_g = floor(1e6*sqrt(n_g)) / sum; boost =
+    weight / natural share — recomputed independently."""
+    import math
+
+    from kg.ops.curate import temperature_mix_weights
+
+    counts = {"en": 16, "de": 4, "fr": 1}
+    rows = [(f"d{g}{i}", g) for g, c in counts.items() for i in range(c)]
+    df = spark.createDataFrame(rows, "doc_id string, lang string")
+    got = {r["lang"]: r for r in
+           temperature_mix_weights(df, "lang", alpha=0.5).collect()}
+    dfp = {g: math.floor(math.sqrt(c) * 1_000_000) for g, c in counts.items()}
+    tot, n_total = sum(dfp.values()), sum(counts.values())
+    for g, c in counts.items():
+        w = dfp[g] / tot
+        assert got[g]["n_docs"] == c
+        assert got[g]["weight"] == round(w, 6)
+        assert got[g]["boost"] == round(w / (c / n_total), 6)
+    # low-resource fr is boosted above 1, dominant en damped below 1
+    assert got["fr"]["boost"] > 1 > got["en"]["boost"]
+
+
+def test_temperature_mix_alpha_one_is_natural_share(spark):
+    from kg.ops.curate import temperature_mix_weights
+
+    df = spark.createDataFrame(
+        [("a", "x")] * 3 + [("b", "y")], "doc_id string, lang string"
+    )
+    got = {r["lang"]: r for r in
+           temperature_mix_weights(df, "lang", alpha=1.0).collect()}
+    assert got["x"]["boost"] == 1.0 and got["y"]["boost"] == 1.0
+    assert got["x"]["weight"] == 0.75
+
+
+def test_temperature_mix_validation(spark):
+    import pytest as _pt
+
+    from kg.ops.curate import temperature_mix_weights
+
+    df = spark.createDataFrame([("a", "x")], "doc_id string, lang string")
+    with _pt.raises(ValueError, match="alpha"):
+        temperature_mix_weights(df, "lang", alpha=0.3)
+    with _pt.raises(ValueError, match="not in frame"):
+        temperature_mix_weights(df, "nope")
