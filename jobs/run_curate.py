@@ -97,6 +97,12 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="per-group Bernoulli keep rates applied after "
                          "curation (domain up/down mixing, deterministic "
                          "md5 thresholds); groups not listed are DROPPED")
+    ap.add_argument("--mix-alpha", type=float, default=None,
+                    choices=(0.25, 0.5, 0.75, 1.0), metavar="ALPHA",
+                    help="auto-derive --mix rates from temperature "
+                         "sampling p ∝ n^ALPHA over --mix-by groups "
+                         "(down-sample-only; mutually exclusive with "
+                         "--mix)")
     ap.add_argument("--mix-by", default="lang",
                     help="group column for --mix and --profile")
     ap.add_argument("--column-profile", action="store_true",
@@ -244,10 +250,32 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         text_col=args.text_col,
         max_contamination=args.max_contamination,
     )
-    if (args.mix or args.profile) and args.mix_by not in docs.columns:
+    if (
+        args.mix or args.mix_alpha is not None or args.profile
+    ) and args.mix_by not in docs.columns:
         raise SystemExit(
             f"--mix/--profile group column {args.mix_by!r} not in input "
             f"columns {docs.columns}"
+        )
+    if args.mix and args.mix_alpha is not None:
+        raise SystemExit("--mix and --mix-alpha are mutually exclusive")
+    if args.mix_alpha is not None:
+        # auto-derive --mix rates from the temperature rule: keep rate
+        # r_g = boost_g / max(boost) reaches the p ∝ n^α target mix by
+        # down-sampling alone (the most-boosted group keeps 100%).
+        # Rates come from the POST-curation distribution (the corpus
+        # the sampler actually draws from).  One vocabulary-sized
+        # collect — O(groups), same class as the bucket collects.
+        from kg.ops.curate import temperature_mix_weights, weighted_sample
+
+        wrows = temperature_mix_weights(
+            curated, args.mix_by, alpha=args.mix_alpha
+        ).collect()
+        mx = max(r["boost"] for r in wrows)
+        rates = {r[args.mix_by]: round(r["boost"] / mx, 6) for r in wrows}
+        print(f"run_curate: --mix-alpha rates {rates}", file=sys.stderr)
+        curated = weighted_sample(
+            curated, rates, by=args.mix_by, id_col=args.id_col
         )
     if args.mix:
         from kg.ops.curate import weighted_sample

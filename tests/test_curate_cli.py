@@ -8,6 +8,8 @@ import os
 
 import pytest
 
+from pyspark.sql import functions as F
+
 import jobs.run_curate as cli
 from kg.ops.curate import curate_corpus
 
@@ -448,5 +450,58 @@ def test_cli_governance_reports(spark, tmp_path, capsys):
         cli.main(
             ["--input", cur, "--output", out, "--drift-against", prev,
              "--drift-col", "nope"],
+            spark=spark,
+        )
+
+
+def test_cli_mix_alpha_auto_rates(spark, tmp_path, capsys):
+    """--mix-alpha derives down-sample-only rates from the temperature
+    rule: the most-boosted (rarest) group keeps 100%, the dominant
+    group keeps boost_dom/boost_rare < 100%; rerun is byte-identical."""
+    docs = str(tmp_path / "docs_alpha")
+    rows = (
+        [(i, f"text body number {i} alpha bravo", "big") for i in range(36)]
+        + [(100 + i, f"text body number {i} charlie delta", "small")
+           for i in range(4)]
+    )
+    spark.createDataFrame(rows, ["doc_id", "text", "lang"]).write.mode(
+        "overwrite"
+    ).parquet(docs)
+    out = str(tmp_path / "curated_alpha")
+    cli.main(
+        ["--input", docs, "--output", out, "--mix-alpha", "0.5"],
+        spark=spark,
+    )
+    json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    got = spark.read.parquet(out)
+    by = {r["lang"]: r["n"] for r in
+          got.groupBy("lang").agg(F.count("*").alias("n")).collect()}
+    # rare group keeps everything (rate 1.0); dominant group's expected
+    # rate is boost_big/boost_small = sqrt(4/36)/(4/36)·... = 1/3 — the
+    # Bernoulli draw is deterministic, so just pin the invariant
+    assert by["small"] == 4
+    assert 0 < by["big"] < 36
+    first = sorted(r["doc_id"] for r in got.collect())
+    out2 = str(tmp_path / "curated_alpha2")
+    cli.main(
+        ["--input", docs, "--output", out2, "--mix-alpha", "0.5"],
+        spark=spark,
+    )
+    capsys.readouterr()
+    second = sorted(
+        r["doc_id"] for r in spark.read.parquet(out2).collect()
+    )
+    assert first == second
+
+
+def test_cli_mix_alpha_conflicts_with_mix(spark, tmp_path):
+    docs = str(tmp_path / "docs_conflict")
+    spark.createDataFrame(
+        [(1, GOOD, "en")], ["doc_id", "text", "lang"]
+    ).write.mode("overwrite").parquet(docs)
+    with pytest.raises(SystemExit, match="mutually exclusive"):
+        cli.main(
+            ["--input", docs, "--output", str(tmp_path / "o"),
+             "--mix", "en=1.0", "--mix-alpha", "0.5"],
             spark=spark,
         )
