@@ -3998,6 +3998,18 @@ def q_ams_f2_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """Distinct-n diversity (``kg/ops/text.py::ngram_diversity``, Li
+    et al. 2016): unique bigrams / total bigram occurrences per
+    language — the mode-collapse screen run on synthetic corpora
+    before they enter a training mix.  Token array bound before the
+    gram lambda (no O(L²) re-inline), one explode, one hash agg per
+    language."""
+    from kg.ops import ngram_diversity
+
+    return ngram_diversity(_read(spark, sf, "documents"), n=2)
+
+
 def q_language_mix(spark: SparkSession, sf: str) -> DataFrame:
     """Temperature sampling weights
     (``kg/ops/curate.py::temperature_mix_weights``, the mBERT/XLM-R
@@ -4050,6 +4062,7 @@ def queries() -> dict[str, _T]:
         "cms_token_counts": q_cms_token_counts,
         "ams_f2_tokens": q_ams_f2_tokens,
         "language_mix": q_language_mix,
+        "ngram_diversity": q_ngram_diversity,
         "jl_projected": q_jl_projected,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
@@ -5019,6 +5032,22 @@ def oracle_sql() -> dict[str, str]:
             "SELECT estimator, z, CAST(f2_est AS BIGINT) AS f2_est, "
             "(SELECT CAST(f2_est AS BIGINT) FROM med) AS f2_median, "
             "(SELECT exact_f2 FROM ex) AS exact_f2 FROM ests"
+        ),
+        "ngram_diversity": (
+            # same tokenization, same sliding bigrams (docs shorter
+            # than n drop), same exact distinct count
+            "WITH d AS (SELECT lang, "
+            + _TOK.format(c="text")
+            + " AS t FROM documents), "
+            "g AS (SELECT lang, unnest(list_transform("
+            "range(1, len(t) - 2 + 2), "
+            "i -> array_to_string(t[i : i + 1], ' '))) AS gram "
+            "FROM d WHERE len(t) >= 2) "
+            "SELECT lang, CAST(count(*) AS BIGINT) AS ngrams_total, "
+            "CAST(count(DISTINCT gram) AS BIGINT) AS ngrams_distinct, "
+            "round(CAST(count(DISTINCT gram) AS DOUBLE) / "
+            "CAST(count(*) AS DOUBLE), 6) AS distinct_ratio "
+            "FROM g GROUP BY lang"
         ),
         "language_mix": (
             # same IEEE sqrt damping, same ⌊10⁶·√n⌋ fix-point before

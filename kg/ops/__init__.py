@@ -141,6 +141,7 @@ from kg.ops.text import (  # noqa: F401
     doc_fingerprint,
     gopher_quality,
     language_id,
+    ngram_diversity,
     quality_score,
     redact_pii,
     repetition_stats,

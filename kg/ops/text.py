@@ -674,3 +674,54 @@ def bigram_surprisal(
         F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
         F.coalesce("nats_fp", F.lit(0)).cast("long").alias("nats_fp"),
     )
+
+
+def ngram_diversity(
+    docs,
+    n: int = 2,
+    group_col: str = "lang",
+    text_col: str = "text",
+):
+    """Distinct-n n-gram diversity per ``group_col`` →
+    ``(group_col, ngrams_total, ngrams_distinct, distinct_ratio)``:
+    the Li et al. 2016 distinct-n metric — unique word n-grams over
+    total n-gram occurrences.  Low distinct-n flags mode-collapsed or
+    template-heavy text, which is how synthetic / model-generated
+    corpora are screened before they enter a training mix (the
+    corpus-level counterpart of the per-doc Gopher repetition
+    signals in this module).
+
+    Plan shape: the token array is bound as its OWN projection before
+    the gram lambda (the O(L²) HOF-inlining hazard documented on
+    :func:`word_ngrams`), grams explode once, and both counts ride one
+    hash agg per group.  ``count(DISTINCT gram)`` shuffles the
+    distinct gram set per group — exact by contract here; at 100 TB
+    swap the distinct side for :func:`kg.ops.sketch.mincount_distinct`
+    (F0 sketch, O(k) state) and keep the total from this same agg.
+    """
+    if n < 1:
+        raise ValueError(f"n must be >= 1, got {n}")
+    for c in (group_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    d = docs.select(
+        F.col(group_col), tokens_col(F.col(text_col)).alias("_t")
+    )
+    count = F.size(F.col("_t")) - (n - 1)
+    grams = F.when(
+        count > 0,
+        F.transform(
+            F.sequence(F.lit(1), count),
+            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n)),
+        ),
+    )  # otherwise NULL: explode drops docs shorter than n tokens
+    g = d.select(group_col, F.explode(grams).alias("gram"))
+    return g.groupBy(group_col).agg(
+        F.count("*").cast("long").alias("ngrams_total"),
+        F.countDistinct("gram").cast("long").alias("ngrams_distinct"),
+        F.round(
+            F.countDistinct("gram").cast("double")
+            / F.count("*").cast("double"),
+            6,
+        ).alias("distinct_ratio"),
+    )

@@ -63,7 +63,7 @@ def main() -> None:
         "length_quantiles", "decayed_activity",
         "column_profile", "k_anonymity", "distribution_drift",
         "negative_samples", "cms_token_counts", "jl_projected",
-        "ams_f2_tokens", "language_mix",
+        "ams_f2_tokens", "language_mix", "ngram_diversity",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

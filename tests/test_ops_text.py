@@ -405,3 +405,48 @@ def test_bigram_surprisal_template_scores_lower(spark):
     docs = spark.createDataFrame(rows, ["doc_id", "text"])
     got = {r["doc_id"]: r["nats_fp"] for r in bigram_surprisal(docs).collect()}
     assert got[100] < got[101]
+
+
+def test_ngram_diversity_hand_values(spark):
+    """Bigrams with repeats in the denominator, corpus-level distinct
+    in the numerator; docs shorter than n contribute nothing."""
+    from kg.ops.text import ngram_diversity
+
+    rows = [
+        ("en", "a b a b"),      # bigrams: "a b","b a","a b" -> 3 total
+        ("en", "a b"),          # "a b" -> 1 total (dup of above)
+        ("en", "x"),            # < 2 tokens -> none
+        ("fr", "c d e"),        # "c d","d e" -> 2 total, 2 distinct
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r for r in ngram_diversity(df, n=2).collect()}
+    assert (got["en"]["ngrams_total"], got["en"]["ngrams_distinct"]) == (4, 2)
+    assert got["en"]["distinct_ratio"] == 0.5
+    assert (got["fr"]["ngrams_total"], got["fr"]["ngrams_distinct"]) == (2, 2)
+    assert got["fr"]["distinct_ratio"] == 1.0
+    assert set(got) == {"en", "fr"}  # the bigram-less doc adds no group
+
+
+def test_ngram_diversity_flags_template_text(spark):
+    from kg.ops.text import ngram_diversity
+
+    rows = [("tpl", "click here to win " * 20)] + [
+        ("nat", f"unique sentence number {i} with fresh words {i * 7}")
+        for i in range(20)
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {r["lang"]: r["distinct_ratio"]
+           for r in ngram_diversity(df, n=2).collect()}
+    assert got["tpl"] < 0.1 < got["nat"]
+
+
+def test_ngram_diversity_validation(spark):
+    import pytest as _pt
+
+    from kg.ops.text import ngram_diversity
+
+    df = spark.createDataFrame([("en", "a b")], "lang string, text string")
+    with _pt.raises(ValueError, match="n must"):
+        ngram_diversity(df, n=0)
+    with _pt.raises(ValueError, match="not in frame"):
+        ngram_diversity(df, group_col="nope")
