@@ -3998,6 +3998,18 @@ def q_ams_f2_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
+    """Markov transition matrix
+    (``kg/ops/events.py::event_transitions``): per-user successor
+    pairs via a (ts, event_id)-ordered lead window — one user-keyed
+    shuffle — collapsed to the |types|² matrix with row-normalized
+    probabilities; the journey-flow summary next to funnels and
+    retention."""
+    from kg.ops import event_transitions
+
+    return event_transitions(_read(spark, sf, "events"))
+
+
 def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct-n diversity (``kg/ops/text.py::ngram_diversity``, Li
     et al. 2016): unique bigrams / total bigram occurrences per
@@ -4063,6 +4075,7 @@ def queries() -> dict[str, _T]:
         "ams_f2_tokens": q_ams_f2_tokens,
         "language_mix": q_language_mix,
         "ngram_diversity": q_ngram_diversity,
+        "event_transitions": q_event_transitions,
         "jl_projected": q_jl_projected,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
@@ -5032,6 +5045,19 @@ def oracle_sql() -> dict[str, str]:
             "SELECT estimator, z, CAST(f2_est AS BIGINT) AS f2_est, "
             "(SELECT CAST(f2_est AS BIGINT) FROM med) AS f2_median, "
             "(SELECT exact_f2 FROM ex) AS exact_f2 FROM ests"
+        ),
+        "event_transitions": (
+            # same (ts, event_id)-ordered lead pairing, same row
+            # normalization
+            "WITH s AS (SELECT user_id, event_type, "
+            "lead(event_type) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS to_type FROM events), "
+            "p AS (SELECT event_type AS from_type, to_type, "
+            "CAST(count(*) AS BIGINT) AS n FROM s "
+            "WHERE to_type IS NOT NULL GROUP BY 1, 2) "
+            "SELECT from_type, to_type, n, "
+            "round(CAST(n AS DOUBLE) / CAST(sum(n) OVER "
+            "(PARTITION BY from_type) AS DOUBLE), 6) AS prob FROM p"
         ),
         "ngram_diversity": (
             # same tokenization, same sliding bigrams (docs shorter

@@ -27,6 +27,9 @@ Queries:
                     (``--half-life-s``, anchored at the corpus-max
                     timestamp; power-of-two bucketed weights, exact
                     integer sums).
+* ``transitions`` — first-order Markov transition matrix over per-user
+                    event sequences (lead window ordered by
+                    (ts, ``--id-col``); row-normalized probabilities).
 """
 
 from __future__ import annotations
@@ -37,7 +40,9 @@ import sys
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
-QUERIES = ("funnel", "retention", "asof", "range-join", "decayed")
+QUERIES = (
+    "funnel", "retention", "asof", "range-join", "decayed", "transitions"
+)
 
 
 def main(argv: list[str] | None = None, spark=None) -> None:
@@ -104,6 +109,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         asof_join,
         cohort_retention,
         decayed_activity,
+        event_transitions,
         funnel_steps,
         range_join,
     )
@@ -138,6 +144,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 half_life_s=args.half_life_s or 7 * 86400,
             )
             order = [u]
+        elif args.query == "transitions":
+            res = event_transitions(
+                ev, user_col=u, type_col=et, ts_col=ts, id_col=args.id_col
+            )
+            order = ["from_type", "to_type"]
         elif args.query == "asof":
             left = ev.filter(F.col(et) == args.left_type).select(
                 F.col(args.id_col).alias("anchor_id"), u, ts

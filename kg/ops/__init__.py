@@ -54,6 +54,7 @@ from kg.ops.events import (  # noqa: F401
     asof_join,
     cohort_retention,
     decayed_activity,
+    event_transitions,
     funnel_steps,
     range_join,
 )

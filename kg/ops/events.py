@@ -431,3 +431,51 @@ def decayed_activity(
             ).alias("decayed_value"),
         )
     )
+
+
+def event_transitions(
+    events: DataFrame,
+    user_col: str = "user_id",
+    type_col: str = "event_type",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """First-order Markov transition matrix over per-user event
+    sequences → ``(from_type, to_type, n, prob)``: how often event
+    type A is immediately followed by type B within the same user's
+    timeline, with the row-normalized transition probability — the
+    journey-flow summary (and anomaly baseline) every product-
+    analytics sink serves next after funnels and retention.
+
+    Determinism: successor order is ``(ts, id_col)`` — the unique id
+    breaks timestamp ties, so the lead() pairing is total-ordered and
+    the twin matches exactly; ``prob`` is one IEEE division rounded to
+    6 dp.
+
+    Plan shape (100 TB): ONE shuffle on ``user_col`` (the lead
+    window), one hash agg to the |types|² matrix, and the normalizing
+    row totals as a window over that matrix-sized frame — never over
+    the corpus.
+    """
+    for c in (user_col, type_col, ts_col, id_col):
+        if c not in events.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    pairs = (
+        events.select(user_col, ts_col, id_col, type_col)
+        .withColumn("_to", F.lead(type_col).over(w))
+        .filter(F.col("_to").isNotNull())
+    )
+    counts = pairs.groupBy(
+        F.col(type_col).alias("from_type"), F.col("_to").alias("to_type")
+    ).agg(F.count("*").cast("long").alias("n"))
+    row = Window.partitionBy("from_type")
+    return counts.select(
+        "from_type",
+        "to_type",
+        "n",
+        F.round(
+            F.col("n").cast("double") / F.sum("n").over(row).cast("double"),
+            6,
+        ).alias("prob"),
+    )

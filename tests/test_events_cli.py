@@ -111,3 +111,16 @@ def test_cli_decayed_flag_ownership(spark, events_path, tmp_path):
             "--query", "funnel", "--steps", "a,b",
             "--half-life-s", "10",
         )
+
+
+def test_cli_transitions(spark, events_path, tmp_path):
+    got = _run(spark, events_path, tmp_path, "--query", "transitions")
+    rows = {(r["from_type"], r["to_type"]): (r["n"], r["prob"])
+            for r in got.collect()}
+    # user 10: signup->click->purchase->click; user 11: signup->purchase
+    assert rows == {
+        ("signup", "click"): (1, 0.5),
+        ("signup", "purchase"): (1, 0.5),
+        ("click", "purchase"): (1, 1.0),
+        ("purchase", "click"): (1, 1.0),
+    }

@@ -290,3 +290,45 @@ def test_decayed_activity_bucket_cap_and_validation(spark):
         decayed_activity(df, max_buckets=63)
     with pytest.raises(ValueError, match="half_life_s"):
         decayed_activity(df, half_life_s=0)
+
+
+def test_event_transitions_hand_values(spark):
+    """lead pairing per user ordered by (ts, event_id); ties broken by
+    id; probs row-normalized."""
+    from datetime import datetime
+
+    from kg.ops.events import event_transitions
+
+    t = datetime(2024, 1, 1)
+    rows = [
+        # user 1: view -> click -> view  (ts tie on the last two,
+        # event_id orders them)
+        (1, t, 1, "view"),
+        (2, datetime(2024, 1, 2), 1, "click"),
+        (3, datetime(2024, 1, 2), 1, "view"),
+        # user 2: view -> view
+        (4, t, 2, "view"),
+        (5, datetime(2024, 1, 3), 2, "view"),
+        # user 3: single event, no transition
+        (6, t, 3, "buy"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, ts timestamp, user_id long, event_type string"
+    )
+    got = {(r["from_type"], r["to_type"]): (r["n"], r["prob"])
+           for r in event_transitions(df).collect()}
+    assert got == {
+        ("view", "click"): (1, 0.5),
+        ("view", "view"): (1, 0.5),
+        ("click", "view"): (1, 1.0),
+    }
+
+
+def test_event_transitions_validation(spark):
+    import pytest as _pt
+
+    from kg.ops.events import event_transitions
+
+    df = spark.createDataFrame([(1,)], "event_id long")
+    with _pt.raises(ValueError, match="not in frame"):
+        event_transitions(df)
