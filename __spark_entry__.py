@@ -3998,6 +3998,27 @@ def q_ams_f2_tokens(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_split_leakage(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-split dup-leakage audit
+    (``kg/ops/curate.py::split_leakage``, Lee et al. 2022): plant
+    exact twins of the ``doc_id % 17 == 3`` slice under fresh ids (the
+    ``decontaminate`` slice convention), carve 60/20/20 with the
+    deterministic md5 splitter, and count dup groups/docs crossing
+    each split pair — the train→test leakage number.  One group-sized
+    hash agg + a bounded self-join (≤ |splits| rows per key)."""
+    from kg.ops import split_assign, split_leakage
+
+    docs = _read(spark, sf, "documents").select("doc_id", "text")
+    twins = docs.filter(F.col("doc_id") % 17 == 3).select(
+        (F.col("doc_id") + F.lit(1_000_000_000)).alias("doc_id"), "text"
+    )
+    carved = split_assign(
+        docs.unionAll(twins),
+        weights={"train": 0.6, "val": 0.2, "test": 0.2},
+    )
+    return split_leakage(carved)
+
+
 def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     """Markov transition matrix
     (``kg/ops/events.py::event_transitions``): per-user successor
@@ -4076,6 +4097,7 @@ def queries() -> dict[str, _T]:
         "language_mix": q_language_mix,
         "ngram_diversity": q_ngram_diversity,
         "event_transitions": q_event_transitions,
+        "split_leakage": q_split_leakage,
         "jl_projected": q_jl_projected,
         "top_customers": q_top_customers,
         "region_rollup": q_region_rollup,
@@ -5045,6 +5067,26 @@ def oracle_sql() -> dict[str, str]:
             "SELECT estimator, z, CAST(f2_est AS BIGINT) AS f2_est, "
             "(SELECT CAST(f2_est AS BIGINT) FROM med) AS f2_median, "
             "(SELECT exact_f2 FROM ex) AS exact_f2 FROM ests"
+        ),
+        "split_leakage": (
+            # same planted twins, same md5-bucket 60/20/20 carve, same
+            # bounded dup-group self-join
+            "WITH c AS (SELECT doc_id, text FROM documents UNION ALL "
+            "SELECT doc_id + 1000000000, text FROM documents "
+            "WHERE doc_id % 17 = 3), "
+            "s AS (SELECT text, CASE WHEN bucket < 600000 THEN 'train' "
+            "WHEN bucket < 800000 THEN 'val' ELSE 'test' END AS split "
+            "FROM (SELECT text, CAST(('0x' || substring(md5("
+            "'kg-split-v1:' || CAST(doc_id AS VARCHAR)), 1, 15))"
+            "::UBIGINT % 1000000 AS INT) AS bucket FROM c)), "
+            "per AS (SELECT md5(text) AS k, split, "
+            "CAST(count(*) AS BIGINT) AS n FROM s GROUP BY 1, 2) "
+            "SELECT a.split AS split_a, b.split AS split_b, "
+            "CAST(count(*) AS BIGINT) AS n_groups, "
+            "CAST(sum(a.n) AS BIGINT) AS n_docs_a, "
+            "CAST(sum(b.n) AS BIGINT) AS n_docs_b "
+            "FROM per a JOIN per b ON a.k = b.k AND a.split < b.split "
+            "GROUP BY 1, 2"
         ),
         "event_transitions": (
             # same (ts, event_id)-ordered lead pairing, same row

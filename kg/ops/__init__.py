@@ -29,6 +29,7 @@ from kg.ops.curate import (  # noqa: F401
     pack_sequences,
     span_census,
     split_assign,
+    split_leakage,
     stratified_sample,
     temperature_mix_weights,
     tfidf_topk,

@@ -978,3 +978,51 @@ def temperature_mix_weights(
             ).alias("boost"),
         )
     )
+
+
+def split_leakage(
+    docs: DataFrame,
+    split_col: str = "split",
+    text_col: str = "text",
+) -> DataFrame:
+    """Cross-split duplicate-leakage audit →
+    ``(split_a, split_b, n_groups, n_docs_a, n_docs_b)`` per ordered
+    split pair: how many exact-duplicate text groups span both splits,
+    and how many member docs sit on each side — the Lee et al. 2022
+    train/test leakage check (a dup crossing train→test inflates eval
+    scores; :func:`decontaminate` guards against an EXTERNAL benchmark,
+    this audits the corpus's own carve).  ``n_docs_b`` for a
+    ``(train, test)`` row is the actionable number: test docs whose
+    text the model saw in training.
+
+    Plan shape (100 TB): docs collapse to md5(text) keys in one hash
+    agg (group-sized output); the pair expansion is an equi-join of
+    that dup-group frame with itself — ≤ |splits| rows per key, so
+    fan-out is bounded by |splits|² regardless of corpus size.  For
+    NEAR-dup leakage run the same audit keyed on a MinHash band key
+    (:mod:`kg.ops.minhash`) instead of md5(text).
+    """
+    for c in (split_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    per = (
+        docs.select(F.md5(F.col(text_col)).alias("_k"), F.col(split_col))
+        .groupBy("_k", split_col)
+        .agg(F.count("*").cast("long").alias("_n"))
+    )
+    a = per.select(
+        "_k", F.col(split_col).alias("split_a"), F.col("_n").alias("_na")
+    )
+    b = per.select(
+        "_k", F.col(split_col).alias("split_b"), F.col("_n").alias("_nb")
+    )
+    return (
+        a.join(b, "_k")
+        .filter(F.col("split_a") < F.col("split_b"))
+        .groupBy("split_a", "split_b")
+        .agg(
+            F.count("*").cast("long").alias("n_groups"),
+            F.sum("_na").cast("long").alias("n_docs_a"),
+            F.sum("_nb").cast("long").alias("n_docs_b"),
+        )
+    )

@@ -751,3 +751,44 @@ def test_temperature_mix_validation(spark):
         temperature_mix_weights(df, "lang", alpha=0.3)
     with _pt.raises(ValueError, match="not in frame"):
         temperature_mix_weights(df, "nope")
+
+
+def test_split_leakage_hand_values(spark):
+    """Dup groups spanning splits are counted per ordered pair with
+    member-doc counts on each side; same-split dups don't leak."""
+    from kg.ops.curate import split_leakage
+
+    rows = [
+        # group X: 2 train + 1 test  -> (train, test): 1 group, 2 vs 1
+        (1, "same text x", "train"),
+        (2, "same text x", "train"),
+        (3, "same text x", "test"),
+        # group Y: train + val       -> (train, val): 1 group, 1 vs 1
+        (4, "same text y", "train"),
+        (5, "same text y", "val"),
+        # group Z: dup WITHIN train only -> no leakage row
+        (6, "same text z", "train"),
+        (7, "same text z", "train"),
+        # unique doc -> nothing
+        (8, "unique text", "test"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, split string")
+    got = {(r["split_a"], r["split_b"]):
+           (r["n_groups"], r["n_docs_a"], r["n_docs_b"])
+           for r in split_leakage(df).collect()}
+    assert got == {
+        ("test", "train"): (1, 1, 2),
+        ("train", "val"): (1, 1, 1),
+    }
+
+
+def test_split_leakage_clean_corpus_is_empty(spark):
+    from kg.ops.curate import split_leakage
+
+    df = spark.createDataFrame(
+        [(1, "a", "train"), (2, "b", "test")],
+        "doc_id long, text string, split string",
+    )
+    assert split_leakage(df).count() == 0
+    with __import__("pytest").raises(ValueError, match="not in frame"):
+        split_leakage(df.drop("split"))
