@@ -755,6 +755,22 @@ def q_ann_brute_force(spark: SparkSession, sf: str) -> DataFrame:
     return brute_force_topk(queries, emb, "vec_id", "vec_id", "embedding", k=5)
 
 
+def q_hard_negatives(spark: SparkSession, sf: str) -> DataFrame:
+    """Hard-negative mining
+    (``kg/ops/similarity.py::hard_negatives``, Robinson et al. 2021):
+    per anchor the top-5 highest-cosine DIFFERENT-label vectors — the
+    contrastive-training boundary pairs.  Labeled broadcast-NL exact
+    baseline (the ann_brute_force convention); at scale the same
+    label predicate rides the IVF/LSH candidate join."""
+    from kg.ops import hard_negatives
+
+    emb = _read(spark, sf, "embeddings")
+    anchors = emb.filter(F.col("vec_id") < 5)
+    return hard_negatives(
+        anchors, emb, "vec_id", "vec_id", "embedding", "label", k=5
+    )
+
+
 _IVF_CELLS, _IVF_NPROBE = 8, 2
 
 
@@ -4125,6 +4141,7 @@ def queries() -> dict[str, _T]:
         "diverse_select": q_diverse_select,
         "dedup_paragraphs": q_dedup_paragraphs,
         "ann_brute_force": q_ann_brute_force,
+        "hard_negatives": q_hard_negatives,
         "ann_lsh": q_ann_lsh,
         "ann_ivf": q_ann_ivf,
         "ann_ivf_trained": q_ann_ivf_trained,
@@ -5818,6 +5835,27 @@ def oracle_sql() -> dict[str, str]:
             "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
             "FROM scored WHERE NOT isnan(cosine)) "
             "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5"
+        ),
+        "hard_negatives": (
+            # same exact cosine, same label-inequality predicate, same
+            # (cosine DESC, neighbor_id) tie-break
+            "WITH q AS (SELECT vec_id AS query_id, label AS query_label, "
+            "embedding AS qv FROM embeddings WHERE vec_id < 5), "
+            "scored AS (SELECT query_id, query_label, "
+            "e.vec_id AS neighbor_id, e.label AS neighbor_label, "
+            "round(list_dot_product(CAST(qv AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])) / "
+            "(sqrt(list_dot_product(CAST(qv AS DOUBLE[]), "
+            "CAST(qv AS DOUBLE[]))) * "
+            "sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), "
+            "CAST(e.embedding AS DOUBLE[])))), 6) AS cosine "
+            "FROM q CROSS JOIN embeddings e "
+            "WHERE e.label <> query_label), "
+            "ranked AS (SELECT *, row_number() OVER (PARTITION BY "
+            "query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
+            "FROM scored WHERE NOT isnan(cosine)) "
+            "SELECT query_id, query_label, neighbor_id, neighbor_label, "
+            "cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5"
         ),
         "dedup_embedding": _dedup_embedding_sql(),
         "dedup_paragraphs": _dedup_paragraphs_sql(),

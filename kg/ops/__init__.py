@@ -125,6 +125,7 @@ from kg.ops.similarity import (  # noqa: F401
     banded_lsh_pairs,
     banded_signatures,
     brute_force_topk,
+    hard_negatives,
     ivf_assign,
     ivf_pq_topk,
     ivf_sq_topk,

@@ -961,3 +961,88 @@ def knn_graph(
             "rank",
         )
     )
+
+
+def hard_negatives(
+    queries: DataFrame,
+    corpus: DataFrame,
+    query_id: str,
+    corpus_id: str,
+    vec_col: str,
+    label_col: str,
+    k: int = 5,
+) -> DataFrame:
+    """Hard-negative mining for contrastive training → per anchor the
+    top-``k`` highest-cosine corpus vectors with a DIFFERENT label:
+    ``(query_id, query_label, neighbor_id, neighbor_label, cosine,
+    rk)``.  The pairs an InfoNCE / triplet objective learns most from
+    are near-misses across the label boundary — random negatives are
+    too easy, same-label neighbors are positives, this returns exactly
+    the boundary set (Robinson et al. 2021's "hard negative" regime).
+
+    Plan shape: same contract as :func:`brute_force_topk` — broadcast
+    anchors over the partitioned corpus scan (a labeled broadcast-NL
+    baseline, the library's oracle-checkable exact form), label
+    inequality applied BEFORE scoring so same-label rows never pay the
+    dot product, one window top-k shuffle on ``query_id``.  At 100 TB
+    mine from the IVF/LSH candidate set instead (:func:`ivf_topk` /
+    :func:`lsh_topk` with the same label predicate on the candidate
+    join) — identical semantics on the probed cells.
+
+    Zero-norm vectors (NaN cosine) are excluded on both sides of the
+    contract, mirroring every ANN twin here.
+    """
+    from pyspark.sql import Window as W
+
+    from kg.hints import maybe_broadcast
+
+    if k < 1:
+        raise ValueError(f"k must be >= 1, got {k}")
+    q = maybe_broadcast(
+        queries.select(
+            F.col(query_id).alias("query_id"),
+            F.col(vec_col).alias("qv"),
+            F.col(label_col).alias("query_label"),
+        )
+    )
+    c = corpus.select(
+        F.col(corpus_id).alias("neighbor_id"),
+        F.col(vec_col).alias("cv"),
+        F.col(label_col).alias("neighbor_label"),
+    )
+    qv = F.col("qv").cast("array<double>")
+    cv = F.col("cv").cast("array<double>")
+    # ANSI mode raises DIVIDE_BY_ZERO even for doubles: route zero-norm
+    # pairs to an explicit NaN (CaseWhen evaluates only the live
+    # branch), then drop them — the twin's NOT isnan(cosine) mirror
+    prod = _norm(qv) * _norm(cv)
+    cos = F.when(prod == 0, F.lit(float("nan"))).otherwise(
+        F.round(_dot(qv, cv) / prod, 6)
+    )
+    scored = (
+        q.crossJoin(c)
+        .filter(F.col("query_label") != F.col("neighbor_label"))
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            cos.alias("cosine"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cosine"), F.asc("neighbor_id")
+    )
+    return (
+        scored.filter(~F.isnan("cosine"))
+        .withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= k)
+        .select(
+            "query_id",
+            "query_label",
+            "neighbor_id",
+            "neighbor_label",
+            "cosine",
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )

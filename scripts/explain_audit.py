@@ -64,7 +64,7 @@ def main() -> None:
         "column_profile", "k_anonymity", "distribution_drift",
         "negative_samples", "cms_token_counts", "jl_projected",
         "ams_f2_tokens", "language_mix", "ngram_diversity",
-        "event_transitions", "split_leakage",
+        "event_transitions", "split_leakage", "hard_negatives",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib
