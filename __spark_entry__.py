@@ -4074,6 +4074,18 @@ def q_language_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_isotropy(spark: SparkSession, sf: str) -> DataFrame:
+    """Corpus isotropy score (``kg/ops/pca.py::isotropy_score``,
+    Ethayarajh 2019): mean pairwise cosine of unit embeddings via the
+    ‖Σu‖² − Σ‖u‖² closed form — one posexplode + one dim-sized hash
+    agg, never an O(n²) pass; integer-exact fix-point normalization so
+    the number is bit-stable cross-engine.  The before/after gauge for
+    all-but-the-top PCA correction."""
+    from kg.ops import isotropy_score
+
+    return isotropy_score(_read(spark, sf, "embeddings"))
+
+
 def q_jl_projected(spark: SparkSession, sf: str) -> DataFrame:
     """Johnson–Lindenstrauss ±1 random projection
     (``kg/ops/pca.py::jl_projection``, Achlioptas 2003): 64-dim
@@ -4112,6 +4124,7 @@ def queries() -> dict[str, _T]:
         "ams_f2_tokens": q_ams_f2_tokens,
         "language_mix": q_language_mix,
         "ngram_diversity": q_ngram_diversity,
+        "isotropy": q_isotropy,
         "event_transitions": q_event_transitions,
         "split_leakage": q_split_leakage,
         "jl_projected": q_jl_projected,
@@ -5147,6 +5160,27 @@ def oracle_sql() -> dict[str, str]:
             "round((CAST(dfp AS DOUBLE) / CAST(tot AS DOUBLE)) / "
             "(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) "
             "AS boost FROM d CROSS JOIN t"
+        ),
+        "isotropy": (
+            # same ⌊10⁶x⌋ fix-point, same integer-exact norm (sqrt of
+            # an exact Σf² < 2^53), same closed form
+            "WITH ii AS (SELECT unnest(range(1, 65)) AS i), "
+            "fe AS (SELECT vec_id, i, CAST(floor(CAST(embedding[i] AS "
+            "DOUBLE) * 1000000) AS BIGINT) AS fd "
+            "FROM embeddings CROSS JOIN ii), "
+            "s2 AS (SELECT vec_id, sum(fd * fd) AS s2 FROM fe "
+            "GROUP BY vec_id), "
+            "u AS (SELECT fe.vec_id, i, CAST(floor(CAST(fd AS DOUBLE) "
+            "* 1000000 / sqrt(CAST(s2 AS DOUBLE))) AS BIGINT) AS val "
+            "FROM fe JOIN s2 USING (vec_id) WHERE s2 > 0), "
+            "pd AS (SELECT i, CAST(count(*) AS BIGINT) AS n, "
+            "sum(val) AS s, sum(val * val) AS q FROM u GROUP BY i), "
+            "a AS (SELECT max(n) AS n_vectors, sum(s * s) AS ss, "
+            "sum(q) AS qq FROM pd) "
+            "SELECT n_vectors, CASE WHEN n_vectors >= 2 THEN "
+            "round(CAST(ss - qq AS DOUBLE) / (CAST(n_vectors AS DOUBLE) "
+            "* (CAST(n_vectors AS DOUBLE) - 1.0) * 1000000000000.0), 6) "
+            "ELSE NULL END AS mean_pairwise_cosine FROM a"
         ),
         "jl_projected": (
             # same md5 sign rule (i is 0-based in the op; DuckDB list

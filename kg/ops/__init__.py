@@ -103,6 +103,7 @@ from kg.ops.kmeans import (  # noqa: F401
 )
 from kg.ops.minhash import minhash_candidate_pairs  # noqa: F401
 from kg.ops.pca import (  # noqa: F401
+    isotropy_score,
     jl_projection,
     pca_projection,
     top_principal_component,

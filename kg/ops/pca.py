@@ -264,3 +264,90 @@ def jl_projection(
             )
         )
     return vecs.select(F.col(id_col), F.array(*cols).alias("projected"))
+
+
+def isotropy_score(
+    vecs: DataFrame,
+    id_col: str = "vec_id",
+    emb_col: str = "embedding",
+) -> DataFrame:
+    """Corpus isotropy diagnostic → ONE row
+    ``(n_vectors, mean_pairwise_cosine)``: the average cosine between
+    all pairs of (unit-normalized) embeddings — Ethayarajh 2019's
+    anisotropy measure.  Near 0 ⇒ directions are spread (healthy
+    geometry for cosine retrieval); large ⇒ the rogue-dimension
+    pathology that :func:`top_principal_component` / all-but-the-top
+    removes.  Run it before and after PCA correction.
+
+    Closed form, never all-pairs: Σ_{i≠j} uᵢ·uⱼ = ‖Σᵢuᵢ‖² − Σᵢ‖uᵢ‖²,
+    so the whole statistic is per-dimension sums of the unit vectors —
+    one posexplode + one ``dim``-sized hash agg (map-side combinable;
+    s_d and the self-energy q_d = Σ u² ride the SAME agg) + an O(dim)
+    final fold.  An O(n²) pairwise pass at 100 TB is impossible; this
+    is O(n·dim).
+
+    Exactness (every step bit-identical cross-engine): raw coordinates
+    fix-point to f = ⌊10⁶x⌋ (one multiply + floor); the norm is
+    sqrt(Σf²) where Σf² is an EXACT integer (< 2⁵³, so its double
+    image is exact and sqrt is the correctly-rounded IEEE result on
+    any engine — a float-summed norm would be association-order-
+    sensitive); unit coordinates are ⌊10⁶·f/‖f‖⌋; the dimension sums
+    run in decimal(38,0).  Zero vectors are excluded; the final
+    division is one IEEE op rounded to 6 dp; n < 2 yields NULL (no
+    pairs) instead of an ANSI divide-by-zero.
+    """
+    for c in (id_col, emb_col):
+        if c not in vecs.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    v = F.col(emb_col).cast("array<double>")
+    f = F.transform(
+        v, lambda x: F.floor(x * F.lit(1_000_000)).cast("long")
+    )
+    s2 = F.aggregate(
+        F.col("_f"),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x * x,
+    )
+    nrm = F.sqrt(F.col("_s2").cast("double"))
+    unit = (
+        vecs.select(f.alias("_f"))
+        .select("_f", s2.alias("_s2"))
+        .filter(F.col("_s2") > 0)
+        .select(
+            F.transform(
+                F.col("_f"),
+                lambda x: F.floor(
+                    x.cast("double") * F.lit(1_000_000) / nrm
+                ).cast("long"),
+            ).alias("_u")
+        )
+    )
+    dec = "decimal(38,0)"
+    per_dim = (
+        unit.select(F.posexplode(F.col("_u")).alias("dim", "val"))
+        .groupBy("dim")
+        .agg(
+            F.count("*").cast("long").alias("_n"),
+            F.sum(F.col("val").cast(dec)).alias("_s"),
+            F.sum(
+                F.col("val").cast(dec) * F.col("val").cast(dec)
+            ).alias("_q"),
+        )
+    )
+    agg = per_dim.agg(
+        F.max("_n").alias("n_vectors"),
+        F.sum(F.col("_s") * F.col("_s")).alias("_ss"),
+        F.sum("_q").alias("_qq"),
+    )
+    n = F.col("n_vectors").cast("double")
+    return agg.select(
+        "n_vectors",
+        F.when(
+            F.col("n_vectors") >= 2,
+            F.round(
+                (F.col("_ss") - F.col("_qq")).cast("double")
+                / (n * (n - F.lit(1.0)) * F.lit(1e12)),
+                6,
+            ),
+        ).alias("mean_pairwise_cosine"),
+    )

@@ -165,3 +165,35 @@ def test_jl_projection_validation(spark):
         jl_projection(df, out_dim=0)
     with pytest.raises(ValueError, match="not in frame"):
         jl_projection(df, emb_col="nope")
+
+
+def test_isotropy_hand_values(spark):
+    """Identical pair -> 1.0, antipodal pair -> -1.0, orthogonal
+    pair -> 0.0 (all exact under the integer fix-point rule)."""
+    from kg.ops.pca import isotropy_score
+
+    def score(rows):
+        df = spark.createDataFrame(
+            [(i, r) for i, r in enumerate(rows)],
+            "vec_id long, embedding array<double>",
+        )
+        row = isotropy_score(df).collect()[0]
+        return row["n_vectors"], row["mean_pairwise_cosine"]
+
+    assert score([[3.0, 4.0], [3.0, 4.0]]) == (2, 1.0)
+    assert score([[3.0, 4.0], [-3.0, -4.0]]) == (2, -1.0)
+    assert score([[1.0, 0.0], [0.0, 1.0]]) == (2, 0.0)
+
+
+def test_isotropy_excludes_zero_and_guards_singleton(spark):
+    from kg.ops.pca import isotropy_score
+
+    df = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, [0.0, 0.0])],
+        "vec_id long, embedding array<double>",
+    )
+    row = isotropy_score(df).collect()[0]
+    assert row["n_vectors"] == 1  # zero vector excluded
+    assert row["mean_pairwise_cosine"] is None  # no pairs, no ANSI error
+    with pytest.raises(ValueError, match="not in frame"):
+        isotropy_score(df, emb_col="nope")
