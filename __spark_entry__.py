@@ -2620,6 +2620,17 @@ def q_graph_assortativity(spark: SparkSession, sf: str) -> DataFrame:
     return assortativity(_tri_graph_edges(spark, sf))
 
 
+def q_graph_rich_club(spark: SparkSession, sf: str) -> DataFrame:
+    """Rich-club coefficients (``kg/ops/graph.py::rich_club``, Zhou &
+    Mondragón 2004) of the tripartite lineitem graph at k ∈
+    {2,4,8,16}: hub-subgraph density per threshold — the third mixing
+    diagnostic next to assortativity and transitivity.  Per-k counts
+    ride one conditional global agg each; no per-k scans."""
+    from kg.ops import rich_club
+
+    return rich_club(_tri_graph_edges(spark, sf))
+
+
 def q_graph_transitivity(spark: SparkSession, sf: str) -> DataFrame:
     """Global transitivity (Newman's C) of the tripartite lineitem graph
     (``kg/ops/graph.py::transitivity``): ONE row (n_wedges, n_closed,
@@ -4195,6 +4206,7 @@ def queries() -> dict[str, _T]:
         "graph_kcore": q_graph_kcore,
         "graph_ktruss": q_graph_ktruss,
         "graph_assortativity": q_graph_assortativity,
+        "graph_rich_club": q_graph_rich_club,
         "graph_transitivity": q_graph_transitivity,
         "graph_scc": q_graph_scc,
         "media_decode": q_media_decode,
@@ -5547,6 +5559,31 @@ def oracle_sql() -> dict[str, str]:
         "graph_kcore": _kcore_sql(_TRI_EDGES_SQL, _KCORE_K, _KCORE_ROUNDS),
         "graph_ktruss": _ktruss_sql(_TRI_EDGES_SQL, _KTRUSS_K, _KTRUSS_ROUNDS),
         "graph_assortativity": _assortativity_sql(_TRI_EDGES_SQL),
+        "graph_rich_club": (
+            # same undirected simple graph, same conditional per-k
+            # counts, same 2E/(N(N-1)) with NULL below 2 nodes
+            "WITH e0 AS (" + _TRI_EDGES_SQL + "), "
+            "und AS (SELECT DISTINCT least(out_id, in_id) AS u, "
+            "greatest(out_id, in_id) AS v FROM e0 "
+            "WHERE out_id <> in_id), "
+            "degs AS (SELECT id, CAST(count(*) AS BIGINT) AS d FROM "
+            "(SELECT u AS id FROM und UNION ALL SELECT v FROM und) "
+            "GROUP BY id), "
+            "md AS (SELECT least(a.d, b.d) AS mindeg FROM und "
+            "JOIN degs a ON a.id = und.u JOIN degs b ON b.id = und.v), "
+            "ks AS (SELECT unnest([2, 4, 8, 16]) AS k), "
+            "ec AS (SELECT k, CAST(sum(CASE WHEN mindeg > k THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_edges "
+            "FROM ks CROSS JOIN md GROUP BY k), "
+            "nc AS (SELECT k, CAST(sum(CASE WHEN d > k THEN 1 "
+            "ELSE 0 END) AS BIGINT) AS n_nodes "
+            "FROM ks CROSS JOIN degs GROUP BY k) "
+            "SELECT CAST(ks.k AS INT) AS k, nc.n_nodes, ec.n_edges, "
+            "CASE WHEN nc.n_nodes >= 2 THEN round(2.0 * "
+            "CAST(ec.n_edges AS DOUBLE) / (CAST(nc.n_nodes AS DOUBLE) "
+            "* (CAST(nc.n_nodes AS DOUBLE) - 1.0)), 6) ELSE NULL END "
+            "AS phi FROM ks JOIN ec USING (k) JOIN nc USING (k)"
+        ),
         "graph_transitivity": _transitivity_sql(_TRI_EDGES_SQL),
         "graph_scc": _scc_sql(_SCC_EDGES_SQL),
         "media_decode": _media_decode_sql(),

@@ -56,6 +56,7 @@ QUERIES = (
     "kcore",
     "ktruss",
     "assortativity",
+    "rich-club",
     "transitivity",
     "walks",
     "skipgrams",
@@ -252,6 +253,8 @@ def main(argv: list[str] | None = None, spark=None) -> None:
             out = g.k_truss(edges, k=args.k, rounds=args.rounds)
         elif args.query == "assortativity":
             out = g.assortativity(edges)
+        elif args.query == "rich-club":
+            out = g.rich_club(edges)
         elif args.query == "transitivity":
             out = g.transitivity(edges)
         elif args.query == "scc":

@@ -89,6 +89,7 @@ from kg.ops.graph import (  # noqa: F401
     preferential_attachment,
     random_walks,
     resource_allocation,
+    rich_club,
     shortest_paths,
     skipgram_pairs,
     strongly_connected_components,

@@ -3373,3 +3373,92 @@ def negative_samples(
             F.col("_word").alias("negative"),
         )
     )
+
+
+def rich_club(
+    edges: DataFrame,
+    out_col: str = "out_id",
+    in_col: str = "in_id",
+    ks: tuple[int, ...] = (2, 4, 8, 16),
+) -> DataFrame:
+    """Rich-club coefficient (Zhou & Mondragón 2004) per degree
+    threshold → ``(k, n_nodes, n_edges, phi)``: among vertices of
+    degree > k, ``phi = 2·E_k / (N_k·(N_k−1))`` — the density of the
+    subgraph the hubs form.  φ(k) rising with k means the hubs
+    interlink (the "rich club" of a citation/infrastructure graph);
+    flat/falling means hub-to-leaf wiring.  The third mixing-structure
+    diagnostic next to :func:`assortativity` (correlation form) and
+    :func:`global_transitivity` (closure form).
+
+    Plan shape: one degree hash agg, the vertex-bounded degree dim
+    broadcast-gated onto both endpoints, then the per-k edge counts
+    ride ONE conditional global aggregation (``sum(min_deg > k)`` per
+    literal k — no per-k scan, no join against a k dim) and the per-k
+    node counts ride one more over the degree frame; the |ks|-row
+    result assembles driver-free from the two 1-row aggs.  Exact
+    integer counts; only φ's final division is float (6 dp); N_k < 2
+    yields NULL φ (no possible pairs) instead of an ANSI
+    divide-by-zero.
+    """
+    from kg.hints import maybe_broadcast
+
+    if not ks or any(k < 0 for k in ks) or len(set(ks)) != len(ks):
+        raise ValueError(f"ks must be distinct non-negative, got {ks}")
+    und = _undirected(edges, out_col, in_col)
+    degs = (
+        und.select(F.col("u").alias("id"))
+        .unionAll(und.select(F.col("v").alias("id")))
+        .groupBy("id")
+        .agg(F.count("*").alias("d"))
+    )
+    dim = maybe_broadcast(degs)
+    md = (
+        und.join(dim.select(F.col("id").alias("u"), F.col("d").alias("du")), "u")
+        .join(dim.select(F.col("id").alias("v"), F.col("d").alias("dv")), "v")
+        .select(F.least("du", "dv").alias("mindeg"))
+    )
+    e_agg = md.agg(
+        *[
+            F.sum(F.when(F.col("mindeg") > k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_e{k}")
+            for k in ks
+        ]
+    )
+    n_agg = degs.agg(
+        *[
+            F.sum(F.when(F.col("d") > k, 1).otherwise(0))
+            .cast("long")
+            .alias(f"_n{k}")
+            for k in ks
+        ]
+    )
+    combined = e_agg.crossJoin(F.broadcast(n_agg))
+    rows = combined.select(
+        F.posexplode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(k).cast("int").alias("k"),
+                        F.coalesce(F.col(f"_n{k}"), F.lit(0).cast("long")).alias("n_nodes"),
+                        F.coalesce(F.col(f"_e{k}"), F.lit(0).cast("long")).alias("n_edges"),
+                    )
+                    for k in ks
+                ]
+            )
+        ).alias("_i", "_s")
+    ).select("_s.k", "_s.n_nodes", "_s.n_edges")
+    n = F.col("n_nodes").cast("double")
+    return rows.select(
+        "k",
+        "n_nodes",
+        "n_edges",
+        F.when(
+            F.col("n_nodes") >= 2,
+            F.round(
+                F.lit(2.0) * F.col("n_edges").cast("double")
+                / (n * (n - F.lit(1.0))),
+                6,
+            ),
+        ).alias("phi"),
+    )

@@ -419,3 +419,14 @@ def test_cli_toposort(spark, warehouse, tmp_path):
     )
     got = {r["id"]: r["layer"] for r in df.collect()}
     assert got == {"a": 0, "d": 0, "b": 1, "c": 2}
+
+
+def test_cli_rich_club(spark, warehouse, tmp_path):
+    got = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+           for r in _run(
+               spark, warehouse, tmp_path, "--query", "rich-club"
+           ).collect()}
+    # chain a-b-c plus d-c: degrees a=1, b=2, c=2, d=1 -> club at k=2+
+    # is empty; at k=1 (not in the default ks) b-c would qualify
+    assert set(got) == {2, 4, 8, 16}
+    assert all(v == (0, 0, None) for v in got.values())

@@ -2592,3 +2592,33 @@ def test_negative_samples_damped_frequency_and_validation(spark):
         negative_samples(pairs, k=0)
     with pytest.raises(ValueError, match="not in pairs"):
         negative_samples(pairs, context_col="nope")
+
+
+def test_rich_club_hand_values(spark):
+    """K4 clique plus two pendant leaves: at k=2 the club is exactly
+    the clique (phi = 1.0); at k=3 only vertices of degree > 3 — the
+    two clique members holding a pendant — remain, sharing one edge."""
+    from kg.ops.graph import rich_club
+
+    clique = [("a", "b"), ("a", "c"), ("a", "d"),
+              ("b", "c"), ("b", "d"), ("c", "d")]
+    pendants = [("a", "x"), ("b", "y")]
+    df = spark.createDataFrame(
+        clique + pendants, "out_id string, in_id string"
+    )
+    got = {r["k"]: (r["n_nodes"], r["n_edges"], r["phi"])
+           for r in rich_club(df, ks=(2, 3, 10)).collect()}
+    # degrees: a=4, b=4, c=3, d=3, x=1, y=1
+    assert got[2] == (4, 6, 1.0)          # the K4
+    assert got[3] == (2, 1, 1.0)          # a-b
+    assert got[10] == (0, 0, None)        # empty club -> NULL phi
+
+
+def test_rich_club_validates(spark):
+    import pytest as _pt
+
+    from kg.ops.graph import rich_club
+
+    df = spark.createDataFrame([("a", "b")], "out_id string, in_id string")
+    with _pt.raises(ValueError, match="ks"):
+        rich_club(df, ks=(2, 2))
