@@ -4058,6 +4058,18 @@ def q_event_transitions(spark: SparkSession, sf: str) -> DataFrame:
     return event_transitions(_read(spark, sf, "events"))
 
 
+def q_event_burstiness(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-user inter-event burstiness
+    (``kg/ops/events.py::inter_event_stats``, Goh–Barabási): exact
+    integer-microsecond gap moments → mean/std gap and
+    B = (σ−μ)/(σ+μ), computed n-free as (r−s)/(r+s) so every float
+    step is one identical IEEE op; bot-vs-human cadence screening on
+    one user-keyed shuffle."""
+    from kg.ops import inter_event_stats
+
+    return inter_event_stats(_read(spark, sf, "events"))
+
+
 def q_ngram_diversity(spark: SparkSession, sf: str) -> DataFrame:
     """Distinct-n diversity (``kg/ops/text.py::ngram_diversity``, Li
     et al. 2016): unique bigrams / total bigram occurrences per
@@ -4137,6 +4149,7 @@ def queries() -> dict[str, _T]:
         "ngram_diversity": q_ngram_diversity,
         "isotropy": q_isotropy,
         "event_transitions": q_event_transitions,
+        "event_burstiness": q_event_burstiness,
         "split_leakage": q_split_leakage,
         "jl_projected": q_jl_projected,
         "top_customers": q_top_customers,
@@ -5129,6 +5142,27 @@ def oracle_sql() -> dict[str, str]:
             "CAST(sum(b.n) AS BIGINT) AS n_docs_b "
             "FROM per a JOIN per b ON a.k = b.k AND a.split < b.split "
             "GROUP BY 1, 2"
+        ),
+        "event_burstiness": (
+            # same exact microsecond gaps, same integer moments, same
+            # n-free (r-s)/(r+s) formulation
+            "WITH g AS (SELECT user_id, epoch_us(ts) - "
+            "lag(epoch_us(ts)) OVER (PARTITION BY user_id "
+            "ORDER BY ts, event_id) AS gap FROM events), "
+            "m AS (SELECT user_id, CAST(count(*) AS BIGINT) AS n_gaps, "
+            "sum(gap) AS s, sum(CAST(gap AS HUGEINT) * gap) AS q FROM g "
+            "WHERE gap IS NOT NULL GROUP BY user_id) "
+            "SELECT user_id, n_gaps, "
+            "round(CAST(s AS DOUBLE) / (CAST(n_gaps AS DOUBLE) * "
+            "1000000.0), 6) AS mean_gap_s, "
+            "round(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) / "
+            "(CAST(n_gaps AS DOUBLE) * 1000000.0), 6) AS std_gap_s, "
+            "CASE WHEN s > 0 THEN round("
+            "(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) - "
+            "CAST(s AS DOUBLE)) / "
+            "(sqrt(CAST(n_gaps * q - s * s AS DOUBLE)) + "
+            "CAST(s AS DOUBLE)), 6) ELSE NULL END AS burstiness "
+            "FROM m"
         ),
         "event_transitions": (
             # same (ts, event_id)-ordered lead pairing, same row

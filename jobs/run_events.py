@@ -30,6 +30,8 @@ Queries:
 * ``transitions`` — first-order Markov transition matrix over per-user
                     event sequences (lead window ordered by
                     (ts, ``--id-col``); row-normalized probabilities).
+* ``burstiness``  — per-user inter-event-gap stats + Goh–Barabási
+                    burstiness (exact integer microsecond moments).
 """
 
 from __future__ import annotations
@@ -41,7 +43,8 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 QUERIES = (
-    "funnel", "retention", "asof", "range-join", "decayed", "transitions"
+    "funnel", "retention", "asof", "range-join", "decayed", "transitions",
+    "burstiness",
 )
 
 
@@ -111,6 +114,7 @@ def main(argv: list[str] | None = None, spark=None) -> None:
         decayed_activity,
         event_transitions,
         funnel_steps,
+        inter_event_stats,
         range_join,
     )
 
@@ -149,6 +153,11 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                 ev, user_col=u, type_col=et, ts_col=ts, id_col=args.id_col
             )
             order = ["from_type", "to_type"]
+        elif args.query == "burstiness":
+            res = inter_event_stats(
+                ev, user_col=u, ts_col=ts, id_col=args.id_col
+            )
+            order = [u]
         elif args.query == "asof":
             left = ev.filter(F.col(et) == args.left_type).select(
                 F.col(args.id_col).alias("anchor_id"), u, ts

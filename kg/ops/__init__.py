@@ -57,6 +57,7 @@ from kg.ops.events import (  # noqa: F401
     decayed_activity,
     event_transitions,
     funnel_steps,
+    inter_event_stats,
     range_join,
 )
 from kg.ops.graph import (  # noqa: F401

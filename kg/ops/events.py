@@ -479,3 +479,68 @@ def event_transitions(
             6,
         ).alias("prob"),
     )
+
+
+def inter_event_stats(
+    events: DataFrame,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Per-user inter-event-time statistics →
+    ``(user_col, n_gaps, mean_gap_s, std_gap_s, burstiness)``: the
+    Goh–Barabási burstiness ``B = (σ−μ)/(σ+μ)`` of the gaps between a
+    user's consecutive events — B→−1 periodic (bot-like cadence),
+    B≈0 Poisson, B→+1 bursty (human sessions).  The behavioral
+    fingerprint run next to :func:`event_transitions` for anomaly /
+    bot screening.
+
+    Exactness: gaps are exact integer microseconds (``unix_micros`` /
+    ``epoch_us``); per-user moments (n, Σg, Σg²) accumulate in
+    decimal(38,0); B is computed n-free as ``(r−s)/(r+s)`` with
+    ``r = sqrt(nq − s²)`` — one sqrt of an exactly-derived value and
+    one division, so every float step is a single identical IEEE op
+    on any engine; outputs round to 6 dp.  Users with fewer than two
+    events have no gap and emit no row; an all-equal-timestamp user
+    (s = 0) yields NULL burstiness rather than 0/0.
+
+    Plan shape: ONE shuffle on ``user_col`` (the lag window — shared
+    shape with :func:`event_transitions`), one hash agg to user-sized
+    output, no Python.
+    """
+    for c in (user_col, ts_col, id_col):
+        if c not in events.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    w = Window.partitionBy(user_col).orderBy(ts_col, id_col)
+    # cast first: unix_micros rejects NTZ; session tz is UTC and any
+    # constant shift cancels in the gap difference anyway
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    gaps = (
+        events.select(user_col, ts_col, id_col)
+        .withColumn("_g", us - F.lag(us).over(w))
+        .filter(F.col("_g").isNotNull())
+    )
+    dec = "decimal(38,0)"
+    m = gaps.groupBy(user_col).agg(
+        F.count("*").cast("long").alias("n_gaps"),
+        F.sum(F.col("_g").cast(dec)).alias("_s"),
+        F.sum((F.col("_g").cast(dec) * F.col("_g").cast(dec))).alias("_q"),
+    )
+    n_d = F.col("n_gaps").cast("double")
+    s_d = F.col("_s").cast("double")
+    r = F.sqrt(
+        (
+            F.col("n_gaps").cast(dec) * F.col("_q")
+            - F.col("_s") * F.col("_s")
+        ).cast("double")
+    )
+    return m.select(
+        user_col,
+        "n_gaps",
+        F.round(s_d / (n_d * F.lit(1e6)), 6).alias("mean_gap_s"),
+        F.round(r / (n_d * F.lit(1e6)), 6).alias("std_gap_s"),
+        F.when(
+            (F.col("_s") > 0),
+            F.round((r - s_d) / (r + s_d), 6),
+        ).alias("burstiness"),
+    )

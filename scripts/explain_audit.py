@@ -65,7 +65,7 @@ def main() -> None:
         "negative_samples", "cms_token_counts", "jl_projected",
         "ams_f2_tokens", "language_mix", "ngram_diversity",
         "event_transitions", "split_leakage", "hard_negatives",
-        "isotropy", "graph_rich_club",
+        "isotropy", "graph_rich_club", "event_burstiness",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

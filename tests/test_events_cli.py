@@ -124,3 +124,12 @@ def test_cli_transitions(spark, events_path, tmp_path):
         ("click", "purchase"): (1, 1.0),
         ("purchase", "click"): (1, 1.0),
     }
+
+
+def test_cli_burstiness(spark, events_path, tmp_path):
+    got = {r["user_id"]: r for r in _run(
+        spark, events_path, tmp_path, "--query", "burstiness"
+    ).collect()}
+    # user 10 has 4 events (3 gaps), user 11 has 2 (1 gap)
+    assert got[10]["n_gaps"] == 3 and got[11]["n_gaps"] == 1
+    assert got[11]["mean_gap_s"] == 1.0

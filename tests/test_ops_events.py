@@ -332,3 +332,55 @@ def test_event_transitions_validation(spark):
     df = spark.createDataFrame([(1,)], "event_id long")
     with _pt.raises(ValueError, match="not in frame"):
         event_transitions(df)
+
+
+def test_inter_event_stats_hand_values(spark):
+    """Periodic user -> burstiness -1 (sigma=0); moments recomputed
+    independently for an irregular user."""
+    import math
+    from datetime import datetime, timedelta
+
+    from kg.ops.events import inter_event_stats
+
+    t0 = datetime(2024, 1, 1)
+    rows = []
+    # user 1: perfectly periodic, 10 s apart -> sigma 0, B = -1
+    for i in range(4):
+        rows.append((i, 1, "e", t0 + timedelta(seconds=10 * i)))
+    # user 2: gaps 1 s and 9 s
+    rows += [(10, 2, "e", t0), (11, 2, "e", t0 + timedelta(seconds=1)),
+             (12, 2, "e", t0 + timedelta(seconds=10))]
+    # user 3: single event -> no row
+    rows.append((20, 3, "e", t0))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp"
+    )
+    got = {r["user_id"]: r for r in inter_event_stats(df).collect()}
+    assert set(got) == {1, 2}
+    assert (got[1]["n_gaps"], got[1]["mean_gap_s"]) == (3, 10.0)
+    assert got[1]["std_gap_s"] == 0.0 and got[1]["burstiness"] == -1.0
+    n, s, q = 2, (1 + 9) * 10**6, (1**2 + 9**2) * 10**12
+    r = math.sqrt(n * q - s * s)
+    assert got[2]["n_gaps"] == 2
+    assert got[2]["mean_gap_s"] == round(s / (n * 1e6), 6)
+    assert got[2]["std_gap_s"] == round(r / (n * 1e6), 6)
+    assert got[2]["burstiness"] == round((r - s) / (r + s), 6)
+
+
+def test_inter_event_stats_zero_gaps_and_validation(spark):
+    from datetime import datetime
+
+    import pytest as _pt
+
+    from kg.ops.events import inter_event_stats
+
+    t = datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [(1, 1, "e", t), (2, 1, "e", t)],
+        "event_id long, user_id long, event_type string, ts timestamp",
+    )
+    row = inter_event_stats(df).collect()[0]
+    assert row["n_gaps"] == 1 and row["mean_gap_s"] == 0.0
+    assert row["burstiness"] is None  # s = 0 -> guarded, no 0/0
+    with _pt.raises(ValueError, match="not in frame"):
+        inter_event_stats(df.drop("event_id"))
