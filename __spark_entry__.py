@@ -4097,6 +4097,17 @@ def q_language_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_token_gini(spark: SparkSession, sf: str) -> DataFrame:
+    """Vocabulary Gini (``kg/ops/text.py::token_gini``): inequality of
+    the token frequency distribution via the exact rank formula —
+    corpus collapses to the vocabulary in one hash agg, rank window
+    bounded by |vocab|; spam-flood / synthetic-uniform shape gauge
+    next to distinct-n diversity."""
+    from kg.ops import token_gini
+
+    return token_gini(_read(spark, sf, "documents"))
+
+
 def q_isotropy(spark: SparkSession, sf: str) -> DataFrame:
     """Corpus isotropy score (``kg/ops/pca.py::isotropy_score``,
     Ethayarajh 2019): mean pairwise cosine of unit embeddings via the
@@ -4147,6 +4158,7 @@ def queries() -> dict[str, _T]:
         "ams_f2_tokens": q_ams_f2_tokens,
         "language_mix": q_language_mix,
         "ngram_diversity": q_ngram_diversity,
+        "token_gini": q_token_gini,
         "isotropy": q_isotropy,
         "event_transitions": q_event_transitions,
         "event_burstiness": q_event_burstiness,
@@ -5206,6 +5218,24 @@ def oracle_sql() -> dict[str, str]:
             "round((CAST(dfp AS DOUBLE) / CAST(tot AS DOUBLE)) / "
             "(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) "
             "AS boost FROM d CROSS JOIN t"
+        ),
+        "token_gini": (
+            # same tokenization, same (freq, token) total rank order,
+            # same exact rank-weighted sums, same two-division final
+            "WITH toks AS (SELECT unnest("
+            + _TOK.format(c="text")
+            + ") AS t FROM documents), "
+            "c AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM toks "
+            "GROUP BY t), "
+            "r AS (SELECT f, row_number() OVER (ORDER BY f, t) AS i "
+            "FROM c), "
+            "a AS (SELECT CAST(count(*) AS BIGINT) AS n_types, "
+            "sum(f) AS tot, sum(CAST(i AS HUGEINT) * f) AS ws FROM r) "
+            "SELECT n_types, CAST(tot AS BIGINT) AS n_tokens, "
+            "CASE WHEN n_types >= 1 THEN round(2.0 * "
+            "CAST(ws AS DOUBLE) / (CAST(n_types AS DOUBLE) * "
+            "CAST(tot AS DOUBLE)) - (CAST(n_types AS DOUBLE) + 1.0) / "
+            "CAST(n_types AS DOUBLE), 6) ELSE NULL END AS gini FROM a"
         ),
         "isotropy": (
             # same ⌊10⁶x⌋ fix-point, same integer-exact norm (sqrt of

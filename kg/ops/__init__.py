@@ -153,6 +153,7 @@ from kg.ops.text import (  # noqa: F401
     repetition_stats,
     token_count,
     token_entropy,
+    token_gini,
     tokens_col,
     vocab_coverage,
     winnow_fingerprints,

@@ -725,3 +725,63 @@ def ngram_diversity(
             6,
         ).alias("distinct_ratio"),
     )
+
+
+def token_gini(docs, text_col: str = "text"):
+    """Vocabulary concentration → ONE row
+    ``(n_types, n_tokens, gini)``: the Gini coefficient of the token
+    frequency distribution — 0 = perfectly uniform vocabulary use,
+    →1 = a few boilerplate tokens dominate the corpus.  Natural text
+    sits high (Zipf); a SPIKE vs a reference corpus flags template/
+    spam flooding, a DROP flags shredded or synthetic-uniform text —
+    the distribution-shape cousin of :func:`ngram_diversity`'s
+    distinct-n ratio.
+
+    Formula (exact rank form, frequencies ascending):
+    ``G = 2·Σᵢ i·fᵢ / (n·Σf) − (n+1)/n`` over the n vocabulary types.
+
+    Exactness: counts and the rank-weighted sum are exact integers
+    (decimal(38,0)); the rank order ``(freq, token)`` is total so
+    ``row_number`` is deterministic; the two final divisions are
+    spelled identically in the twin and rounded to 6 dp.
+
+    Plan shape (100 TB): one corpus-sized token hash agg down to the
+    VOCABULARY, then the rank window and the final fold run over
+    vocab-sized data only — the single-partition window is bounded by
+    |vocab|, never by the corpus (same justification as
+    ``tfidf_topk``'s df dim).
+    """
+    from pyspark.sql import Window as W
+
+    if text_col not in docs.columns:
+        raise ValueError(f"column {text_col!r} not in frame")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    ranked = counts.withColumn(
+        "_i", F.row_number().over(W.orderBy("_c", "_t"))
+    )
+    dec = "decimal(38,0)"
+    agg = ranked.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("_c").cast(dec)).alias("_tot"),
+        F.sum(
+            F.col("_i").cast(dec) * F.col("_c").cast(dec)
+        ).alias("_ws"),
+    )
+    n_d = F.col("n_types").cast("double")
+    return agg.select(
+        "n_types",
+        F.col("_tot").cast("long").alias("n_tokens"),
+        F.when(
+            F.col("n_types") >= 1,
+            F.round(
+                F.lit(2.0) * F.col("_ws").cast("double")
+                / (n_d * F.col("_tot").cast("double"))
+                - (n_d + F.lit(1.0)) / n_d,
+                6,
+            ),
+        ).alias("gini"),
+    )

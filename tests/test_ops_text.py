@@ -450,3 +450,44 @@ def test_ngram_diversity_validation(spark):
         ngram_diversity(df, n=0)
     with _pt.raises(ValueError, match="not in frame"):
         ngram_diversity(df, group_col="nope")
+
+
+def test_token_gini_hand_values(spark):
+    """Uniform vocabulary -> 0; hand-checked skewed case via the exact
+    rank formula."""
+    from kg.ops.text import token_gini
+
+    uniform = spark.createDataFrame(
+        [("a b c d",)], "text string"
+    )
+    row = token_gini(uniform).collect()[0]
+    assert (row["n_types"], row["n_tokens"], row["gini"]) == (4, 4, 0.0)
+
+    # freqs ascending: b=1, a=3 -> G = 2*(1*1+2*3)/(2*4) - 3/2 = 0.25
+    skewed = spark.createDataFrame([("a a a b",)], "text string")
+    row = token_gini(skewed).collect()[0]
+    assert (row["n_types"], row["n_tokens"], row["gini"]) == (2, 4, 0.25)
+
+
+def test_token_gini_spikes_on_template_flood(spark):
+    from kg.ops.text import token_gini
+
+    natural = [(f"unique word{i} text{i * 3} body{i * 7}",) for i in range(30)]
+    flooded = natural + [("click here to win",)] * 100
+    g_nat = token_gini(
+        spark.createDataFrame(natural, "text string")
+    ).collect()[0]["gini"]
+    g_flood = token_gini(
+        spark.createDataFrame(flooded, "text string")
+    ).collect()[0]["gini"]
+    assert g_flood > g_nat + 0.3
+
+
+def test_token_gini_validates(spark):
+    import pytest as _pt
+
+    from kg.ops.text import token_gini
+
+    df = spark.createDataFrame([("a",)], "text string")
+    with _pt.raises(ValueError, match="not in frame"):
+        token_gini(df, text_col="nope")
