@@ -3908,6 +3908,20 @@ def q_k_anonymity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
+    """l-diversity risk report (``kg/ops/quality.py::l_diversity``,
+    Machanavajjhala et al. 2007): quasi = c_nationkey, sensitive =
+    c_mktsegment at l=3 — groups whose sensitive attribute is
+    near-homogeneous leak it despite k-anonymity (the homogeneity
+    attack).  Two stacked map-side-combinable hash aggs, no
+    countDistinct over the corpus."""
+    from kg.ops import l_diversity
+
+    return l_diversity(
+        _read(spark, sf, "customer"), ["c_nationkey"], "c_mktsegment", l=3
+    )
+
+
 def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     """PSI drift gate between two corpus snapshots
     (``kg/ops/stats.py::distribution_drift``): the ``lang``
@@ -4152,6 +4166,7 @@ def queries() -> dict[str, _T]:
         "decayed_activity": q_decayed_activity,
         "column_profile": q_column_profile,
         "k_anonymity": q_k_anonymity,
+        "l_diversity": q_l_diversity,
         "distribution_drift": q_distribution_drift,
         "negative_samples": q_negative_samples,
         "cms_token_counts": q_cms_token_counts,
@@ -5028,6 +5043,23 @@ def oracle_sql() -> dict[str, str]:
             "AS at_risk_rows, "
             "round(CAST(sum(CASE WHEN n < 5 THEN n ELSE 0 END) "
             "AS DOUBLE) / sum(n), 6) AS at_risk_fraction FROM g"
+        ),
+        "l_diversity": (
+            # same stacked aggs: per-(quasi, sensitive) counts, then
+            # group frame with exact distinct-sensitive counts
+            "WITH pv AS (SELECT c_nationkey, c_mktsegment, count(*) AS n "
+            "FROM customer GROUP BY 1, 2), "
+            "g AS (SELECT c_nationkey, sum(n) AS rows_, "
+            "count(*) AS ell FROM pv GROUP BY 1) "
+            "SELECT CAST(3 AS BIGINT) AS l, "
+            "CAST(sum(rows_) AS BIGINT) AS n_rows, "
+            "count(*)::BIGINT AS n_groups, "
+            "CAST(sum(CASE WHEN ell < 3 THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS at_risk_groups, "
+            "CAST(sum(CASE WHEN ell < 3 THEN rows_ ELSE 0 END) "
+            "AS BIGINT) AS at_risk_rows, "
+            "round(CAST(sum(CASE WHEN ell < 3 THEN rows_ ELSE 0 END) "
+            "AS DOUBLE) / sum(rows_), 6) AS at_risk_fraction FROM g"
         ),
         "distribution_drift": (
             # same md5 bins, Laplace smoothing, fixed-point terms

@@ -112,6 +112,13 @@ def main(argv: list[str] | None = None, spark=None) -> None:
                     help="report k-anonymity risk of this "
                          "quasi-identifier column combination of the "
                          "INPUT")
+    ap.add_argument("--l-div", default=None, metavar="QUASI,...:SENSITIVE",
+                    help="report distinct l-diversity risk: comma-"
+                         "separated quasi columns, colon, the sensitive "
+                         "column (l fixed by --l-div-l)")
+    ap.add_argument("--l-div-l", type=int, default=2,
+                    help="distinct-value threshold for --l-div "
+                         "(default 2)")
     ap.add_argument("--k-anon-k", type=int, default=5,
                     help="group-size threshold for --k-anon "
                          "(default 5)")
@@ -421,6 +428,23 @@ def main(argv: list[str] | None = None, spark=None) -> None:
 
         report["k_anonymity"] = k_anonymity(
             docs, quasi, k=args.k_anon_k
+        ).collect()[0].asDict()
+    if args.l_div:
+        if ":" not in args.l_div:
+            raise SystemExit("--l-div needs QUASI,...:SENSITIVE")
+        quasi_part, _, sens = args.l_div.rpartition(":")
+        quasi = [c.strip() for c in quasi_part.split(",") if c.strip()]
+        sens = sens.strip()
+        missing = (set(quasi) | {sens}) - set(docs.columns)
+        if missing:
+            raise SystemExit(
+                f"--l-div columns {sorted(missing)} not in input "
+                f"columns {docs.columns}"
+            )
+        from kg.ops import l_diversity
+
+        report["l_diversity"] = l_diversity(
+            docs, quasi, sens, l=args.l_div_l
         ).collect()[0].asDict()
     if args.drift_against:
         from kg.ops import distribution_drift

@@ -117,7 +117,11 @@ from kg.ops.sketch import (  # noqa: F401
     cms_estimate,
     mincount_distinct,
 )
-from kg.ops.quality import column_profile, k_anonymity  # noqa: F401
+from kg.ops.quality import (  # noqa: F401
+    column_profile,
+    k_anonymity,
+    l_diversity,
+)
 from kg.ops.stats import (  # noqa: F401
     distribution_drift,
     group_quantiles,

@@ -125,3 +125,67 @@ def k_anonymity(
             F.col("at_risk_rows").cast("double") / F.col("n_rows"), 6
         ).alias("at_risk_fraction"),
     )
+
+
+def l_diversity(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    l: int = 2,
+) -> DataFrame:
+    """Distinct l-diversity risk report → ONE row ``(l, n_rows,
+    n_groups, at_risk_groups, at_risk_rows, at_risk_fraction)``:
+    quasi-identifier groups whose SENSITIVE attribute takes fewer than
+    ``l`` distinct values leak that attribute even when the group is
+    k-anonymous (the homogeneity attack of Machanavajjhala et al.
+    2007 — 100 same-diagnosis patients are k=100-anonymous and still
+    fully disclosed).  Run AFTER :func:`k_anonymity` on a release
+    candidate; nonzero ``at_risk_fraction`` means generalize further
+    or suppress.
+
+    Plan shape (100 TB): one hash agg on (quasi tuple, sensitive) —
+    map-side combinable — then one agg to the group frame carrying
+    both the member count and the exact distinct-sensitive count, then
+    a constant-size reduce.  No ``countDistinct`` over the corpus, no
+    window, no Python.  NULL sensitive values count as one value
+    (GROUP BY semantics, mirrored in the twin).
+    """
+    if l < 2:
+        raise ValueError(f"l must be >= 2, got {l}")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    missing = (set(quasi_cols) | {sensitive_col}) - set(df.columns)
+    if missing:
+        raise ValueError(f"columns {sorted(missing)} not in frame")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} cannot be a quasi column"
+        )
+    per_value = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").alias("_n")
+    )
+    groups = per_value.groupBy(*quasi_cols).agg(
+        F.sum("_n").alias("_rows"),
+        F.count("*").alias("_ell"),
+    )
+    risk = F.col("_ell") < l
+    return groups.agg(
+        F.lit(l).cast("long").alias("l"),
+        F.sum("_rows").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(risk, 1).otherwise(0)).cast("long").alias(
+            "at_risk_groups"
+        ),
+        F.sum(F.when(risk, F.col("_rows")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("at_risk_rows"),
+    ).select(
+        "l",
+        "n_rows",
+        "n_groups",
+        "at_risk_groups",
+        "at_risk_rows",
+        F.round(
+            F.col("at_risk_rows").cast("double") / F.col("n_rows"), 6
+        ).alias("at_risk_fraction"),
+    )

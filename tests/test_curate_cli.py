@@ -505,3 +505,28 @@ def test_cli_mix_alpha_conflicts_with_mix(spark, tmp_path):
              "--mix", "en=1.0", "--mix-alpha", "0.5"],
             spark=spark,
         )
+
+
+def test_cli_l_diversity_report(spark, tmp_path, capsys):
+    docs = str(tmp_path / "docs_ldiv")
+    rows = ([(i, GOOD + f" {i}", "zipA", "flu") for i in range(4)]
+            + [(10, GOOD + " x", "zipB", "flu"),
+               (11, GOOD + " y", "zipB", "cold")])
+    spark.createDataFrame(
+        rows, ["doc_id", "text", "zip", "diag"]
+    ).write.mode("overwrite").parquet(docs)
+    out = str(tmp_path / "curated_ldiv")
+    cli.main(
+        ["--input", docs, "--output", out,
+         "--l-div", "zip:diag", "--min-quality", "0"],
+        spark=spark,
+    )
+    report = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    ld = report["l_diversity"]
+    # zipA: 4 rows, 1 distinct diag -> at risk; zipB diverse
+    assert (ld["n_groups"], ld["at_risk_groups"], ld["at_risk_rows"]) == (2, 1, 4)
+    with pytest.raises(SystemExit, match="QUASI"):
+        cli.main(
+            ["--input", docs, "--output", out, "--l-div", "zip"],
+            spark=spark,
+        )

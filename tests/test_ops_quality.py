@@ -70,3 +70,34 @@ def test_k_anonymity_nulls_group_together_and_validation(spark):
         k_anonymity(df, ["q"], k=1)
     with pytest.raises(ValueError, match="not in frame"):
         k_anonymity(df, ["nope"])
+
+
+def test_l_diversity_hand_values(spark):
+    """Homogeneous group flags despite being k-large; diverse group
+    passes; NULL sensitive counts as one value."""
+    from kg.ops.quality import l_diversity
+
+    rows = (
+        [("zipA", "flu")] * 5          # 5 rows, 1 distinct -> at risk
+        + [("zipB", "flu"), ("zipB", "cold"), ("zipB", None)]  # 3 distinct
+        + [("zipC", None), ("zipC", None)]  # NULL-only: 1 value -> risk
+    )
+    df = spark.createDataFrame(rows, "zip string, diag string")
+    row = l_diversity(df, ["zip"], "diag", l=2).collect()[0]
+    assert (row["l"], row["n_rows"], row["n_groups"]) == (2, 10, 3)
+    assert (row["at_risk_groups"], row["at_risk_rows"]) == (2, 7)
+    assert row["at_risk_fraction"] == 0.7
+
+
+def test_l_diversity_validates(spark):
+    import pytest as _pt
+
+    from kg.ops.quality import l_diversity
+
+    df = spark.createDataFrame([("a", "b")], "zip string, diag string")
+    with _pt.raises(ValueError, match="l must"):
+        l_diversity(df, ["zip"], "diag", l=1)
+    with _pt.raises(ValueError, match="not in frame"):
+        l_diversity(df, ["nope"], "diag")
+    with _pt.raises(ValueError, match="cannot be a quasi"):
+        l_diversity(df, ["zip"], "zip")
