@@ -3922,6 +3922,20 @@ def q_l_diversity(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_t_closeness(spark: SparkSession, sf: str) -> DataFrame:
+    """t-closeness risk report (``kg/ops/quality.py::t_closeness``,
+    Li–Li–Venkatasubramanian 2007): quasi = c_nationkey, sensitive =
+    c_mktsegment at t = 0.2 — groups whose sensitive distribution
+    skews > t in variational distance from the corpus-wide one; the
+    skewness attack l-diversity misses.  Exact integer risk test via
+    the folded absent-value mass; third rung of the release ladder."""
+    from kg.ops import t_closeness
+
+    return t_closeness(
+        _read(spark, sf, "customer"), ["c_nationkey"], "c_mktsegment", t=0.2
+    )
+
+
 def q_distribution_drift(spark: SparkSession, sf: str) -> DataFrame:
     """PSI drift gate between two corpus snapshots
     (``kg/ops/stats.py::distribution_drift``): the ``lang``
@@ -4167,6 +4181,7 @@ def queries() -> dict[str, _T]:
         "column_profile": q_column_profile,
         "k_anonymity": q_k_anonymity,
         "l_diversity": q_l_diversity,
+        "t_closeness": q_t_closeness,
         "distribution_drift": q_distribution_drift,
         "negative_samples": q_negative_samples,
         "cms_token_counts": q_cms_token_counts,
@@ -5060,6 +5075,41 @@ def oracle_sql() -> dict[str, str]:
             "AS BIGINT) AS at_risk_rows, "
             "round(CAST(sum(CASE WHEN ell < 3 THEN rows_ ELSE 0 END) "
             "AS DOUBLE) / sum(rows_), 6) AS at_risk_fraction FROM g"
+        ),
+        "t_closeness": (
+            # same integer TV-distance numerator with folded
+            # absent-value mass, same micro-unit risk comparison
+            "WITH cells AS (SELECT c_nationkey, c_mktsegment, "
+            "CAST(count(*) AS BIGINT) AS ngv FROM customer "
+            "GROUP BY 1, 2), "
+            "g AS (SELECT c_nationkey, CAST(sum(ngv) AS BIGINT) AS ng "
+            "FROM cells GROUP BY 1), "
+            "v AS (SELECT c_mktsegment, CAST(sum(ngv) AS BIGINT) AS nv "
+            "FROM cells GROUP BY 1), "
+            "tt AS (SELECT CAST(sum(ngv) AS BIGINT) AS nt FROM cells), "
+            "pc AS (SELECT cells.c_nationkey, ngv, ng, nv, nt "
+            "FROM cells JOIN g USING (c_nationkey) "
+            "JOIN v USING (c_mktsegment) CROSS JOIN tt), "
+            "gr AS (SELECT c_nationkey, max(ng) AS ng, max(nt) AS nt, "
+            "sum(abs(CAST(ngv AS HUGEINT) * nt - "
+            "CAST(nv AS HUGEINT) * ng)) AS sp, "
+            "sum(CAST(nv AS HUGEINT)) AS pv FROM pc GROUP BY 1), "
+            "sc AS (SELECT ng, "
+            "sp + CAST(ng AS HUGEINT) * (nt - pv) AS num, "
+            "2 * CAST(ng AS HUGEINT) * nt AS den, "
+            "(sp + CAST(ng AS HUGEINT) * (nt - pv)) * 1000000 > "
+            "CAST(200000 AS HUGEINT) * 2 * ng * nt AS risk FROM gr) "
+            "SELECT CAST(0.2 AS DOUBLE) AS t, "
+            "CAST(sum(ng) AS BIGINT) AS n_rows, "
+            "count(*)::BIGINT AS n_groups, "
+            "CAST(sum(CASE WHEN risk THEN 1 ELSE 0 END) AS BIGINT) "
+            "AS at_risk_groups, "
+            "CAST(sum(CASE WHEN risk THEN ng ELSE 0 END) AS BIGINT) "
+            "AS at_risk_rows, "
+            "round(CAST(sum(CASE WHEN risk THEN ng ELSE 0 END) "
+            "AS DOUBLE) / sum(ng), 6) AS at_risk_fraction, "
+            "max(round(CAST(num AS DOUBLE) / CAST(den AS DOUBLE), 6)) "
+            "AS max_distance FROM sc"
         ),
         "distribution_drift": (
             # same md5 bins, Laplace smoothing, fixed-point terms

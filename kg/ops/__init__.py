@@ -121,6 +121,7 @@ from kg.ops.quality import (  # noqa: F401
     column_profile,
     k_anonymity,
     l_diversity,
+    t_closeness,
 )
 from kg.ops.stats import (  # noqa: F401
     distribution_drift,

@@ -189,3 +189,127 @@ def l_diversity(
             F.col("at_risk_rows").cast("double") / F.col("n_rows"), 6
         ).alias("at_risk_fraction"),
     )
+
+
+def t_closeness(
+    df: DataFrame,
+    quasi_cols: list[str],
+    sensitive_col: str,
+    t: float = 0.2,
+) -> DataFrame:
+    """t-closeness risk report (Li, Li & Venkatasubramanian 2007,
+    total-variation instance) → ONE row ``(t, n_rows, n_groups,
+    at_risk_groups, at_risk_rows, at_risk_fraction, max_distance)``:
+    a quasi-identifier group fails when the distribution of its
+    SENSITIVE attribute sits further than ``t`` (variational
+    distance) from the corpus-wide distribution — the skewness attack
+    l-diversity misses (a group can show l distinct diagnoses and
+    still be 99 % cancer).  The third rung of the release ladder:
+    :func:`k_anonymity` (size) → :func:`l_diversity` (variety) →
+    t-closeness (shape).
+
+    Exactness: d(g) = Σ_v |n_gv·N − N_v·n_g| / (2·n_g·N) has an
+    integer numerator; values ABSENT from a group contribute
+    ``N_v·n_g`` each, which folds to the closed form
+    ``n_g·(N − Σ_{v∈g} N_v)`` — so the risk test ``d(g) > t`` is the
+    exact integer comparison ``num·10⁶ > 2·t_fp·n_g·N`` (t
+    fix-pointed to micro-units), never a float sum over values.
+    ``max_distance`` is one identical-IEEE division per group then a
+    max, rounded to 6 dp.
+
+    Plan shape (100 TB): one hash agg to (quasi, sensitive) cells,
+    the group-total dim equi-joined back on the quasi tuple, the
+    value-sized global dim broadcast-gated, one agg to the group
+    frame, constant-size reduce.  No per-value cross join — the
+    absent-value mass is the closed form above.
+    """
+    from kg.hints import maybe_broadcast
+
+    if not 0 < t < 1:
+        raise ValueError(f"t must be in (0, 1), got {t}")
+    if not quasi_cols:
+        raise ValueError("need at least one quasi-identifier column")
+    missing = (set(quasi_cols) | {sensitive_col}) - set(df.columns)
+    if missing:
+        raise ValueError(f"columns {sorted(missing)} not in frame")
+    if sensitive_col in quasi_cols:
+        raise ValueError(
+            f"sensitive_col {sensitive_col!r} cannot be a quasi column"
+        )
+    t_fp = round(t * 1_000_000)
+    dec = "decimal(38,0)"
+    cells = df.groupBy(*quasi_cols, sensitive_col).agg(
+        F.count("*").cast("long").alias("_ngv")
+    )
+    gtot = cells.groupBy(*quasi_cols).agg(
+        F.sum("_ngv").cast("long").alias("_ng")
+    )
+    vdim = maybe_broadcast(
+        cells.groupBy(sensitive_col).agg(
+            F.sum("_ngv").cast("long").alias("_nv")
+        )
+    )
+    total = cells.agg(F.sum("_ngv").cast("long").alias("_nt"))
+    per_cell = (
+        cells.join(gtot, quasi_cols)
+        .join(vdim, sensitive_col)
+        .crossJoin(F.broadcast(total))
+    )
+    groups = per_cell.groupBy(*quasi_cols).agg(
+        F.max("_ng").alias("_ng"),
+        F.max("_nt").alias("_nt"),
+        F.sum(
+            F.abs(
+                F.col("_ngv").cast(dec) * F.col("_nt").cast(dec)
+                - F.col("_nv").cast(dec) * F.col("_ng").cast(dec)
+            )
+        ).alias("_sp"),
+        F.sum(F.col("_nv").cast(dec)).alias("_pv"),
+    )
+    num = (
+        F.col("_sp")
+        + F.col("_ng").cast(dec)
+        * (F.col("_nt").cast(dec) - F.col("_pv"))
+    )
+    denom = (
+        F.lit(2).cast(dec) * F.col("_ng").cast(dec) * F.col("_nt").cast(dec)
+    )
+    scored = groups.select(
+        F.col("_ng"),
+        num.alias("_num"),
+        denom.alias("_den"),
+        (
+            num * F.lit(1_000_000).cast(dec)
+            > F.lit(t_fp).cast(dec)
+            * F.lit(2).cast(dec)
+            * F.col("_ng").cast(dec)
+            * F.col("_nt").cast(dec)
+        ).alias("_risk"),
+    )
+    return scored.agg(
+        F.lit(t_fp / 1_000_000).alias("t"),
+        F.sum("_ng").cast("long").alias("n_rows"),
+        F.count("*").cast("long").alias("n_groups"),
+        F.sum(F.when(F.col("_risk"), 1).otherwise(0))
+        .cast("long")
+        .alias("at_risk_groups"),
+        F.sum(F.when(F.col("_risk"), F.col("_ng")).otherwise(F.lit(0)))
+        .cast("long")
+        .alias("at_risk_rows"),
+        F.max(
+            F.round(
+                F.col("_num").cast("double") / F.col("_den").cast("double"),
+                6,
+            )
+        ).alias("max_distance"),
+    ).select(
+        "t",
+        "n_rows",
+        "n_groups",
+        "at_risk_groups",
+        "at_risk_rows",
+        F.round(
+            F.col("at_risk_rows").cast("double") / F.col("n_rows"), 6
+        ).alias("at_risk_fraction"),
+        "max_distance",
+    )

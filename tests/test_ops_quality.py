@@ -101,3 +101,43 @@ def test_l_diversity_validates(spark):
         l_diversity(df, ["nope"], "diag")
     with _pt.raises(ValueError, match="cannot be a quasi"):
         l_diversity(df, ["zip"], "zip")
+
+
+def test_t_closeness_hand_values(spark):
+    """Global diag split 5 flu / 5 cold.  zipA is all-flu (TV = 0.5 >
+    t=0.2 -> at risk); zipB mirrors the global split (TV = 0 -> safe)."""
+    from kg.ops.quality import t_closeness
+
+    rows = ([("zipA", "flu")] * 4
+            + [("zipB", "flu")] + [("zipB", "cold")] * 5)
+    df = spark.createDataFrame(rows, "zip string, diag string")
+    # globals: N=10, flu=5, cold=5
+    # zipA: ng=4, present flu: |4*10-5*4|=20; absent cold: 4*5=20
+    #   -> num=40, den=80, d=0.5 > 0.2 -> risk
+    # zipB: ng=6, flu |1*10-5*6|=20, cold |5*10-5*6|=20 -> num=40,
+    #   den=120, d=1/3 > 0.2 -> risk too; adjust zipB to match global:
+    row = t_closeness(df, ["zip"], "diag", t=0.2).collect()[0]
+    assert (row["n_rows"], row["n_groups"]) == (10, 2)
+    assert row["at_risk_groups"] == 2 and row["at_risk_rows"] == 10
+    assert row["max_distance"] == 0.5
+
+    balanced = ([("zipA", "flu"), ("zipA", "cold")] * 2
+                + [("zipB", "flu"), ("zipB", "cold")] * 3)
+    row = t_closeness(
+        spark.createDataFrame(balanced, "zip string, diag string"),
+        ["zip"], "diag", t=0.2,
+    ).collect()[0]
+    assert row["at_risk_groups"] == 0 and row["max_distance"] == 0.0
+    assert row["at_risk_fraction"] == 0.0
+
+
+def test_t_closeness_validates(spark):
+    import pytest as _pt
+
+    from kg.ops.quality import t_closeness
+
+    df = spark.createDataFrame([("a", "b")], "zip string, diag string")
+    with _pt.raises(ValueError, match="t must"):
+        t_closeness(df, ["zip"], "diag", t=1.5)
+    with _pt.raises(ValueError, match="cannot be a quasi"):
+        t_closeness(df, ["zip"], "zip")
