@@ -4125,6 +4125,17 @@ def q_language_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
+    """Pairwise language vocabulary Jaccard
+    (``kg/ops/text.py::vocab_overlap``): the 5×5 corpus-comparison
+    matrix — corpus → distinct (lang, token) vocab in one hash agg,
+    token-keyed self-join bounded by |vocab|·|groups|; flags
+    mislabeled languages and tokenizer-sharing candidates."""
+    from kg.ops import vocab_overlap
+
+    return vocab_overlap(_read(spark, sf, "documents"))
+
+
 def q_token_gini(spark: SparkSession, sf: str) -> DataFrame:
     """Vocabulary Gini (``kg/ops/text.py::token_gini``): inequality of
     the token frequency distribution via the exact rank formula —
@@ -4189,6 +4200,7 @@ def queries() -> dict[str, _T]:
         "language_mix": q_language_mix,
         "ngram_diversity": q_ngram_diversity,
         "token_gini": q_token_gini,
+        "vocab_overlap": q_vocab_overlap,
         "isotropy": q_isotropy,
         "event_transitions": q_event_transitions,
         "event_burstiness": q_event_burstiness,
@@ -5300,6 +5312,23 @@ def oracle_sql() -> dict[str, str]:
             "round((CAST(dfp AS DOUBLE) / CAST(tot AS DOUBLE)) / "
             "(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) "
             "AS boost FROM d CROSS JOIN t"
+        ),
+        "vocab_overlap": (
+            # same distinct vocab, same ordered-pair token join, same
+            # inclusion-exclusion union
+            "WITH v AS (SELECT DISTINCT lang AS g, unnest("
+            + _TOK.format(c="text")
+            + ") AS t FROM documents), "
+            "s AS (SELECT g, CAST(count(*) AS BIGINT) AS n FROM v "
+            "GROUP BY g), "
+            "c AS (SELECT a.g AS group_a, b.g AS group_b, "
+            "CAST(count(*) AS BIGINT) AS n_common FROM v a "
+            "JOIN v b ON a.t = b.t AND a.g < b.g GROUP BY 1, 2) "
+            "SELECT group_a, group_b, sa.n AS n_a, sb.n AS n_b, "
+            "n_common, round(CAST(n_common AS DOUBLE) / "
+            "CAST(sa.n + sb.n - n_common AS DOUBLE), 6) AS jaccard "
+            "FROM c JOIN s sa ON sa.g = c.group_a "
+            "JOIN s sb ON sb.g = c.group_b"
         ),
         "token_gini": (
             # same tokenization, same (freq, token) total rank order,

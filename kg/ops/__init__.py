@@ -161,5 +161,6 @@ from kg.ops.text import (  # noqa: F401
     token_gini,
     tokens_col,
     vocab_coverage,
+    vocab_overlap,
     winnow_fingerprints,
 )

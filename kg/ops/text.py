@@ -785,3 +785,68 @@ def token_gini(docs, text_col: str = "text"):
             ),
         ).alias("gini"),
     )
+
+
+def vocab_overlap(docs, group_col: str = "lang", text_col: str = "text"):
+    """Pairwise vocabulary overlap between groups →
+    ``(group_a, group_b, n_a, n_b, n_common, jaccard)`` for each
+    ordered pair (a < b): Jaccard similarity of the groups' distinct
+    token sets — the corpus-comparison matrix that flags mislabeled
+    languages (two "different" languages sharing 80 % vocabulary),
+    contaminated domain splits, or which sources can share a
+    tokenizer.
+
+    Plan shape (100 TB): corpus collapses to the distinct
+    (group, token) vocabulary in one hash agg; the pair intersection
+    is a token-keyed equi-join of that vocab frame with itself
+    (vocab-sized, ≤ |groups| rows per token); group sizes are a
+    broadcast dim.  Exact integer counts; Jaccard is one division,
+    6 dp.
+    """
+    from kg.hints import maybe_broadcast
+
+    for c in (group_col, text_col):
+        if c not in docs.columns:
+            raise ValueError(f"column {c!r} not in frame")
+    vocab = (
+        docs.select(
+            F.col(group_col).alias("_g"),
+            F.explode(tokens_col(F.col(text_col))).alias("_t"),
+        )
+        .distinct()
+    )
+    sizes = maybe_broadcast(
+        vocab.groupBy("_g").agg(F.count("*").cast("long").alias("_n"))
+    )
+    a = vocab.select(F.col("_g").alias("group_a"), "_t")
+    b = vocab.select(F.col("_g").alias("group_b"), "_t")
+    common = (
+        a.join(b, "_t")
+        .filter(F.col("group_a") < F.col("group_b"))
+        .groupBy("group_a", "group_b")
+        .agg(F.count("*").cast("long").alias("n_common"))
+    )
+    out = (
+        common.join(
+            sizes.select(F.col("_g").alias("group_a"), F.col("_n").alias("n_a")),
+            "group_a",
+        )
+        .join(
+            sizes.select(F.col("_g").alias("group_b"), F.col("_n").alias("n_b")),
+            "group_b",
+        )
+    )
+    return out.select(
+        "group_a",
+        "group_b",
+        "n_a",
+        "n_b",
+        "n_common",
+        F.round(
+            F.col("n_common").cast("double")
+            / (F.col("n_a") + F.col("n_b") - F.col("n_common")).cast(
+                "double"
+            ),
+            6,
+        ).alias("jaccard"),
+    )

@@ -66,7 +66,7 @@ def main() -> None:
         "ams_f2_tokens", "language_mix", "ngram_diversity",
         "event_transitions", "split_leakage", "hard_negatives",
         "isotropy", "graph_rich_club", "event_burstiness",
-        "token_gini", "l_diversity", "t_closeness",
+        "token_gini", "l_diversity", "t_closeness", "vocab_overlap",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib

@@ -491,3 +491,31 @@ def test_token_gini_validates(spark):
     df = spark.createDataFrame([("a",)], "text string")
     with _pt.raises(ValueError, match="not in frame"):
         token_gini(df, text_col="nope")
+
+
+def test_vocab_overlap_hand_values(spark):
+    from kg.ops.text import vocab_overlap
+
+    rows = [
+        ("en", "cat dog bird"),
+        ("en", "cat fish"),          # en vocab: cat dog bird fish (4)
+        ("de", "cat dog maus"),      # de vocab: cat dog maus (3)
+        ("fr", "zebre"),             # fr vocab: zebre (1), disjoint
+    ]
+    df = spark.createDataFrame(rows, "lang string, text string")
+    got = {(r["group_a"], r["group_b"]): r for r in vocab_overlap(df).collect()}
+    de_en = got[("de", "en")]
+    assert (de_en["n_a"], de_en["n_b"], de_en["n_common"]) == (3, 4, 2)
+    assert de_en["jaccard"] == 0.4  # 2 / (3+4-2)
+    # disjoint pairs produce no row at all (inner join semantics)
+    assert set(got) == {("de", "en")}
+
+
+def test_vocab_overlap_validates(spark):
+    import pytest as _pt
+
+    from kg.ops.text import vocab_overlap
+
+    df = spark.createDataFrame([("en", "a")], "lang string, text string")
+    with _pt.raises(ValueError, match="not in frame"):
+        vocab_overlap(df, group_col="nope")
