@@ -4125,6 +4125,38 @@ def q_language_mix(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_rank_rbo(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-biased overlap (``kg/ops/retrieval.py::
+    rank_biased_overlap``, Webber et al. 2010) between the exact
+    brute-force cosine ranking and the banded-LSH ANN ranking at
+    depth 5 — the retrieval regression gauge: "does the cheap
+    approximate leg return what the exact leg returns?", answered as
+    a top-weighted per-query agreement score.  The per-depth
+    intersection sum telescopes to a per-match W(worse-rank) literal,
+    so RBO is one (query, neighbor) equi-join + one integer nano-unit
+    hash agg."""
+    from kg.ops import (
+        brute_force_topk,
+        lsh_ann_topk,
+        rank_biased_overlap,
+    )
+
+    emb = _read(spark, sf, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 5)
+    exact = brute_force_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", k=5
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"),
+             F.col("rk").alias("rank"))
+    approx = lsh_ann_topk(
+        queries, emb, "vec_id", "vec_id", "embedding", dim=_EMB_DIM,
+        k=5, planes=_ANN_PLANES, bands=_ANN_BANDS,
+    ).select("query_id", F.col("neighbor_id").alias("doc_id"),
+             F.col("rk").alias("rank"))
+    return rank_biased_overlap(
+        exact, approx, p=_RBO_P, depth=_RBO_DEPTH
+    )
+
+
 def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise language vocabulary Jaccard
     (``kg/ops/text.py::vocab_overlap``): the 5×5 corpus-comparison
@@ -4293,6 +4325,7 @@ def queries() -> dict[str, _T]:
         "chunk_docs": q_chunk_docs,
         "bm25_search": q_bm25_search,
         "hybrid_search": q_hybrid_search,
+        "rank_rbo": q_rank_rbo,
         "vocab_coverage": q_vocab_coverage,
         "token_entropy": q_token_entropy,
         "bigram_surprisal": q_bigram_surprisal,
@@ -4652,6 +4685,23 @@ def _ann_ivf_trained_sql() -> str:
     )
 
 
+def _ann_brute_force_sql() -> str:
+    """DuckDB twin of q_ann_brute_force — also the exact leg of the
+    rank_rbo agreement twin."""
+    return (
+        "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
+        "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
+        "round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / "
+        "(sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) * "
+        " sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cosine "
+        "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> query_id), "
+        "ranked AS (SELECT query_id, neighbor_id, cosine, "
+        "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
+        "FROM scored WHERE NOT isnan(cosine)) "
+        "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5"
+    )
+
+
 def _ann_lsh_sql() -> str:
     # kept/sig mirror lsh_ann_topk's corpus-side max_bucket=1024 cap: the
     # corpus signatures here are `bands` itself (queries ⊂ corpus), so the
@@ -4794,11 +4844,11 @@ def _event_funnel_sql() -> str:
     )
 
 
-def _hybrid_search_sql() -> str:
-    """DuckDB twin of q_hybrid_search: the verified BM25 chain and the
-    verified brute-force-cosine chain, each ranked to the leg depth,
-    fused with integer ``1000000 // (rrf_k + rank)`` contributions —
-    bit-equal to Spark's ``div`` path."""
+def _hybrid_legs_sql() -> str:
+    """Shared CTE prefix ending in ``lex`` and ``sem`` — the verified
+    BM25 chain and the verified brute-force-cosine chain, each ranked
+    to the leg depth.  Used by the hybrid_search (RRF fusion) and
+    rank_rbo (agreement) twins."""
     tok = _TOK.format(c="text")
     return (
         f"WITH t AS (SELECT doc_id, {tok} AS toks FROM documents), "
@@ -4846,7 +4896,16 @@ def _hybrid_search_sql() -> str:
         "         doc_id ASC) AS rank FROM semsc "
         "         WHERE NOT isnan(cosine)), "
         f"sem AS (SELECT query_id, doc_id, rank FROM semr "
-        f"        WHERE rank <= {_HYBRID_LEG_K}), "
+        f"        WHERE rank <= {_HYBRID_LEG_K})"
+    )
+
+
+def _hybrid_search_sql() -> str:
+    """DuckDB twin of q_hybrid_search: the shared legs fused with
+    integer ``1000000 // (rrf_k + rank)`` contributions — bit-equal to
+    Spark's ``div`` path."""
+    return (
+        _hybrid_legs_sql() + ", "
         f"u AS (SELECT query_id, doc_id, 1000000 // ({_RRF_K} + rank) "
         "      AS contrib FROM lex UNION ALL "
         f"      SELECT query_id, doc_id, 1000000 // ({_RRF_K} + rank) "
@@ -4859,6 +4918,38 @@ def _hybrid_search_sql() -> str:
         "      ORDER BY rrf_fp DESC, doc_id ASC) AS INT) AS rank FROM c) "
         "SELECT query_id, doc_id, legs, rrf_fp, rank FROM r "
         f"WHERE rank <= {_HYBRID_K}"
+    )
+
+
+_RBO_P, _RBO_DEPTH = 0.5, 5
+
+
+def _rank_rbo_sql() -> str:
+    """DuckDB twin of q_rank_rbo: the verified brute-force chain (the
+    exact leg) against the verified banded-LSH chain (the cheap leg),
+    matches joined on (query, neighbor), each weighted by the SAME
+    driver-computed nano-unit ``W(worse rank)`` literal the Spark op
+    inlines (``kg.ops.retrieval.rbo_weights_fp``)."""
+    from kg.ops.retrieval import rbo_weights_fp
+
+    w = rbo_weights_fp(_RBO_P, _RBO_DEPTH)
+    case = (
+        "CASE m "
+        + " ".join(
+            f"WHEN {m + 1} THEN {fp}" for m, fp in enumerate(w[:-1])
+        )
+        + f" ELSE {w[-1]} END"
+    )
+    return (
+        f"WITH ex AS (SELECT * FROM ({_ann_brute_force_sql()})), "
+        f"ap AS (SELECT * FROM ({_ann_lsh_sql()})), "
+        "j AS (SELECT ex.query_id, greatest(ex.rk, ap.rk) AS m "
+        "FROM ex JOIN ap USING (query_id, neighbor_id) "
+        f"WHERE ex.rk <= {_RBO_DEPTH} AND ap.rk <= {_RBO_DEPTH}), "
+        "w AS (SELECT query_id, CAST(count(*) AS BIGINT) AS n_common, "
+        f"CAST(sum({case}) AS BIGINT) AS fp FROM j GROUP BY query_id) "
+        "SELECT query_id, n_common, "
+        "round(CAST(fp AS DOUBLE) / 1e9, 6) AS rbo FROM w"
     )
 
 
@@ -5986,6 +6077,7 @@ def oracle_sql() -> dict[str, str]:
             f"SELECT query_id, doc_id, score_fp, rank FROM r WHERE rank <= {_BM25_K}"
         ),
         "hybrid_search": _hybrid_search_sql(),
+        "rank_rbo": _rank_rbo_sql(),
         "bigram_surprisal": (
             # identical rule: one floor(1e6·ln(ct/cp)) per distinct
             # bigram, BIGINT doc sum, // == div (w_fp >= 0)
@@ -6070,18 +6162,7 @@ def oracle_sql() -> dict[str, str]:
         ),
         "clean_lines": _clean_lines_sql(),
         "redact_pii": _redact_pii_sql(),
-        "ann_brute_force": (
-            "WITH q AS (SELECT vec_id AS query_id, embedding AS qv FROM embeddings WHERE vec_id < 5), "
-            "scored AS (SELECT query_id, e.vec_id AS neighbor_id, "
-            "round(list_dot_product(CAST(qv AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])) / "
-            "(sqrt(list_dot_product(CAST(qv AS DOUBLE[]), CAST(qv AS DOUBLE[]))) * "
-            " sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]), CAST(e.embedding AS DOUBLE[])))), 6) AS cosine "
-            "FROM q CROSS JOIN embeddings e WHERE e.vec_id <> query_id), "
-            "ranked AS (SELECT query_id, neighbor_id, cosine, "
-            "row_number() OVER (PARTITION BY query_id ORDER BY cosine DESC, neighbor_id ASC) AS rk "
-            "FROM scored WHERE NOT isnan(cosine)) "
-            "SELECT query_id, neighbor_id, cosine, CAST(rk AS INT) AS rk FROM ranked WHERE rk <= 5"
-        ),
+        "ann_brute_force": _ann_brute_force_sql(),
         "hard_negatives": (
             # same exact cosine, same label-inequality predicate, same
             # (cosine DESC, neighbor_id) tie-break

@@ -110,7 +110,12 @@ from kg.ops.pca import (  # noqa: F401
     pca_projection,
     top_principal_component,
 )
-from kg.ops.retrieval import bm25_topk, rrf_fuse  # noqa: F401
+from kg.ops.retrieval import (  # noqa: F401
+    bm25_topk,
+    rank_biased_overlap,
+    rbo_weights_fp,
+    rrf_fuse,
+)
 from kg.ops.sketch import (  # noqa: F401
     ams_f2,
     cms_cells,

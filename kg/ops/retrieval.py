@@ -227,3 +227,74 @@ def rrf_fuse(
         .where(F.col("_rn") <= k)
         .select(query_col, id_col, "legs", "rrf_fp", F.col("_rn").alias("rank"))
     )
+
+
+def rbo_weights_fp(p: float = 0.5, depth: int = 5) -> list[int]:
+    """Per-match RBO weights, fix-pointed to nano-units: a doc whose
+    worse rank is m contributes ``Σ_{d=m..depth} (1−p)·p^{d−1}/d`` to
+    truncated RBO@depth (it sits in both depth-d prefixes for every
+    d ≥ m).  Computed once driver-side and inlined as literals on BOTH
+    engines, so the distributed sum is pure integers."""
+    if not 0 < p < 1:
+        raise ValueError(f"p must be in (0, 1), got {p}")
+    if depth < 1:
+        raise ValueError(f"depth must be >= 1, got {depth}")
+    return [
+        round(sum((1 - p) * p ** (d - 1) / d for d in range(m, depth + 1)) * 1_000_000_000)
+        for m in range(1, depth + 1)
+    ]
+
+
+def rank_biased_overlap(
+    run_a: DataFrame,
+    run_b: DataFrame,
+    query_col: str = "query_id",
+    id_col: str = "doc_id",
+    rank_col: str = "rank",
+    p: float = 0.5,
+    depth: int = 5,
+) -> DataFrame:
+    """Truncated rank-biased overlap (Webber et al. 2010) between two
+    per-query rankings → ``(query_col, n_common, rbo)``: the
+    top-weighted agreement measure used to compare retrieval systems
+    (here: is the cheap ANN leg returning what the exact leg returns?).
+    Identical depth-``depth`` lists score ``1 − p^depth``; disjoint
+    lists produce no row (inner-join semantics — absent ⇒ zero
+    agreement).
+
+    Exactness: the per-depth intersection sum telescopes per MATCH —
+    a shared doc with worse-rank m contributes the constant
+    ``W(m) = Σ_{d≥m} (1−p)p^{d−1}/d`` — so RBO is ONE equi-join on
+    (query, doc) + one hash agg of integer nano-unit weights
+    (:func:`rbo_weights_fp`); only the final /1e9 is float (6 dp).
+    No per-depth scans, no prefix explosion.
+    """
+    w_fp = rbo_weights_fp(p, depth)
+    for c in (query_col, id_col, rank_col):
+        if c not in run_a.columns or c not in run_b.columns:
+            raise ValueError(f"column {c!r} missing from a run")
+    a = run_a.filter(F.col(rank_col) <= depth).select(
+        query_col, id_col, F.col(rank_col).alias("_ra")
+    )
+    b = run_b.filter(F.col(rank_col) <= depth).select(
+        query_col, id_col, F.col(rank_col).alias("_rb")
+    )
+    m = F.greatest("_ra", "_rb").cast("int")
+    weights = F.array(*[F.lit(w).cast("long") for w in w_fp])
+    matched = a.join(b, [query_col, id_col]).select(
+        query_col, F.element_at(weights, m).alias("_w")
+    )
+    return (
+        matched.groupBy(query_col)
+        .agg(
+            F.count("*").cast("long").alias("n_common"),
+            F.sum("_w").cast("long").alias("_fp"),
+        )
+        .select(
+            query_col,
+            "n_common",
+            F.round(F.col("_fp").cast("double") / F.lit(1e9), 6).alias(
+                "rbo"
+            ),
+        )
+    )

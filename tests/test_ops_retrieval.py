@@ -169,3 +169,46 @@ def test_rrf_validation(spark):
         rrf_fuse([lex], rrf_k=-1)
     with pytest.raises(ValueError, match="missing columns"):
         rrf_fuse([lex.drop("rank")])
+
+
+def test_rbo_weights_and_identical_lists(spark):
+    """Identical depth-5 lists score exactly the fix-point image of
+    1 - p^5; weights recomputed independently."""
+    from kg.ops.retrieval import rank_biased_overlap, rbo_weights_fp
+
+    w = rbo_weights_fp(0.5, 5)
+    for m in range(1, 6):
+        expect = round(
+            sum(0.5 * 0.5 ** (d - 1) / d for d in range(m, 6)) * 1e9
+        )
+        assert w[m - 1] == expect
+    rows = [("q", f"d{r}", r) for r in range(1, 6)]
+    run = spark.createDataFrame(rows, "query_id string, doc_id string, rank int")
+    got = rank_biased_overlap(run, run).collect()[0]
+    assert got["n_common"] == 5
+    assert got["rbo"] == round(sum(w) / 1e9, 6)  # ≈ 1 - 0.5^5
+
+
+def test_rbo_partial_and_disjoint(spark):
+    from kg.ops.retrieval import rank_biased_overlap, rbo_weights_fp
+
+    w = rbo_weights_fp(0.5, 5)
+    a = spark.createDataFrame(
+        [("q", "x", 1), ("q", "y", 2)], "query_id string, doc_id string, rank int"
+    )
+    b = spark.createDataFrame(
+        [("q", "x", 3), ("q", "z", 1)], "query_id string, doc_id string, rank int"
+    )
+    got = rank_biased_overlap(a, b).collect()[0]
+    # only x shared, worse rank 3 -> W(3)
+    assert (got["n_common"], got["rbo"]) == (1, round(w[2] / 1e9, 6))
+    disjoint = rank_biased_overlap(
+        a, b.filter("doc_id = 'z'")
+    ).collect()
+    assert disjoint == []
+    import pytest as _pt
+
+    with _pt.raises(ValueError, match="p must"):
+        rank_biased_overlap(a, b, p=1.0)
+    with _pt.raises(ValueError, match="missing"):
+        rank_biased_overlap(a.drop("rank"), b)
