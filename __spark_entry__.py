@@ -4157,6 +4157,16 @@ def q_rank_rbo(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+def q_zipf_slope(spark: SparkSession, sf: str) -> DataFrame:
+    """Zipf exponent (``kg/ops/text.py::zipf_slope``): exact-OLS
+    log-log fit of the token frequency distribution — vocab-sized
+    rank window, decimal moment sums, µ-unit ln fix-points (the bm25
+    idf precedent); natural text ≈ −1, synthetic-uniform ≈ 0."""
+    from kg.ops import zipf_slope
+
+    return zipf_slope(_read(spark, sf, "documents"))
+
+
 def q_vocab_overlap(spark: SparkSession, sf: str) -> DataFrame:
     """Pairwise language vocabulary Jaccard
     (``kg/ops/text.py::vocab_overlap``): the 5×5 corpus-comparison
@@ -4232,6 +4242,7 @@ def queries() -> dict[str, _T]:
         "language_mix": q_language_mix,
         "ngram_diversity": q_ngram_diversity,
         "token_gini": q_token_gini,
+        "zipf_slope": q_zipf_slope,
         "vocab_overlap": q_vocab_overlap,
         "isotropy": q_isotropy,
         "event_transitions": q_event_transitions,
@@ -5403,6 +5414,36 @@ def oracle_sql() -> dict[str, str]:
             "round((CAST(dfp AS DOUBLE) / CAST(tot AS DOUBLE)) / "
             "(CAST(n_docs AS DOUBLE) / CAST(n_total AS DOUBLE)), 6) "
             "AS boost FROM d CROSS JOIN t"
+        ),
+        "zipf_slope": (
+            # same µ-unit ln fix-points, same exact OLS moments, same
+            # closed-form finals
+            "WITH toks AS (SELECT unnest("
+            + _TOK.format(c="text")
+            + ") AS t FROM documents), "
+            "c AS (SELECT t, CAST(count(*) AS BIGINT) AS f FROM toks "
+            "GROUP BY t), "
+            "r AS (SELECT f, row_number() OVER (ORDER BY f DESC, t) "
+            "AS rk FROM c), "
+            "p AS (SELECT CAST(floor(ln(CAST(rk AS DOUBLE)) * 1000000) "
+            "AS BIGINT) AS x, CAST(floor(ln(CAST(f AS DOUBLE)) * "
+            "1000000) AS BIGINT) AS y FROM r), "
+            "m AS (SELECT CAST(count(*) AS BIGINT) AS n, "
+            "sum(CAST(x AS HUGEINT)) AS sx, "
+            "sum(CAST(y AS HUGEINT)) AS sy, "
+            "sum(CAST(x AS HUGEINT) * y) AS sxy, "
+            "sum(CAST(x AS HUGEINT) * x) AS sxx FROM p) "
+            "SELECT n AS n_types, "
+            "CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN "
+            "round(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE), 6) ELSE NULL END "
+            "AS slope, "
+            "CASE WHEN n >= 2 AND n * sxx - sx * sx <> 0 THEN "
+            "round((CAST(sy AS DOUBLE) - "
+            "(CAST(n * sxy - sx * sy AS DOUBLE) / "
+            "CAST(n * sxx - sx * sx AS DOUBLE)) * CAST(sx AS DOUBLE)) "
+            "/ CAST(n AS DOUBLE) / 1000000.0, 6) ELSE NULL END "
+            "AS intercept FROM m"
         ),
         "vocab_overlap": (
             # same distinct vocab, same ordered-pair token join, same

@@ -168,4 +168,5 @@ from kg.ops.text import (  # noqa: F401
     vocab_coverage,
     vocab_overlap,
     winnow_fingerprints,
+    zipf_slope,
 )

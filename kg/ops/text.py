@@ -850,3 +850,63 @@ def vocab_overlap(docs, group_col: str = "lang", text_col: str = "text"):
             6,
         ).alias("jaccard"),
     )
+
+
+def zipf_slope(docs, text_col: str = "text"):
+    """Zipf exponent of the token frequency distribution → ONE row
+    ``(n_types, slope, intercept)``: OLS fit of ln(freq) against
+    ln(rank) over the vocabulary (rank 1 = most frequent).  Natural
+    corpora sit near slope ≈ −1 (Zipf's law); a much flatter slope
+    flags synthetic/uniform text, a much steeper one template
+    flooding — the parametric cousin of :func:`token_gini`.
+
+    Exactness: ln values fix-point to ⌊10⁶·ln(·)⌋ of exact integers
+    (the bm25 idf precedent — both engines' libm ln agree inside the
+    µ-unit floor), the OLS moments (Σx, Σy, Σxy, Σx², n) accumulate
+    in decimal(38,0), and slope/intercept are the closed-form ratios
+    with identically-spelled float finals, 6 dp.  Fewer than two
+    types (or zero x-variance) yields NULLs.
+
+    Plan shape: corpus → vocabulary in one hash agg; the rank window
+    and moment fold run over vocab-sized data only.
+    """
+    from pyspark.sql import Window as W
+
+    if text_col not in docs.columns:
+        raise ValueError(f"column {text_col!r} not in frame")
+    counts = (
+        docs.select(F.explode(tokens_col(F.col(text_col))).alias("_t"))
+        .groupBy("_t")
+        .agg(F.count("*").cast("long").alias("_c"))
+    )
+    ranked = counts.withColumn(
+        "_r", F.row_number().over(W.orderBy(F.desc("_c"), F.asc("_t")))
+    )
+    x = F.floor(F.log(F.col("_r").cast("double")) * F.lit(1_000_000)).cast(
+        "long"
+    )
+    y = F.floor(F.log(F.col("_c").cast("double")) * F.lit(1_000_000)).cast(
+        "long"
+    )
+    dec = "decimal(38,0)"
+    pts = ranked.select(x.alias("_x"), y.alias("_y"))
+    m = pts.agg(
+        F.count("*").cast("long").alias("n_types"),
+        F.sum(F.col("_x").cast(dec)).alias("_sx"),
+        F.sum(F.col("_y").cast(dec)).alias("_sy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_y").cast(dec)).alias("_sxy"),
+        F.sum(F.col("_x").cast(dec) * F.col("_x").cast(dec)).alias("_sxx"),
+    )
+    n = F.col("n_types").cast(dec)
+    den = n * F.col("_sxx") - F.col("_sx") * F.col("_sx")
+    num = n * F.col("_sxy") - F.col("_sx") * F.col("_sy")
+    b = num.cast("double") / den.cast("double")
+    a = (
+        F.col("_sy").cast("double") - b * F.col("_sx").cast("double")
+    ) / F.col("n_types").cast("double")
+    ok = (F.col("n_types") >= 2) & (den != F.lit(0).cast(dec))
+    return m.select(
+        "n_types",
+        F.when(ok, F.round(b, 6)).alias("slope"),
+        F.when(ok, F.round(a / F.lit(1_000_000), 6)).alias("intercept"),
+    )

@@ -519,3 +519,46 @@ def test_vocab_overlap_validates(spark):
     df = spark.createDataFrame([("en", "a")], "lang string, text string")
     with _pt.raises(ValueError, match="not in frame"):
         vocab_overlap(df, group_col="nope")
+
+
+def test_zipf_slope_python_replica_and_shape(spark):
+    """Moments recomputed independently from the same µ-unit ln rule;
+    a freq ∝ 1/rank corpus fits slope ≈ −1."""
+    import math
+
+    from kg.ops.text import zipf_slope
+
+    # freq ∝ 1/rank over 8 types: token t_i repeated 240//i times
+    rows = [(" ".join(f"t{i}" for _ in range(240 // i)),) for i in range(1, 9)]
+    df = spark.createDataFrame(rows, "text string")
+    row = zipf_slope(df).collect()[0]
+
+    freqs = sorted((240 // i for i in range(1, 9)), reverse=True)
+    pts = [
+        (math.floor(math.log(r + 1) * 1e6), math.floor(math.log(f) * 1e6))
+        for r, f in enumerate(freqs)
+    ]
+    n = len(pts)
+    sx = sum(x for x, _ in pts)
+    sy = sum(y for _, y in pts)
+    sxy = sum(x * y for x, y in pts)
+    sxx = sum(x * x for x, _ in pts)
+    b = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+    a = (sy - b * sx) / n
+    assert row["n_types"] == 8
+    assert row["slope"] == round(b, 6)
+    assert row["intercept"] == round(a / 1e6, 6)
+    assert -1.05 < row["slope"] < -0.95  # Zipf shape recovered
+
+
+def test_zipf_slope_degenerate_and_validation(spark):
+    import pytest as _pt
+
+    from kg.ops.text import zipf_slope
+
+    single = spark.createDataFrame([("hello hello",)], "text string")
+    row = zipf_slope(single).collect()[0]
+    assert row["n_types"] == 1
+    assert row["slope"] is None and row["intercept"] is None
+    with _pt.raises(ValueError, match="not in frame"):
+        zipf_slope(single, text_col="nope")
