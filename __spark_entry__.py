@@ -3766,6 +3766,25 @@ def q_kg_entity_map(spark: SparkSession, sf: str) -> DataFrame:
     return _kg_outputs(spark, upto="canonicalize")["entity_map"]
 
 
+def q_entity_profile(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonicalization profile of the pipeline's entity map →
+    ``(cluster_size, n_entities, n_mentions)``: how many canonical
+    entities absorbed 1, 2, 3… mentions — the first diagnostic run on
+    a fresh KG build (a fat tail means over-merging, all-singletons
+    means linking found nothing).  Two stacked hash aggs over the
+    LIVE canonicalize output; the twin derives the same histogram
+    from the pinned golden map, so a drifted pipeline fails here even
+    if row counts match."""
+    em = _kg_outputs(spark, upto="canonicalize")["entity_map"]
+    sizes = em.groupBy("canonical_id").agg(F.count("*").alias("_s"))
+    return sizes.groupBy(
+        F.col("_s").cast("long").alias("cluster_size")
+    ).agg(
+        F.count("*").cast("long").alias("n_entities"),
+        F.sum("_s").cast("long").alias("n_mentions"),
+    )
+
+
 def q_kg_nodes(spark: SparkSession, sf: str) -> DataFrame:
     # the map column itself is unhashable for the driver compare, so the
     # property bag is serialized as key-sorted entry JSON — the O9/O10
@@ -4357,6 +4376,7 @@ def queries() -> dict[str, _T]:
         "dedup_winnow": q_dedup_winnow,
         "kg_triples": q_kg_triples,
         "kg_entity_map": q_kg_entity_map,
+        "entity_profile": q_entity_profile,
         "kg_nodes": q_kg_nodes,
         "kg_edges": q_kg_edges,
     }
@@ -6292,6 +6312,16 @@ def oracle_sql() -> dict[str, str]:
         "kg_entity_map": (
             "SELECT mention_id, canonical_id "
             f"FROM read_parquet('{_GOLDEN_DIR}/golden_entity_map_200.parquet')"
+        ),
+        "entity_profile": (
+            # same two stacked aggs over the PINNED golden map — a
+            # drifted live canonicalization fails the value compare
+            "WITH s AS (SELECT canonical_id, count(*) AS s FROM "
+            f"read_parquet('{_GOLDEN_DIR}/golden_entity_map_200.parquet') "
+            "GROUP BY 1) "
+            "SELECT CAST(s AS BIGINT) AS cluster_size, "
+            "CAST(count(*) AS BIGINT) AS n_entities, "
+            "CAST(sum(s) AS BIGINT) AS n_mentions FROM s GROUP BY 1"
         ),
         "kg_nodes": (
             "SELECT id, label, partition_key, properties_json "

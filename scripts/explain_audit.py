@@ -67,7 +67,7 @@ def main() -> None:
         "event_transitions", "split_leakage", "hard_negatives",
         "isotropy", "graph_rich_club", "event_burstiness",
         "token_gini", "l_diversity", "t_closeness", "vocab_overlap",
-        "rank_rbo", "zipf_slope",
+        "rank_rbo", "zipf_slope", "entity_profile",
     ]
     lines = ["# Physical plan audit\n"]
     import contextlib
