@@ -4716,6 +4716,33 @@ def _ann_ivf_trained_sql() -> str:
     )
 
 
+def _knn_graph_sql() -> str:
+    """DuckDB twin of q_knn_graph — also the neighbor source of the
+    label_noise twin: banded_lsh_pairs chain (both join sides capped,
+    a<b, distinct) symmetrized + exact-cosine window top-k."""
+    return (
+        "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
+        "FROM embeddings), "
+        "bands AS (" + _bands_sql("base", _ANN_PLANES, _ANN_BANDS) + "), "
+        "kept AS (SELECT band, key FROM bands GROUP BY band, key "
+        "         HAVING count(*) <= 1024), "
+        "sig AS (SELECT bands.* FROM bands JOIN kept USING (band, key)), "
+        "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
+        "         FROM sig x JOIN sig y ON x.band = y.band "
+        "         AND x.key = y.key AND x.vec_id < y.vec_id), "
+        "dir AS (SELECT a AS src, b AS nbr FROM cand "
+        "        UNION ALL SELECT b, a FROM cand), "
+        "scored AS (SELECT src, nbr, round(" + _COS_SQL + ", 6) AS cosine "
+        "           FROM dir JOIN base va ON va.vec_id = src "
+        "           JOIN base vb ON vb.vec_id = nbr), "
+        "ranked AS (SELECT src, nbr, cosine, row_number() OVER "
+        "           (PARTITION BY src ORDER BY cosine DESC, nbr ASC) AS rank "
+        "           FROM scored WHERE NOT isnan(cosine)) "
+        "SELECT src AS vec_id, nbr AS neighbor_id, cosine, "
+        "CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"
+    )
+
+
 def _ann_brute_force_sql() -> str:
     """DuckDB twin of q_ann_brute_force — also the exact leg of the
     rank_rbo agreement twin."""
@@ -6266,29 +6293,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_keepers": _cluster_keepers_sql(),
         "dedup_simhash_portable": _simhash_portable_sql(),
         "ann_lsh": _ann_lsh_sql(),
-        "knn_graph": (
-            # banded_lsh_pairs twin (both join sides capped, a<b,
-            # distinct) symmetrized + exact-cosine window top-k
-            "WITH base AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v "
-            "FROM embeddings), "
-            "bands AS (" + _bands_sql("base", _ANN_PLANES, _ANN_BANDS) + "), "
-            "kept AS (SELECT band, key FROM bands GROUP BY band, key "
-            "         HAVING count(*) <= 1024), "
-            "sig AS (SELECT bands.* FROM bands JOIN kept USING (band, key)), "
-            "cand AS (SELECT DISTINCT x.vec_id AS a, y.vec_id AS b "
-            "         FROM sig x JOIN sig y ON x.band = y.band "
-            "         AND x.key = y.key AND x.vec_id < y.vec_id), "
-            "dir AS (SELECT a AS src, b AS nbr FROM cand "
-            "        UNION ALL SELECT b, a FROM cand), "
-            "scored AS (SELECT src, nbr, round(" + _COS_SQL + ", 6) AS cosine "
-            "           FROM dir JOIN base va ON va.vec_id = src "
-            "           JOIN base vb ON vb.vec_id = nbr), "
-            "ranked AS (SELECT src, nbr, cosine, row_number() OVER "
-            "           (PARTITION BY src ORDER BY cosine DESC, nbr ASC) AS rank "
-            "           FROM scored WHERE NOT isnan(cosine)) "
-            "SELECT src AS vec_id, nbr AS neighbor_id, cosine, "
-            "CAST(rank AS INT) AS rank FROM ranked WHERE rank <= 5"
-        ),
+        "knn_graph": _knn_graph_sql(),
         "ann_ivf": _ann_ivf_sql(),
         "ann_ivf_trained": _ann_ivf_trained_sql(),
         "dedup_semantic": _dedup_semantic_sql(),
