@@ -108,6 +108,11 @@ def _encode_vertex_ids(
     ).first()
     if stats["n"] != stats["d"]:
         return None
+    # the injectivity agg already paid for an exact vertex count: ride it
+    # along so _decode_ids can gate its dim-join broadcasts on evidence
+    # (Catalyst's estimate for the checkpointed distinct runs ~6x over
+    # the real bytes, starving the stats-based gate at bench scale)
+    vocab._kg_row_count = int(stats["n"])
     encoded = edges.withColumn(out_col, F.xxhash64(out_col)).withColumn(
         in_col, F.xxhash64(in_col)
     )
@@ -117,14 +122,23 @@ def _encode_vertex_ids(
 def _decode_ids(df: DataFrame, vocab: DataFrame, cols: list[str]) -> DataFrame:
     """Swap each encoded-long id column back to the original id via the
     vertex vocabulary, preserving column order and names."""
-    from kg.hints import maybe_broadcast
+    from kg.hints import broadcast_if_small, maybe_broadcast
 
+    # prefer the exact count the encode's injectivity agg already paid
+    # for (64 bytes/row covers the 8-byte enc plus typical id strings);
+    # vocabularies without one fall back to the Catalyst-stats gate
+    n_vocab = getattr(vocab, "_kg_row_count", None)
     out_cols = df.columns
     for c in cols:
         dim = vocab.select(
             F.col("enc").alias(c), F.col("id").alias("_dec_" + c)
         )
-        df = df.join(maybe_broadcast(dim), c)
+        dim = (
+            broadcast_if_small(dim, row_count=n_vocab, bytes_per_row=64)
+            if n_vocab is not None
+            else maybe_broadcast(dim)
+        )
+        df = df.join(dim, c)
     return df.select(
         *[
             F.col("_dec_" + c).alias(c) if c in cols else F.col(c)
@@ -768,46 +782,116 @@ def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
     """Each triangle of the undirected simple graph exactly once as
     (a, b, c) via degree orientation — the shared core of
     :func:`triangles` and :func:`k_truss`.  ``und``/``deg`` must be
-    checkpointed by the caller (both are referenced by multiple joins)."""
-    from kg.hints import maybe_broadcast
+    checkpointed by the caller (both are referenced by multiple joins).
 
-    ranked = (
-        und.join(
-            maybe_broadcast(deg.withColumnsRenamed({"id": "u", "deg": "du"})),
-            "u",
+    Adjacency-intersect formulation (node-iterator over the oriented
+    graph): for each oriented edge (a, b), every common oriented
+    out-neighbor c ∈ N⁺(a) ∩ N⁺(b) closes the triangle (a, b, c) —
+    a→b, a→c and b→c all oriented, so each triangle is found exactly
+    once at its rank-minimal edge, with a = min, b = mid, c = max in
+    orientation rank (identical labeling to the wedge-join form this
+    replaced).  N⁺ arrays are bounded O(√m) by the orientation, so no
+    row ever materializes an unbounded neighborhood.
+
+    Why not the previous explicit wedge self-join + (b, c) closer join:
+    the wedge set (Σ out-deg² rows) was materialized AND shuffled to the
+    closer join's (b, c) partitioning — ~130M × 24-byte rows at the
+    sf1.0 bench graph, ~24 s of its 39 s total.  Here the wedge set is
+    never materialized: the candidate join ships only (src, dst) pairs
+    plus one bounded N⁺ array per surviving edge, and wedges are closed
+    in-array by ``array_intersect`` (hash set, JVM).  Plan: one groupBy
+    building N⁺ + three narrow equi-joins, the first of which drops
+    every edge whose head has no out-neighbors (in the bench's
+    tripartite graph that is 2/3 of all edges — exactly the wedges that
+    could never close)."""
+    from kg.hints import DEFAULT_MAX_BYTES, broadcast_if_small
+
+    # evidence for the broadcast gates below: both frames are
+    # checkpointed by the caller, so these counts are metadata-cheap
+    # block scans — Catalyst's own size estimates for checkpointed aggs
+    # run ~6x over the real bytes at the bench graph (measured 163 MB
+    # estimated vs ~27 MB real for deg), starving every gate; an exact
+    # row count × a documented bytes-per-row model is the repo's
+    # broadcast_if_small contract for exactly this case
+    n_vert = deg.count()
+    m_und = und.count()
+
+    def _deg_side(key: str, out: str) -> DataFrame:
+        return broadcast_if_small(
+            deg.withColumnsRenamed({"id": key, "deg": out}),
+            row_count=n_vert,
+            bytes_per_row=16,
         )
-        .join(
-            maybe_broadcast(deg.withColumnsRenamed({"id": "v", "deg": "dv"})),
-            "v",
-        )
+
+    ranked = und.join(_deg_side("u", "du"), "u").join(
+        _deg_side("v", "dv"), "v"
     )
     lt = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
     )
-    # oriented is referenced three times below (both wedge legs + the
-    # closer); without a checkpoint Catalyst re-executes the full
-    # scan → union → degree agg → two joins chain per reference (a 48-join
-    # physical plan, measured 3-4x the runtime of the checkpointed form)
     oriented = ranked.select(
         F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
         F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
-        F.when(lt, F.col("dv")).otherwise(F.col("du")).alias("ddst"),
-    ).localCheckpoint()
-    w1 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("b"),
-                         F.col("ddst").alias("db"))
-    w2 = oriented.select(F.col("src").alias("a"), F.col("dst").alias("c"),
-                         F.col("ddst").alias("dc"))
-    # the wedge set is the big intermediate (Σ out-deg² rows): broadcast
-    # the EDGE-sized sides when the checkpoint's stats prove them small,
-    # so the wedges are generated and closed map-side and never shuffle —
-    # over budget the gate leaves both joins to Catalyst/AQE (shuffle at
-    # worst), the standard degrade path of kg.hints
-    wedges = w1.join(maybe_broadcast(w2), "a").filter(
-        (F.col("db") < F.col("dc"))
-        | ((F.col("db") == F.col("dc")) & (F.col("b") < F.col("c")))
     )
-    closer = oriented.select(F.col("src").alias("b"), F.col("dst").alias("c"))
-    return wedges.join(maybe_broadcast(closer), ["b", "c"]).select("a", "b", "c")
+    # one bounded O(√m) out-neighbor array per vertex; referenced three
+    # times below (prune keys + both array attachments), so checkpoint —
+    # und is distinct, hence collect_list never sees a duplicate.  The
+    # in-array element order is whatever the aggregation produced:
+    # array_intersect/explode consumers are set-semantics, so nothing
+    # downstream observes it.
+    hi_adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_list("dst").alias("nb"))
+        .localCheckpoint()
+    )
+    # total adjacency payload is exactly (vertices × row overhead +
+    # und edges × 8B): broadcastable well past the default dim budget —
+    # a few hundred MB per executor is the normal broadcast regime
+    # (guide §3.1) and turns the whole closure below into map-side
+    # probes; past the budget every join degrades to shuffle, arrays
+    # stay O(√m) per row, so the 100 TB path is unchanged
+    adj_bytes = n_vert * 24 + m_und * 8
+    if adj_bytes <= 4 * DEFAULT_MAX_BYTES:
+        # both attachment joins probe the SAME broadcast relation (same
+        # child plan, same src build key → one BroadcastExchange, reused
+        # by the second join); the inner dst-join doubles as the dead-
+        # wedge prune, so no separate prune pass is needed map-side
+        def _adj_side(key: str, out: str) -> DataFrame:
+            return F.broadcast(
+                hi_adj.withColumnsRenamed({"src": key, "nb": out})
+            )
+
+        with_b = oriented.join(_adj_side("dst", "nb_dst"), "dst")
+        closed = with_b.join(_adj_side("src", "nb_src"), "src")
+    else:
+        # shuffle path: prune FIRST on the narrow (src, dst) rows — only
+        # edges whose dst has out-neighbors can close a wedge, and this
+        # inner join ships no arrays at all, so the dead wedges are
+        # dropped before any payload moves; then attach the small src
+        # array before the dst array so the widest rows cross exactly
+        # one exchange
+        cand = oriented.join(
+            broadcast_if_small(
+                hi_adj.select(F.col("src").alias("dst")),
+                row_count=n_vert,
+                bytes_per_row=16,
+            ),
+            "dst",
+        )
+        with_a = cand.join(
+            hi_adj.select("src", F.col("nb").alias("nb_src")), "src"
+        )
+        closed = with_a.join(
+            hi_adj.select(
+                F.col("src").alias("dst"), F.col("nb").alias("nb_dst")
+            ),
+            "dst",
+        )
+    return closed.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.explode(F.array_intersect("nb_src", "nb_dst")).alias("c"),
+    )
 
 
 def clustering_coefficient(
