@@ -417,6 +417,7 @@ def embedding_near_duplicates(
     planes: int = 64,
     bands: int = 8,
     max_bucket: int = 1024,
+    rerank_engine: str = "codegen",
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold.
 
@@ -428,9 +429,24 @@ def embedding_near_duplicates(
     threshold; banding is what makes the operator usable.  The self-join
     stays bucket-local (``max_bucket`` guards degenerate buckets), never
     all-pairs: the 100 TB path.
-    """
-    from kg.ops.similarity import _cosine, banded_lsh_pairs
 
+    ``rerank_engine``: the candidate set is quadratic-ish in bucket
+    density, so the per-pair interpreted HOF cosine was this operator's
+    dominant term at bench scale.  ``"codegen"`` (default) scores with
+    the unrolled whole-stage-codegen expression
+    (``kg.ops.similarity._cosine_unrolled`` — bit-identical on every
+    input, zero Python); ``"arrow"`` uses the vectorized numpy pass
+    (``_pair_cosine_arrow``, same IEEE sequence); ``"expr"`` keeps the
+    original HOF fold as the independent cross-check."""
+    from kg.ops.similarity import (
+        _cosine, _cosine_unrolled, _pair_cosine_arrow, banded_lsh_pairs,
+    )
+
+    if rerank_engine not in ("codegen", "arrow", "expr"):
+        raise ValueError(
+            "rerank_engine must be 'codegen', 'arrow' or 'expr', "
+            f"got {rerank_engine!r}"
+        )
     cand = banded_lsh_pairs(
         emb, id_col, vec_col, dim, planes=planes, bands=bands,
         max_bucket=max_bucket,
@@ -443,10 +459,19 @@ def embedding_near_duplicates(
         F.col(id_col).alias("b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
     )
+    paired = cand.join(a, "a").join(b, "b")
+    if rerank_engine == "codegen":
+        scored = paired.withColumn(
+            "cosine", _cosine_unrolled(F.col("va"), F.col("vb"), dim)
+        )
+    elif rerank_engine == "arrow":
+        scored = _pair_cosine_arrow(paired)
+    else:
+        scored = paired.withColumn(
+            "cosine", _cosine(F.col("va"), F.col("vb"))
+        )
     return (
-        cand.join(a, "a")
-        .join(b, "b")
-        .withColumn("cosine", _cosine(F.col("va"), F.col("vb")))
+        scored
         # threshold on the unrounded value (the DuckDB twin does the same);
         # NaN (zero-norm vectors) compares ABOVE every double in Spark,
         # so it must be excluded explicitly

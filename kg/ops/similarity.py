@@ -58,6 +58,116 @@ def _cosine(a: Column, b: Column) -> Column:
     return _dot(a, b) / (_norm(a) * _norm(b))
 
 
+def _cosine_unrolled(a: Column, b: Column, dim: int) -> Column:
+    """Exact cosine as an UNROLLED codegen expression for ``dim``-wide
+    vectors, with the interpreted HOF fold as a guarded fallback for any
+    row whose arrays are not exactly ``dim`` long — so the value is
+    bit-identical to :func:`_cosine` on EVERY input (equivalence-tested).
+
+    The three accumulations are left-associated chains seeded with 0.0 —
+    the same IEEE operation sequence as ``aggregate(zip_with(...))`` —
+    built from ``F.get`` element accesses, which whole-stage codegen
+    compiles to plain array reads: ~3·dim fused ops per row instead of
+    ~3·dim *interpreted lambda invocations*.  (Unrolling the banded LSH
+    *projections* this way is a measured dead end — 64 planes × dim
+    terms per row overwhelm codegen, see the module note — but one
+    cosine is ~3·dim terms, well inside codegen's comfort zone; measured
+    bit-identical and faster than both the HOF fold and the Arrow
+    crossing on the sf1.0 candidate re-rank.)  Null elements propagate
+    to a NULL dot exactly like ``zip_with``; the guard keeps
+    short/long/null arrays on the HOF path, whose padding semantics the
+    unrolled form cannot reproduce."""
+
+    def dot(x: Column, y: Column) -> Column:
+        acc = F.lit(0.0)
+        for j in range(dim):
+            acc = acc + F.get(x, j) * F.get(y, j)
+        return acc
+
+    fast = dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    return F.when(
+        (F.size(a) == dim) & (F.size(b) == dim), fast
+    ).otherwise(_cosine(a, b))
+
+
+def _pair_cosine_arrow(
+    pairs: DataFrame,
+    a_col: str = "a",
+    b_col: str = "b",
+    va_col: str = "va",
+    vb_col: str = "vb",
+) -> DataFrame:
+    """(a, b, va, vb) → (a, b, cosine double) via one vectorized numpy
+    pass per Arrow batch — the re-rank engine for candidate-pair scoring.
+
+    Bit-identical to the ``_cosine`` expression (equivalence-tested):
+    the accumulations iterate dimensions LEFT-TO-RIGHT starting from a
+    0.0 accumulator, the exact IEEE operation sequence of
+    ``aggregate(zip_with(a, b, *), 0.0, acc + v)``, so every double —
+    including the sign of a ±0.0 dot — matches the JVM fold and the
+    DuckDB twin.  Null/length-mismatched vectors score NaN here where
+    the JVM scores NULL; both are dropped by the caller's
+    ``(cosine >= θ) & ~isnan(cosine)`` filter (NULL fails the
+    comparison, NaN fails the isnan guard), so no observable row
+    differs.  NaN/null *elements* propagate to a NaN cosine on both
+    engines (Arrow surfaces a null element as NaN in the row array).
+
+    Why Python at all: the interpreted higher-order-fn cosine costs
+    ~3×dim lambda evaluations per pair — at the sf1.0 bench's 7.2M
+    LSH candidates that was the whole query's dominant term (guide
+    §4.2: hand whole batches to vectorized native code).  Only the four
+    needed columns cross the boundary."""
+    a_type = pairs.schema[a_col].dataType.simpleString()
+    b_type = pairs.schema[b_col].dataType.simpleString()
+    out_schema = f"{a_col} {a_type}, {b_col} {b_type}, cosine double"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            n = len(pdf)
+            if not n:
+                continue
+            va, vb = pdf[va_col].tolist(), pdf[vb_col].tolist()
+            la = np.fromiter(
+                (len(v) if v is not None else -1 for v in va),
+                dtype=np.int64, count=n,
+            )
+            lb = np.fromiter(
+                (len(v) if v is not None else -1 for v in vb),
+                dtype=np.int64, count=n,
+            )
+            cos = np.full(n, np.nan, dtype=np.float64)
+            valid = (la >= 0) & (la == lb)
+            with np.errstate(invalid="ignore", divide="ignore"):
+                for length in np.unique(la[valid]):
+                    idx = np.flatnonzero(valid & (la == length))
+                    if length == 0:
+                        continue  # 0.0 / (0·0) → NaN, the prefilled value
+                    A = np.stack(
+                        [np.asarray(va[i], dtype=np.float64) for i in idx]
+                    )
+                    B = np.stack(
+                        [np.asarray(vb[i], dtype=np.float64) for i in idx]
+                    )
+                    dot = np.zeros(len(idx), dtype=np.float64)
+                    na = np.zeros(len(idx), dtype=np.float64)
+                    nb = np.zeros(len(idx), dtype=np.float64)
+                    for j in range(int(length)):
+                        dot = dot + A[:, j] * B[:, j]
+                        na = na + A[:, j] * A[:, j]
+                        nb = nb + B[:, j] * B[:, j]
+                    cos[idx] = dot / (np.sqrt(na) * np.sqrt(nb))
+            yield pd.DataFrame(
+                {a_col: pdf[a_col], b_col: pdf[b_col], "cosine": cos}
+            )
+
+    return pairs.select(a_col, b_col, va_col, vb_col).mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def cap_buckets(df: DataFrame, key_cols: list[str], max_bucket: int) -> DataFrame:
     """Web-scale guard shared by every band/bucket join in the library:
     drop rows whose bucket holds more than ``max_bucket`` members before
