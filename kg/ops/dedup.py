@@ -175,21 +175,48 @@ def minhash_duplicates(
 
     ``portable=True`` switches the base hash to md5 and keeps band keys
     engine-neutral so the WHOLE operator has a DuckDB twin (see
-    kg.ops.minhash.md5_base); default stays xxhash64 — the fast path."""
-    from kg.hints import spread_to_slots
+    kg.ops.minhash.md5_base); default stays xxhash64 — the fast path.
+
+    Plan shape: the full-corpus pass computes shingles only
+    TRANSIENTLY inside the signature projection (hashed in-row, never
+    materialized — the pre-r6 shape checkpointed every document's
+    shingle-string array just so the score join could probe it, and
+    serializing that corpus-sized string payload dominated the query);
+    the exact-Jaccard re-rank then re-shingles ONLY the documents that
+    appear in a candidate pair (semi-join first — candidates are a
+    vanishing fraction of the corpus whenever dedup is worth running,
+    and at 100 TB re-reading the candidate slice beats materializing
+    the corpus's shingle arrays by orders of magnitude)."""
+    from kg.hints import broadcast_if_small, spread_to_slots
     from kg.ops.minhash import md5_base, xxhash64_base
 
-    sh = spread_to_slots(df).select(
+    base = spread_to_slots(df).select(
         F.col(id_col).cast("string").alias(id_col),
-        token_ngrams(F.col(text_col), ngram).alias("sh"),
-    ).localCheckpoint()  # scanned 3× (candidate gen + both sides of the
-    # score join); checkpoint, not persist: blocks are GC-freed, a persist
-    # here would leak in long-lived sessions (no caller can unpersist)
+        F.col(text_col).alias("_txt"),
+    )
     cands = minhash_candidate_pairs(
-        sh, id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
+        base.select(
+            id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
+        ),
+        id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
         base_hash=md5_base if portable else xxhash64_base,
         portable_keys=portable,
+    ).localCheckpoint()  # consumed 3× (both score sides' id scope + the
+    # score join itself); checkpoint, not persist: blocks are GC-freed,
+    # a persist here would leak in long-lived sessions
+    n_cands = cands.count()
+    cand_ids = (
+        cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
     )
+    # pair-count evidence the checkpoint already paid for gates the
+    # semi-join broadcast; a pathological pair explosion degrades to the
+    # shuffle semi-join instead of an OOM
+    cand_ids = broadcast_if_small(
+        cand_ids, row_count=2 * max(n_cands, 1), bytes_per_row=48
+    )
+    sh = base.join(cand_ids, id_col, "left_semi").select(
+        id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
+    ).localCheckpoint()  # candidate-doc shingles only; consumed twice
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     return (
@@ -504,8 +531,14 @@ def winnow_duplicates(
     between documents that are otherwise dissimilar.  ``cap_buckets``
     guards ubiquitous-fingerprint boilerplate, same 100 TB posture as
     every other blocking join in the library; fingerprints use the
-    portable md5 hash, so the WHOLE operator has a DuckDB twin."""
-    from kg.hints import spread_to_slots
+    portable md5 hash, so the WHOLE operator has a DuckDB twin.
+
+    Like :func:`minhash_duplicates`, the Jaccard re-rank re-shingles
+    ONLY documents that appear in a candidate pair (semi-join first):
+    the pre-r6 shape checkpointed every document's shingle-string
+    array, and serializing that corpus-sized payload cost more than
+    the whole candidate join."""
+    from kg.hints import broadcast_if_small, spread_to_slots
     from kg.ops.similarity import cap_buckets
     from kg.ops.text import winnow_fingerprints
 
@@ -525,10 +558,18 @@ def winnow_duplicates(
             F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b")
         )
         .distinct()
+        .localCheckpoint()  # consumed 3×: id scope + the score join
     )
-    sh = d.select(
+    n_cands = cands.count()
+    cand_ids = (
+        cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
+    )
+    cand_ids = broadcast_if_small(
+        cand_ids, row_count=2 * max(n_cands, 1), bytes_per_row=48
+    )
+    sh = d.join(cand_ids, id_col, "left_semi").select(
         F.col(id_col), token_ngrams(F.col(text_col), ngram).alias("sh")
-    ).localCheckpoint()
+    ).localCheckpoint()  # candidate-doc shingles only; consumed twice
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     return (
@@ -582,10 +623,17 @@ def edit_distance_duplicates(
     base = spread_to_slots(df).select(
         F.col(id_col).cast("string").alias(id_col),
         F.col(text_col).alias("_txt"),
-        token_ngrams(F.col(text_col), ngram).alias("sh"),
-    ).localCheckpoint()  # scanned 3× (candidates + both score sides)
+    )
+    # shingles live only TRANSIENTLY inside the signature projection
+    # (the minhash_duplicates plan shape); the score sides re-read the
+    # raw text column — unlike the shingle-array sides this is a plain
+    # pruned scan, so no corpus-sized derived payload is ever
+    # checkpointed
     cands = minhash_candidate_pairs(
-        base, id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
+        base.select(
+            id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
+        ),
+        id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
         base_hash=md5_base if portable else xxhash64_base,
         portable_keys=portable,
     )
@@ -650,18 +698,34 @@ def overlap_duplicates(
     documents (the entry's regime) the blocking is the same one the
     jaccard dedup trusts.
     """
-    from kg.hints import spread_to_slots
+    from kg.hints import broadcast_if_small, spread_to_slots
     from kg.ops.minhash import md5_base, xxhash64_base
 
-    sh = spread_to_slots(df).select(
+    base = spread_to_slots(df).select(
         F.col(id_col).cast("string").alias(id_col),
-        token_ngrams(F.col(text_col), ngram).alias("sh"),
-    ).localCheckpoint()  # scanned 3x (candidates + both score sides)
+        F.col(text_col).alias("_txt"),
+    )
+    # same plan shape as minhash_duplicates: shingles are transient
+    # inside the signature projection; the overlap re-rank re-shingles
+    # only candidate documents (semi-join first)
     cands = minhash_candidate_pairs(
-        sh, id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
+        base.select(
+            id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
+        ),
+        id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
         base_hash=md5_base if portable else xxhash64_base,
         portable_keys=portable,
+    ).localCheckpoint()  # consumed 3×: id scope + the score join
+    n_cands = cands.count()
+    cand_ids = (
+        cands.select(F.explode(F.array("a", "b")).alias(id_col)).distinct()
     )
+    cand_ids = broadcast_if_small(
+        cand_ids, row_count=2 * max(n_cands, 1), bytes_per_row=48
+    )
+    sh = base.join(cand_ids, id_col, "left_semi").select(
+        id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
+    ).localCheckpoint()  # candidate-doc shingles only; consumed twice
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -70,6 +70,93 @@ def md5_base(col: Column) -> Column:
     return F.pmod(md5_60(col), F.lit(_PRIME))
 
 
+# peak transient of the Arrow signature fold is CHUNK×perms int64
+# (~64 MB at 128k×64) per python worker: chunked like the simhash fold
+# so memory stays bounded regardless of document length or batch size
+_SIG_CHUNK_TOKENS = 128 * 1024
+
+
+def _minhash_sig_arrow(
+    hashed: DataFrame,
+    id_col: str,
+    group_cols: list[str],
+    perms: int,
+    chunk_tokens: int = _SIG_CHUNK_TOKENS,
+) -> DataFrame:
+    """(id, group…, _hs array<long>) → (id, group…, sig array<long>):
+    all ``perms`` affine-permutation minima in one vectorized numpy pass.
+
+    Bit-identical to the expr engine (equivalence-tested): every value
+    is ``min((a_i·h + b_i) mod PRIME)`` in exact int64 — h < PRIME and
+    a_i < PRIME keep a_i·h + b_i < 2^63, so numpy int64 computes the
+    same integers the JVM does.  The expr form pays ~perms × |shingles|
+    *interpreted lambda invocations* per document (the dominant term of
+    the minhash family at bench scale, guide §4.2); here the same
+    arithmetic is ``perms`` fused vectorized ops over the concatenated
+    hash buffer + one ``minimum.reduceat`` per permutation.
+
+    Rows with an empty (or null) hash array are dropped HERE, inside the
+    Python barrier, not by a JVM filter: a ``where(size(...) >= 1)``
+    stacked on the un-materialized shingle expression makes Catalyst
+    inline the whole tokenize→shingle chain into both the filter and
+    the hash projection (CollapseProject + PushDownPredicates — the
+    repo's documented attribute-binding trap), doubling the most
+    expensive per-row work of the operator.  mapInPandas is a natural
+    projection barrier, so the shingle chain is evaluated exactly
+    once."""
+    import numpy as np
+
+    params = [_affine_params(i) for i in range(perms)]
+    a_vec = np.array([p[0] for p in params], dtype=np.int64)
+    b_vec = np.array([p[1] for p in params], dtype=np.int64)
+    fields = ", ".join(
+        f"{c} {hashed.schema[c].dataType.simpleString()}"
+        for c in (id_col, *group_cols)
+    )
+    out_schema = f"{fields}, sig array<long>"
+
+    def run(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            rows = [
+                np.asarray(h, dtype=np.int64)
+                for h in pdf["_hs"]
+                if h is not None and len(h)
+            ]
+            keep = np.fromiter(
+                (h is not None and len(h) > 0 for h in pdf["_hs"]),
+                dtype=bool,
+                count=len(pdf),
+            )
+            n = len(rows)
+            if not n:
+                continue
+            lens = np.fromiter(
+                (len(r) for r in rows), dtype=np.int64, count=n
+            )
+            sigs = np.empty((n, perms), dtype=np.int64)
+            lo = 0
+            while lo < n:
+                hi, tok = lo, 0
+                while hi < n and (tok == 0 or tok + lens[hi] <= chunk_tokens):
+                    tok += lens[hi]
+                    hi += 1
+                flat = np.concatenate(rows[lo:hi])
+                vals = (flat[:, None] * a_vec + b_vec) % _PRIME
+                starts = np.zeros(hi - lo, dtype=np.int64)
+                np.cumsum(lens[lo:hi][:-1], out=starts[1:])
+                sigs[lo:hi] = np.minimum.reduceat(vals, starts, axis=0)
+                lo = hi
+            out = {c: pdf[c][keep] for c in (id_col, *group_cols)}
+            out["sig"] = list(sigs)
+            yield pd.DataFrame(out)
+
+    return hashed.select(id_col, *group_cols, "_hs").mapInPandas(
+        run, schema=out_schema
+    )
+
+
 def minhash_candidate_pairs(
     df: DataFrame,
     id_col: str,
@@ -80,6 +167,7 @@ def minhash_candidate_pairs(
     group_cols: list[str] | None = None,
     base_hash=xxhash64_base,
     portable_keys: bool = False,
+    sig_engine: str = "arrow",
 ) -> DataFrame:
     """→ (a, b) candidate pairs with a < b.
 
@@ -92,42 +180,68 @@ def minhash_candidate_pairs(
     is computable by DuckDB, giving the operator a FULL SQL oracle
     (band keys stay the raw comma-joined signature slice instead of
     being re-hashed — wider shuffle keys, engine-neutral values).
+
+    ``sig_engine``: ``"arrow"`` (default) computes the permutation
+    minima with the vectorized numpy pass (``_minhash_sig_arrow`` —
+    exact int64, bit-identical); ``"expr"`` keeps the pure-JVM
+    ``array_min(transform(...))`` form as the independent cross-check
+    and for python-worker-less clusters.
     """
     group_cols = group_cols or []
     r = perms // bands
+    if sig_engine not in ("arrow", "expr"):
+        raise ValueError(
+            f"sig_engine must be 'arrow' or 'expr', got {sig_engine!r}"
+        )
 
     # signatures WITHOUT leaving the row: hash the shingle array once
-    # (bound as an attribute so the 64 permutation lambdas re-read a row
-    # buffer, not re-hash — the winnowing O(L) discipline), then each
-    # permutation is array_min over an affine transform of that array.
-    # The previous shape (explode shingles → P projected columns →
-    # groupBy min) computed the SAME values but shuffled |shingle rows|
-    # × P longs through a hash aggregation; this is pure map-side.
-    # Docs with no shingles produce no signature in either shape (the
-    # explode emitted nothing; here the filter drops them).
-    hashed = df.where(F.size(F.col(shingles_col)) >= 1).select(
-        id_col,
-        *group_cols,
-        F.transform(F.col(shingles_col), base_hash).alias("_hs"),
-    )
+    # (bound as an attribute so the permutation consumers re-read a row
+    # buffer, not re-hash — the winnowing O(L) discipline); each
+    # permutation is a min over an affine transform of that array, with
+    # the signature never leaving the row in either engine.  The
+    # pre-r3 shape (explode shingles → P projected columns → groupBy
+    # min) computed the SAME values but shuffled |shingle rows| × P
+    # longs through a hash aggregation; both engines here are pure
+    # map-side.  Docs with no shingles produce no signature in either
+    # engine: the arrow barrier drops them internally (see
+    # _minhash_sig_arrow — a JVM size-filter here would re-inline the
+    # caller's shingle expression and evaluate it twice); the expr path
+    # filters explicitly and is best fed a materialized shingles column.
+    hashed_expr = F.transform(F.col(shingles_col), base_hash).alias("_hs")
 
-    def _perm_min(i: int) -> Column:
-        a, b = _affine_params(i)
-        return F.array_min(
-            F.transform(
-                F.col("_hs"),
-                lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME)),
+    if sig_engine == "arrow":
+        sig = _minhash_sig_arrow(
+            df.select(id_col, *group_cols, hashed_expr),
+            id_col, group_cols, perms,
+        )
+    else:
+        hashed = df.where(F.size(F.col(shingles_col)) >= 1).select(
+            id_col, *group_cols, hashed_expr
+        )
+        def _perm_min(i: int) -> Column:
+            a, b = _affine_params(i)
+            return F.array_min(
+                F.transform(
+                    F.col("_hs"),
+                    lambda h: F.pmod(h * F.lit(a) + F.lit(b), F.lit(_PRIME)),
+                )
             )
-        ).alias(f"m{i}")
 
-    sig = hashed.select(
-        id_col, *group_cols, *[_perm_min(i) for i in range(perms)]
-    )
+        sig = hashed.select(
+            id_col,
+            *group_cols,
+            F.array(*[_perm_min(i) for i in range(perms)]).alias("sig"),
+        )
+
     # LSH banding: band key = the band's signature slice (hash-compressed
     # by default, raw concat when portability is required)
     def _key(b: int) -> Column:
         raw = F.concat_ws(
-            ",", *[F.col(f"m{b * r + j}").cast("string") for j in range(r)]
+            ",",
+            *[
+                F.get(F.col("sig"), b * r + j).cast("string")
+                for j in range(r)
+            ],
         )
         return raw if portable_keys else F.xxhash64(raw)
 
