@@ -203,8 +203,52 @@ def redact_pii(df, id_col: str = "doc_id", text_col: str = "text"):
     )
 
 
+def _winnow_minima_arrow(hashed, id_col: str, window: int):
+    """(id, _h array<long>) → exploded (id, fingerprint long) rows: the
+    sliding-window minima + distinct + ascending sort of the winnowing
+    scheme in one vectorized pass per Arrow batch.
+
+    Bit-identical to the expr form (pure int64 minima over the same
+    md5-60 hashes; ``np.unique`` = ``array_sort(array_distinct(...))``
+    followed by ``explode`` — rows with fewer than ``window`` hashes
+    emit nothing, exactly like the empty-array explode).  The expr form
+    pays ``n_windows × window`` interpreted ``array_min(slice(...))``
+    lambda evaluations per document — the dominant term of the winnow
+    pass at bench scale (guide §4.2)."""
+    id_type = hashed.schema[id_col].dataType.simpleString()
+    out_schema = f"{id_col} {id_type}, fingerprint long"
+
+    def run(batches):
+        import numpy as np
+        import pandas as pd
+        from numpy.lib.stride_tricks import sliding_window_view
+
+        for pdf in batches:
+            ids, fps = [], []
+            for i, h in zip(pdf[id_col], pdf["_h"]):
+                if h is None or len(h) < window:
+                    continue
+                arr = np.asarray(h, dtype=np.int64)
+                mins = np.unique(
+                    sliding_window_view(arr, window).min(axis=1)
+                )
+                ids.append(np.full(len(mins), i, dtype=object))
+                fps.append(mins)
+            if not fps:
+                continue
+            yield pd.DataFrame(
+                {
+                    id_col: np.concatenate(ids),
+                    "fingerprint": np.concatenate(fps),
+                }
+            )
+
+    return hashed.mapInPandas(run, schema=out_schema)
+
+
 def winnow_fingerprints(
-    df, id_col: str, text_col: str, k: int = 5, window: int = 4
+    df, id_col: str, text_col: str, k: int = 5, window: int = 4,
+    engine: str = "arrow",
 ):
     """Winnowing document fingerprints (the MOSS scheme, Schleimer/
     Wilkerson/Aiken SIGMOD'03): hash every word k-gram, slide a window of
@@ -226,7 +270,16 @@ def winnow_fingerprints(
 
     Returns long-format (id, fingerprint:long) rows, fingerprints
     distinct + ascending per id.
+
+    ``engine``: ``"arrow"`` (default) runs the window-minima pass as one
+    vectorized numpy sweep per batch (``_winnow_minima_arrow`` —
+    bit-identical int64 minima; k-gram construction and md5 hashing stay
+    JVM-side so the portable-hash contract is untouched); ``"expr"``
+    keeps the pure-JVM higher-order-fn form as the independent
+    cross-check and for python-worker-less clusters.
     """
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
     toks = tokens_col(F.col(text_col))
     d = df.select(F.col(id_col), toks.alias("_t"))
     n_grams = F.size(F.col("_t")) - (k - 1)
@@ -242,6 +295,8 @@ def winnow_fingerprints(
     d = d.select(F.col(id_col), grams.alias("_g"))
     hashes = F.transform(F.col("_g"), md5_60)
     d = d.select(F.col(id_col), hashes.alias("_h"))
+    if engine == "arrow":
+        return _winnow_minima_arrow(d, id_col, window)
     n_win = F.size(F.col("_h")) - (window - 1)
     minima = F.when(
         n_win >= 1,

@@ -562,3 +562,25 @@ def test_zipf_slope_degenerate_and_validation(spark):
     assert row["slope"] is None and row["intercept"] is None
     with _pt.raises(ValueError, match="not in frame"):
         zipf_slope(single, text_col="nope")
+
+
+def test_winnow_engines_bit_identical(spark):
+    """The arrow window-minima engine must reproduce the expr form's
+    exploded (id, fingerprint) rows exactly — including documents with
+    fewer tokens than k or fewer grams than the window (no rows)."""
+    from kg.ops.text import winnow_fingerprints
+
+    rows = [
+        (1, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (2, "alpha beta gamma delta epsilon zeta eta theta iota kappa"),
+        (3, "tiny doc"),                       # < k tokens -> no rows
+        (4, "a b c d e f g h"),                # just enough for one window
+        (5, ""),                               # empty -> no rows
+        (6, "x " * 200),                       # repeated token, dup minima
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    a = winnow_fingerprints(df, "doc_id", "text", k=5, window=4)
+    b = winnow_fingerprints(df, "doc_id", "text", k=5, window=4,
+                            engine="expr")
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+    assert a.count() > 0
