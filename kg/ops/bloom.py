@@ -95,6 +95,18 @@ def bloom_semi_join(
     """
     if key_col not in probe.columns or key_col not in keys.columns:
         raise ValueError(f"key_col {key_col!r} must exist on both frames")
+    # the probe loop injects _wi<i>/_b<i>/_w<i> working columns; a probe
+    # frame already carrying such a name would be silently clobbered
+    # (ADVICE r5) — refuse loudly, mirroring asof_join's clash check
+    reserved = {
+        f"_{p}{i}" for p in ("wi", "b", "w") for i in range(k)
+    }
+    clash = reserved.intersection(probe.columns)
+    if clash:
+        raise ValueError(
+            f"probe columns {sorted(clash)} collide with bloom_semi_join's "
+            "reserved working names (_wi<i>/_b<i>/_w<i>); rename them first"
+        )
     bits = bloom_bits(keys, key_col, m_bits=m_bits, k=k).localCheckpoint()
     out = probe
     for i, p in enumerate(_positions(F.col(key_col), m_bits, k)):

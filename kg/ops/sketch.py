@@ -221,9 +221,21 @@ def cms_estimate(
     Plan shape: items explode ×depth, equi-join the ≤ depth×width cell
     frame (broadcast — the sketch is a fixed-size dim by
     construction), one min-agg back to one row per item.
+
+    The final groupBy keys on ``items``' columns, so DUPLICATE item
+    rows collapse to one output row (documented semantics, ADVICE r5 —
+    carry your own row id if multiplicity matters); ``items`` must not
+    contain columns named ``row``/``bucket``/``cnt``, which this probe
+    uses internally.
     """
     if col not in items.columns:
         raise ValueError(f"column {col!r} not in items")
+    clash = {"row", "bucket", "cnt"}.intersection(items.columns)
+    if clash:
+        raise ValueError(
+            f"items columns {sorted(clash)} collide with cms_estimate's "
+            "reserved probe names (row/bucket/cnt); rename them first"
+        )
     v = F.col(col).cast("string")
     buckets = F.array(
         *[

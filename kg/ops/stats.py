@@ -47,6 +47,12 @@ def ols_fit(
     for c in (group_col, x_col, y_col):
         if c not in df.columns:
             raise ValueError(f"column {c!r} not in frame")
+    # rows with a NULL x or y are excluded ENTIRELY (ADVICE r5): the
+    # moment sums skip them anyway (SQL sum ignores NULL), so counting
+    # them in n would silently bias slope/intercept/r² with moments
+    # inconsistent with n.  n therefore counts exactly the rows that
+    # contribute to every sum.
+    df = df.filter(F.col(x_col).isNotNull() & F.col(y_col).isNotNull())
     x = F.col(x_col).cast(_DEC)
     y = F.col(y_col).cast(_DEC)
     agg = df.groupBy(group_col).agg(
@@ -153,7 +159,9 @@ def group_quantiles(
     histogram-CDF formulation → ``(group_col, n, <one column per q>)``.
 
     Quantile semantics are type-1 nearest-rank (the value at rank
-    ``ceil(q·n)``), with each ``q`` given as an exact fraction
+    ``ceil(q·n)``) over the NON-NULL values — NULLs are excluded and
+    ``n`` counts non-NULL rows only — with each ``q`` given as an exact
+    fraction
     ``(name, num, den)`` so the target rank is pure integer arithmetic
     — ``(n·num + den − 1) div den`` — and the op carries a bit-exact
     SQL twin (no float quantile, no interpolation-mode mismatch
@@ -188,6 +196,13 @@ def group_quantiles(
     for name, num, den in qs:
         if not (0 < num <= den):
             raise ValueError(f"quantile {name}: need 0 < num <= den")
+    # NULL values are excluded BEFORE the histogram (ADVICE r5): they
+    # sort first in Spark's ascending cumulative window but can never be
+    # selected by min(when(_cum >= target)), so leaving them in silently
+    # shifted every quantile low (and DuckDB sorts NULLs last, breaking
+    # the bit-exact twin on null-bearing input).  ``n`` therefore counts
+    # non-NULL values only — documented semantics on both engines.
+    df = df.filter(F.col(value_col).isNotNull())
     hist = df.groupBy(
         group_col, F.col(value_col).cast("long").alias("_value")
     ).agg(F.count("*").alias("_n"))

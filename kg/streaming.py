@@ -32,7 +32,8 @@ Four operators:
   watermark-evicted symmetric-hash state (batch-parity tested).
 * ``stream_drift_monitor`` — per-micro-batch PSI drift of a column
   against a static reference snapshot via ``foreachBatch``: online
-  corpus-mix monitoring with exactly-once monitor appends.
+  corpus-mix monitoring with at-least-once monitor appends
+  (dedupe on batch_id at read time if a replay matters).
 """
 
 from __future__ import annotations
@@ -324,9 +325,14 @@ def stream_drift_monitor(
     ``foreachBatch`` is the right integration (not a streaming agg):
     PSI is a whole-batch statistic against an external frame, and
     foreachBatch hands each micro-batch to the BATCH operator —
-    identical semantics to the oracle-checked batch op, exactly-once
-    appends via the stream checkpoint.  Returns the started query
-    (AvailableNow: drains the backlog, then stops).
+    identical semantics to the oracle-checked batch op.  Delivery is
+    AT-LEAST-ONCE (ADVICE r5): a blind parquet append inside
+    foreachBatch can replay its batch if the job dies between the
+    write and the checkpoint commit, duplicating that batch's monitor
+    row — consumers should dedupe on ``batch_id`` at read time (the
+    row is deterministic per batch, so duplicates are byte-identical).
+    Returns the started query (AvailableNow: drains the backlog, then
+    stops).
 
     Scale posture: the reference frame re-aggregates per batch (≤ B
     bins shuffled); pre-aggregate the reference once and pass the
