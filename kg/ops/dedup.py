@@ -444,7 +444,7 @@ def embedding_near_duplicates(
     planes: int = 64,
     bands: int = 8,
     max_bucket: int = 1024,
-    rerank_engine: str = "codegen",
+    rerank_engine: str = "arrow",
 ) -> DataFrame:
     """Near-dup pairs by cosine ≥ threshold.
 
@@ -459,12 +459,26 @@ def embedding_near_duplicates(
 
     ``rerank_engine``: the candidate set is quadratic-ish in bucket
     density, so the per-pair interpreted HOF cosine was this operator's
-    dominant term at bench scale.  ``"codegen"`` (default) scores with
-    the unrolled whole-stage-codegen expression
+    dominant term at bench scale.  ``"arrow"`` (default) scores with the
+    vectorized numpy pass (``_pair_cosine_arrow`` — the JVM fold's exact
+    IEEE accumulation sequence; fastest on an uncontended box, where the
+    python workers have slack cores); ``"codegen"`` uses the unrolled
+    whole-stage-codegen expression
     (``kg.ops.similarity._cosine_unrolled`` — bit-identical on every
-    input, zero Python); ``"arrow"`` uses the vectorized numpy pass
-    (``_pair_cosine_arrow``, same IEEE sequence); ``"expr"`` keeps the
-    original HOF fold as the independent cross-check."""
+    input, zero Python, the better pick when python workers would fight
+    a saturated box but it re-Janino-compiles its ~3·dim-term method on
+    every fresh plan); ``"expr"`` keeps the original HOF fold as the
+    independent cross-check.  Interleaved best-of-3, sf1.0 full query:
+    arrow 9.3 s / codegen 11.7 s quiet box, arrow 14.2 s / codegen
+    13.0 s under load ≈ 10.
+
+    The candidate pairs deliberately arrive WITHOUT the pair-level
+    distinct (``distinct_pairs=False``): a pair surfaces once per
+    shared band, but duplicates are 2% of rows here while the dedup
+    shuffle cost a third of candidate generation — the exact cosine is
+    a deterministic function of the pair, so the duplicates collapse in
+    a distinct over the HANDFUL of rows that survive the threshold,
+    with bit-identical output."""
     from kg.ops.similarity import (
         _cosine, _cosine_unrolled, _pair_cosine_arrow, banded_lsh_pairs,
     )
@@ -476,7 +490,7 @@ def embedding_near_duplicates(
         )
     cand = banded_lsh_pairs(
         emb, id_col, vec_col, dim, planes=planes, bands=bands,
-        max_bucket=max_bucket,
+        max_bucket=max_bucket, distinct_pairs=False,
     )
     a = emb.select(
         F.col(id_col).alias("a"),
@@ -504,6 +518,10 @@ def embedding_near_duplicates(
         # so it must be excluded explicitly
         .filter((F.col("cosine") >= threshold) & ~F.isnan("cosine"))
         .select("a", "b", F.round("cosine", 6).alias("cosine"))
+        # band-duplicate candidates collapse HERE, on the threshold
+        # survivors (see docstring) — same rows as deduping before the
+        # re-rank, minus the 7M-row distinct shuffle
+        .distinct()
     )
 
 

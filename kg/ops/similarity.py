@@ -331,18 +331,28 @@ def banded_lsh_pairs(
     planes: int = 64,
     bands: int = 8,
     max_bucket: int = 1024,
+    distinct_pairs: bool = True,
 ) -> DataFrame:
-    """→ distinct (a, b) candidate pairs (a < b) sharing ≥1 band key.
+    """→ (a, b) candidate pairs (a < b) sharing ≥1 band key.
 
     ``max_bucket`` drops degenerate buckets before the self-join (web-
     scale guard, same rationale as kg.ops.minhash.minhash_candidate_pairs).
-    """
+
+    ``distinct_pairs=False`` skips the pair-level dedup shuffle and may
+    emit one row per SHARED BAND for the same pair: for a caller whose
+    downstream filter is highly selective and whose per-pair score is a
+    deterministic function of the pair (so duplicates collapse to
+    identical rows), deduping after that filter is orders of magnitude
+    cheaper — at the sf1.0 bench the distinct removed only 2% of rows
+    (7.41M → 7.25M: near-orthogonal pairs rarely agree on two 8-bit
+    bands) yet cost a full 7M-row shuffle.  Callers that rank or count
+    candidates (knn_graph, top-k windows) MUST keep the default."""
     sigs = banded_signatures(df, id_col, vec_col, dim, planes, bands)
     # consumed by the cap count AND both sides of the self-join
     sigs = sigs.localCheckpoint()
     sigs = cap_buckets(sigs, ["band", "key"], max_bucket)
     x, y = sigs.alias("x"), sigs.alias("y")
-    return (
+    pairs = (
         x.join(
             y,
             (F.col("x.band") == F.col("y.band"))
@@ -350,8 +360,8 @@ def banded_lsh_pairs(
             & (F.col(f"x.{id_col}") < F.col(f"y.{id_col}")),
         )
         .select(F.col(f"x.{id_col}").alias("a"), F.col(f"y.{id_col}").alias("b"))
-        .distinct()
     )
+    return pairs.distinct() if distinct_pairs else pairs
 
 
 def brute_force_topk(
