@@ -66,11 +66,13 @@ def _ngrams_of(toks: Column, n: int) -> Column:
     count = F.size(toks) - (n - 1)
     # ANSI mode: sequence(1, 0) raises, so docs shorter than n tokens
     # take the empty branch (CaseWhen evaluates only the live branch)
+    from kg.ops.text import gram_at
+
     grams = F.when(
         count > 0,
         F.transform(
             F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            lambda i: gram_at(toks, i - 1, n),
         ),
     ).otherwise(F.array().cast("array<string>"))
     return F.array_distinct(grams)

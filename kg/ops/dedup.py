@@ -101,8 +101,32 @@ def paragraph_dedup(
 # ---------------------------------------------------------------------------
 # n-gram Jaccard
 # ---------------------------------------------------------------------------
+def ngrams_of_tokens(toks: F.Column, n: int = 3) -> F.Column:
+    """Distinct word n-gram shingles from a token-array column that is
+    BOUND AS AN ATTRIBUTE (a column produced by a previous projection).
+    The ``gram_at`` element reads reference ``toks`` n times per gram —
+    on an attribute that is n row-buffer reads; on a raw tokenizer
+    expression it would be n regex splits per gram (the repo's
+    documented HOF-capture trap), which is why the text-input wrapper
+    below exists for un-bound callers."""
+    from kg.ops.text import gram_at
+
+    idx = F.sequence(F.lit(0), F.greatest(F.size(toks) - n, F.lit(0)))
+    return F.array_distinct(
+        F.when(F.size(toks) == 0, F.array().cast("array<string>"))
+        .when(F.size(toks) <= n, F.array(F.concat_ws(" ", toks)))
+        .otherwise(F.transform(idx, lambda i: gram_at(toks, i, n)))
+    )
+
+
 def token_ngrams(text: F.Column, n: int = 3) -> F.Column:
-    """Distinct word n-gram shingles of a document (JVM-side).
+    """Distinct word n-gram shingles of a document (JVM-side), from the
+    raw text column.  Prefer binding ``tokens_col(text)`` in its own
+    projection and calling :func:`ngrams_of_tokens` on the attribute —
+    this wrapper keeps the tokenizer reference OUT of the per-gram
+    lambda (one ``concat_ws(slice(...))`` per gram, each re-reading the
+    captured token expression once) for callers that cannot add a
+    projection.
 
     Token-less documents (symbol-only files, scripts whose text has no
     [a-z0-9] runs) get an EMPTY shingle set, not ``[""]``: the un-guarded
@@ -195,8 +219,8 @@ def minhash_duplicates(
         F.col(text_col).alias("_txt"),
     )
     cands = minhash_candidate_pairs(
-        base.select(
-            id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
+        base.select(id_col, tokens_col(F.col("_txt")).alias("_t")).select(
+            id_col, ngrams_of_tokens(F.col("_t"), ngram).alias("sh")
         ),
         id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
         base_hash=md5_base if portable else xxhash64_base,
@@ -214,9 +238,12 @@ def minhash_duplicates(
     cand_ids = broadcast_if_small(
         cand_ids, row_count=2 * max(n_cands, 1), bytes_per_row=48
     )
-    sh = base.join(cand_ids, id_col, "left_semi").select(
-        id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
-    ).localCheckpoint()  # candidate-doc shingles only; consumed twice
+    sh = (
+        base.join(cand_ids, id_col, "left_semi")
+        .select(id_col, tokens_col(F.col("_txt")).alias("_t"))
+        .select(id_col, ngrams_of_tokens(F.col("_t"), ngram).alias("sh"))
+        .localCheckpoint()
+    )  # candidate-doc shingles only; consumed twice
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     return (
@@ -585,9 +612,12 @@ def winnow_duplicates(
     cand_ids = broadcast_if_small(
         cand_ids, row_count=2 * max(n_cands, 1), bytes_per_row=48
     )
-    sh = d.join(cand_ids, id_col, "left_semi").select(
-        F.col(id_col), token_ngrams(F.col(text_col), ngram).alias("sh")
-    ).localCheckpoint()  # candidate-doc shingles only; consumed twice
+    sh = (
+        d.join(cand_ids, id_col, "left_semi")
+        .select(F.col(id_col), tokens_col(F.col(text_col)).alias("_t"))
+        .select(F.col(id_col), ngrams_of_tokens(F.col("_t"), ngram).alias("sh"))
+        .localCheckpoint()
+    )  # candidate-doc shingles only; consumed twice
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     return (
@@ -648,8 +678,8 @@ def edit_distance_duplicates(
     # pruned scan, so no corpus-sized derived payload is ever
     # checkpointed
     cands = minhash_candidate_pairs(
-        base.select(
-            id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
+        base.select(id_col, tokens_col(F.col("_txt")).alias("_t")).select(
+            id_col, ngrams_of_tokens(F.col("_t"), ngram).alias("sh")
         ),
         id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
         base_hash=md5_base if portable else xxhash64_base,
@@ -727,8 +757,8 @@ def overlap_duplicates(
     # inside the signature projection; the overlap re-rank re-shingles
     # only candidate documents (semi-join first)
     cands = minhash_candidate_pairs(
-        base.select(
-            id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
+        base.select(id_col, tokens_col(F.col("_txt")).alias("_t")).select(
+            id_col, ngrams_of_tokens(F.col("_t"), ngram).alias("sh")
         ),
         id_col=id_col, shingles_col="sh", perms=perms, bands=bands,
         base_hash=md5_base if portable else xxhash64_base,
@@ -741,9 +771,12 @@ def overlap_duplicates(
     cand_ids = broadcast_if_small(
         cand_ids, row_count=2 * max(n_cands, 1), bytes_per_row=48
     )
-    sh = base.join(cand_ids, id_col, "left_semi").select(
-        id_col, token_ngrams(F.col("_txt"), ngram).alias("sh")
-    ).localCheckpoint()  # candidate-doc shingles only; consumed twice
+    sh = (
+        base.join(cand_ids, id_col, "left_semi")
+        .select(id_col, tokens_col(F.col("_txt")).alias("_t"))
+        .select(id_col, ngrams_of_tokens(F.col("_t"), ngram).alias("sh"))
+        .localCheckpoint()
+    )  # candidate-doc shingles only; consumed twice
     a = sh.select(F.col(id_col).alias("a"), F.col("sh").alias("sh_a"))
     b = sh.select(F.col(id_col).alias("b"), F.col("sh").alias("sh_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b"))

@@ -33,6 +33,24 @@ def token_count(text: Column) -> Column:
     return F.size(tokens_col(text))
 
 
+def gram_at(toks: Column, i0: Column, n: int) -> Column:
+    """Space-joined word ``n``-gram starting at 0-based position ``i0``
+    of a BOUND token-array attribute, as one flat ``concat`` of element
+    reads.  Byte-identical to ``concat_ws(" ", slice(toks, i0+1, n))``
+    for in-range positions over a null-free array, and measured ~5×
+    cheaper at the sf1.0 bench (the slice allocates a fresh n-element
+    array per gram before joining it; this reads n elements in place).
+    Callers guarantee ``i0 + n <= size(toks)`` via their sequence
+    bounds — shared by every gram builder so the shingle strings the
+    SQL twins hash stay identical across operators."""
+    parts: list[Column] = []
+    for j in range(n):
+        if j:
+            parts.append(F.lit(" "))
+        parts.append(F.get(toks, i0 + j))
+    return F.concat(*parts)
+
+
 def doc_fingerprint(text: Column) -> Column:
     """Deterministic document fingerprint: md5 of whitespace-normalized
     lowercase text (rolling-hash stand-in that has an exact SQL twin)."""
@@ -108,7 +126,7 @@ def repetition_stats(df, id_col: str, text_col: str):
         n_grams >= 1,
         F.transform(
             F.sequence(F.lit(0), n_grams - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, 2)),
+            lambda i: gram_at(F.col("_t"), i, 2),
         ),
     ).otherwise(F.array().cast("array<string>"))
     gram_rows = d.select("id", F.explode(grams).alias("g"))
@@ -287,7 +305,7 @@ def winnow_fingerprints(
         n_grams >= 1,
         F.transform(
             F.sequence(F.lit(0), n_grams - 1),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i + 1, k)),
+            lambda i: gram_at(F.col("_t"), i, k),
         ),
     ).otherwise(F.array().cast("array<string>"))
     from kg.ops.minhash import md5_60
@@ -767,7 +785,7 @@ def ngram_diversity(
         count > 0,
         F.transform(
             F.sequence(F.lit(1), count),
-            lambda i: F.concat_ws(" ", F.slice(F.col("_t"), i, n)),
+            lambda i: gram_at(F.col("_t"), i - 1, n),
         ),
     )  # otherwise NULL: explode drops docs shorter than n tokens
     g = d.select(group_col, F.explode(grams).alias("gram"))
