@@ -97,8 +97,14 @@ def _encode_vertex_ids(
     ):
         return None
     vocab = (
-        edges.select(F.col(out_col).alias("id"))
-        .unionAll(edges.select(F.col(in_col).alias("id")))
+        # explode over ONE pass of the edge subtree, not a unionAll of
+        # two selects: each union branch re-evaluates the whole edge
+        # expression tree (often a multi-branch union of parquet scans
+        # itself), so the unionAll form decompressed and re-built every
+        # edge row twice just to list its endpoints
+        edges.select(
+            F.explode(F.array(F.col(out_col), F.col(in_col))).alias("id")
+        )
         .distinct()
         .withColumn("enc", F.xxhash64("id"))
         .localCheckpoint()
@@ -117,6 +123,39 @@ def _encode_vertex_ids(
         in_col, F.xxhash64(in_col)
     )
     return encoded, vocab
+
+
+def _encode_with_overlap(edges, out_col, in_col, prep):
+    """Run :func:`_encode_vertex_ids`'s vocab checkpoint + injectivity agg
+    CONCURRENTLY with ``prep(encoded_edges)`` — a caller-supplied job
+    (typically a checkpoint of a frame derived map-side from the encoded
+    edges) that does not depend on the injectivity verdict.
+
+    The two are independent Spark jobs on a driver that schedules them
+    FIFO across the same task slots, so the win is filling each job's
+    barrier/straggler gaps with the other's tasks (guide §2.6), not magic
+    parallelism.  Returns ``(encoded, vocab, prep_result)``, or ``None``
+    on a hash collision — the speculative ``prep_result`` is discarded
+    then (the encoding is invalid), and the caller falls back to the raw
+    string path, paying a recompute for correctness exactly like the
+    sequential code did."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    if not (
+        isinstance(edges.schema[out_col].dataType, StringType)
+        and isinstance(edges.schema[in_col].dataType, StringType)
+    ):
+        return None
+    encoded = edges.withColumn(out_col, F.xxhash64(out_col)).withColumn(
+        in_col, F.xxhash64(in_col)
+    )
+    with ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(_encode_vertex_ids, edges, out_col, in_col)
+        prep_result = prep(encoded)
+        enc = fut.result()
+    if enc is None:
+        return None
+    return enc[0], enc[1], prep_result
 
 
 def _decode_ids(df: DataFrame, vocab: DataFrame, cols: list[str]) -> DataFrame:
@@ -731,11 +770,23 @@ def triangles(
     triangle is still found exactly once — so per-vertex counts are
     invariant under the encoding; the decode join restores the caller's
     ids.  This is the graph surface's most shuffle-heavy op (the wedge
-    set is Σ out-deg² rows), so it gains the most from 8-byte keys."""
-    enc = _encode_vertex_ids(edges, out_col, in_col)
+    set is Σ out-deg² rows), so it gains the most from 8-byte keys.
+
+    The direct entry point runs the MULTIGRAPH adjacency path (see
+    :func:`_triangle_triples_multigraph`): the corpus-sized undirected
+    ``distinct`` is skipped entirely — any strict total order orients,
+    so multigraph degrees work, and the edge dedup happens for free
+    inside the adjacency ``collect_set``.  The degree checkpoint is
+    overlapped with the encode's vocab checkpoint (two independent
+    jobs, ``_encode_with_overlap``)."""
+    enc = _encode_with_overlap(
+        edges, out_col, in_col,
+        lambda e: _multigraph_deg(e, out_col, in_col),
+    )
     if enc is not None:
-        encoded, vocab = enc
-        counts = _triangles_impl(encoded, out_col, in_col)
+        encoded, vocab, deg = enc
+        tri = _triangle_triples_multigraph(encoded, out_col, in_col, deg)
+        counts = _triangle_member_counts(tri)
         return _decode_ids(counts, vocab, ["id"])
     return _triangles_impl(edges, out_col, in_col)
 
@@ -747,14 +798,15 @@ def _triangles_impl(
     und: DataFrame | None = None,
     deg: DataFrame | None = None,
 ) -> DataFrame:
-    # und feeds the degree agg AND the two annotation joins below, which
-    # materialize as SEPARATE jobs (deg is checkpointed for its stats) —
-    # cross-job exchange reuse doesn't exist, so without a checkpoint
-    # the distinct runs twice.  Callers that already materialized the
-    # undirected/degree frames (``transitivity``) pass them in so the
-    # edge-table distinct and the degree shuffle run ONCE per call chain.
+    # Callers that already materialized the undirected/degree frames
+    # (``transitivity``) pass them in and take the classic simple-graph
+    # wedge core so their und/deg investment is reused; the bare call
+    # takes the multigraph path, which never runs the corpus-sized
+    # distinct at all (see _triangle_triples_multigraph).
     if und is None:
-        und = _undirected(edges, out_col, in_col).localCheckpoint()
+        mdeg = _multigraph_deg(edges, out_col, in_col)
+        tri = _triangle_triples_multigraph(edges, out_col, in_col, mdeg)
+        return _triangle_member_counts(tri)
     # deg is vertex-sized (two longs per vertex): checkpoint so its
     # stats are real, then broadcast-gate BOTH annotation joins — the
     # edge table never shuffles for the orientation, only for its own
@@ -769,12 +821,42 @@ def _triangles_impl(
             .localCheckpoint()
         )
     tri = _triangle_triples(und, deg)
+    return _triangle_member_counts(tri)
+
+
+def _triangle_member_counts(tri: DataFrame) -> DataFrame:
     # explode, not a 3-way union of tri projections: each union branch
     # re-executes the wedge join (the plan's expensive part) — measured
     # 3x the runtime of the single-pass explode on a 670k-triangle graph
     members = tri.select(F.explode(F.array("a", "b", "c")).alias("id"))
     return members.groupBy("id").agg(
         F.count("*").cast("long").alias("n_triangles")
+    )
+
+
+def _multigraph_und(edges: DataFrame, out_col: str, in_col: str) -> DataFrame:
+    """Undirected edge rows WITHOUT the dedup — the map-side half of
+    :func:`_undirected` (least/greatest canonical form, self-loops
+    dropped), duplicates retained."""
+    return edges.select(
+        F.least(out_col, in_col).alias("u"),
+        F.greatest(out_col, in_col).alias("v"),
+    ).filter(F.col("u") != F.col("v"))
+
+
+def _multigraph_deg(edges: DataFrame, out_col: str, in_col: str) -> DataFrame:
+    """Checkpointed per-vertex MULTIGRAPH degree (duplicate edges each
+    count): one explode + hash agg, no distinct.  Only valid as an
+    orientation key — any deterministic per-vertex value gives a strict
+    total order on (value, id), and the triangle SET of the underlying
+    simple graph is invariant under the orientation order — never as the
+    simple-graph degree."""
+    um = _multigraph_und(edges, out_col, in_col)
+    return (
+        um.select(F.explode(F.array("u", "v")).alias("id"))
+        .groupBy("id")
+        .agg(F.count("*").alias("deg"))
+        .localCheckpoint()
     )
 
 
@@ -871,6 +953,101 @@ def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
         # array before the dst array so the widest rows cross exactly
         # one exchange
         cand = oriented.join(
+            broadcast_if_small(
+                hi_adj.select(F.col("src").alias("dst")),
+                row_count=n_vert,
+                bytes_per_row=16,
+            ),
+            "dst",
+        )
+        with_a = cand.join(
+            hi_adj.select("src", F.col("nb").alias("nb_src")), "src"
+        )
+        closed = with_a.join(
+            hi_adj.select(
+                F.col("src").alias("dst"), F.col("nb").alias("nb_dst")
+            ),
+            "dst",
+        )
+    return closed.select(
+        F.col("src").alias("a"),
+        F.col("dst").alias("b"),
+        F.explode(F.array_intersect("nb_src", "nb_dst")).alias("c"),
+    )
+
+
+def _triangle_triples_multigraph(
+    edges: DataFrame, out_col: str, in_col: str, deg: DataFrame
+) -> DataFrame:
+    """:func:`_triangle_triples` without the corpus-sized ``distinct``.
+
+    The classic chain pays a full shuffle to dedup the undirected edge
+    table before anything else.  But the orientation only needs SOME
+    strict total order on vertices — the MULTIGRAPH degree (duplicates
+    counted, ``deg`` arg, checkpointed) is just as deterministic a key
+    as the simple degree — and duplicate edge rows orient identically,
+    so the adjacency aggregation dedups them for free by building
+    ``collect_set`` instead of ``collect_list``.  The distinct oriented
+    edge set (the closure's probe side) is then recovered by EXPLODING
+    the checkpointed adjacency — a map-side scan, not a recompute of the
+    orientation joins.  Net: one corpus-sized shuffle (the adjacency
+    groupBy) instead of three (distinct + degree + adjacency), and the
+    probe side costs a checkpoint scan instead of re-running the
+    annotation joins.
+
+    Output and labeling are identical to :func:`_triangle_triples`
+    (each triangle exactly once at its rank-minimal oriented edge);
+    the only difference is WHICH valid total order ranks the vertices,
+    which the triangle set provably does not depend on.  The O(√m)
+    out-neighbor bound holds with the multigraph order up to the graph's
+    edge multiplicity — bounded in every real corpus here; a pathological
+    multiplicity-M graph degrades arrays by at most M, never the join
+    shape."""
+    from kg.hints import DEFAULT_MAX_BYTES, broadcast_if_small
+
+    n_vert = deg.count()
+
+    def _deg_side(key: str, out: str) -> DataFrame:
+        return broadcast_if_small(
+            deg.withColumnsRenamed({"id": key, "deg": out}),
+            row_count=n_vert,
+            bytes_per_row=16,
+        )
+
+    um = _multigraph_und(edges, out_col, in_col)
+    ranked = um.join(_deg_side("u", "du"), "u").join(_deg_side("v", "dv"), "v")
+    lt = (F.col("du") < F.col("dv")) | (
+        (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
+    )
+    oriented = ranked.select(
+        F.when(lt, F.col("u")).otherwise(F.col("v")).alias("src"),
+        F.when(lt, F.col("v")).otherwise(F.col("u")).alias("dst"),
+    )
+    hi_adj = (
+        oriented.groupBy("src")
+        .agg(F.collect_set("dst").alias("nb"))
+        .localCheckpoint()
+    )
+    # exact simple-edge count from the adjacency itself (vertex-sized agg
+    # over the checkpoint — metadata-cheap) for the same broadcast gate
+    # as the simple-graph core
+    m_und = int(
+        hi_adj.agg(F.sum(F.size("nb")).alias("m")).first()["m"] or 0
+    )
+    # the deduped oriented edge set, recovered map-side from the ckpt
+    edges_d = hi_adj.select("src", F.explode("nb").alias("dst"))
+    adj_bytes = n_vert * 24 + m_und * 8
+    if adj_bytes <= 4 * DEFAULT_MAX_BYTES:
+
+        def _adj_side(key: str, out: str) -> DataFrame:
+            return F.broadcast(
+                hi_adj.withColumnsRenamed({"src": key, "nb": out})
+            )
+
+        with_b = edges_d.join(_adj_side("dst", "nb_dst"), "dst")
+        closed = with_b.join(_adj_side("src", "nb_src"), "src")
+    else:
+        cand = edges_d.join(
             broadcast_if_small(
                 hi_adj.select(F.col("src").alias("dst")),
                 row_count=n_vert,
