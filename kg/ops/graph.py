@@ -373,13 +373,19 @@ def pagerank(
     unweighted rule bit-for-bit (W = out-degree, floor(r·1/W) = r div W).
     Multi-edges each carry their own weight row — Σ over rows, the
     natural multigraph semantics on both engines."""
-    enc = _encode_vertex_ids(edges, out_col, in_col)
+    enc = _encode_with_overlap(
+        edges, out_col, in_col,
+        # the out-degree agg + edge join checkpoint only needs the
+        # map-side encoded edges, not the injectivity verdict: run it
+        # concurrently with the vocab checkpoint (guide §2.6)
+        lambda en: _pagerank_ranked_edges(en, out_col, in_col, weight_col),
+    )
     if enc is not None:
-        encoded, vocab = enc
+        encoded, vocab, prebuilt = enc
         verts = vocab.select(F.col("enc").alias("id"))
         ranks = _pagerank_loop(
             encoded, verts, iters, damping_ppm, out_col, in_col,
-            weight_col=weight_col,
+            weight_col=weight_col, prebuilt=prebuilt,
         )
         return _decode_ids(ranks, vocab, ["id"])
     e = edges.select(F.col(out_col).alias("src"), F.col(in_col).alias("dst"))
@@ -395,24 +401,14 @@ def pagerank(
     )
 
 
-def _pagerank_loop(
-    edges: DataFrame,
-    verts: DataFrame,
-    iters: int,
-    damping_ppm: int,
-    out_col: str,
-    in_col: str,
-    personalized: bool = False,
-    weight_col: str | None = None,
-) -> DataFrame:
-    """Shared fixed-round integer rank loop.  ``personalized=True``
-    expects an ``is_src`` (0/1) column on ``verts``: the teleport mass
-    (1-d)·10^6 then lands ONLY on source vertices (initial rank is the
-    teleport mass itself), which is exactly global PageRank when every
-    vertex is a source — one rule, two operators.  ``weight_col``
-    switches the per-edge contribution from ``rank div out-degree`` to
-    the exact weighted share ``floor(rank·w / Σw)`` (split identity —
-    see :func:`pagerank`)."""
+def _pagerank_ranked_edges(
+    edges: DataFrame, out_col: str, in_col: str, weight_col: str | None
+) -> tuple[DataFrame, str]:
+    """``(ranked_edges_ckpt, contrib_expr)`` — the per-round edge frame
+    (each edge annotated with its source's out-degree / out-weight-sum,
+    checkpointed once) plus the matching exact-integer contribution
+    expression.  Factored out so :func:`pagerank` can build it
+    concurrently with the encode's vocab checkpoint."""
     if weight_col is not None:
         e = edges.select(
             F.col(out_col).alias("src"),
@@ -428,7 +424,36 @@ def _pagerank_loop(
         outd = e.groupBy("src").agg(F.count("*").alias("outd"))
         contrib_expr = "rank_fp div outd"
     # out-degree / out-weight-sum is reused every round: checkpoint once
-    ranked_edges = e.join(outd, "src").localCheckpoint()
+    return e.join(outd, "src").localCheckpoint(), contrib_expr
+
+
+def _pagerank_loop(
+    edges: DataFrame,
+    verts: DataFrame,
+    iters: int,
+    damping_ppm: int,
+    out_col: str,
+    in_col: str,
+    personalized: bool = False,
+    weight_col: str | None = None,
+    prebuilt: tuple[DataFrame, str] | None = None,
+) -> DataFrame:
+    """Shared fixed-round integer rank loop.  ``personalized=True``
+    expects an ``is_src`` (0/1) column on ``verts``: the teleport mass
+    (1-d)·10^6 then lands ONLY on source vertices (initial rank is the
+    teleport mass itself), which is exactly global PageRank when every
+    vertex is a source — one rule, two operators.  ``weight_col``
+    switches the per-edge contribution from ``rank div out-degree`` to
+    the exact weighted share ``floor(rank·w / Σw)`` (split identity —
+    see :func:`pagerank`).  ``prebuilt`` supplies an already-checkpointed
+    ``(ranked_edges, contrib_expr)`` pair (from
+    :func:`_pagerank_ranked_edges`, possibly built on an overlap
+    thread)."""
+    ranked_edges, contrib_expr = (
+        prebuilt
+        if prebuilt is not None
+        else _pagerank_ranked_edges(edges, out_col, in_col, weight_col)
+    )
     base = 1_000_000 - damping_ppm
     base_term = f"{base} * is_src" if personalized else str(base)
     damp = (
