@@ -373,22 +373,38 @@ def brute_force_topk(
     k: int = 5,
 ) -> DataFrame:
     """Exact cosine top-k per query. Broadcast the query side; corpus scan
-    stays partitioned → one shuffle (the window top-k)."""
+    stays partitioned (spread to the task slots first — the |Q|·|C|
+    cosine pass is compute-bound and a compact parquet corpus arrives as
+    1-2 splits) → one shuffle (the window top-k).  Scoring runs through
+    the vectorized numpy cosine (``_pair_cosine_arrow``, bit-identical
+    IEEE sequence to the HOF fold); rank/tie/NaN semantics stay in the
+    JVM window."""
     from pyspark.sql import Window as W
 
-    from kg.hints import maybe_broadcast
+    from kg.hints import maybe_broadcast, spread_to_slots
 
     q = maybe_broadcast(
         queries.select(
             F.col(query_id).alias("query_id"), F.col(vec_col).alias("qv")
         )
     )
-    c = corpus.select(F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv"))
-    scored = q.crossJoin(c).filter(F.col("query_id") != F.col("neighbor_id")).select(
+    c = spread_to_slots(
+        corpus.select(
+            F.col(corpus_id).alias("neighbor_id"), F.col(vec_col).alias("cv")
+        )
+    )
+    paired = c.crossJoin(q).filter(
+        F.col("query_id") != F.col("neighbor_id")
+    ).select(
         "query_id",
         "neighbor_id",
-        F.round(_cosine(F.col("qv").cast("array<double>"), F.col("cv").cast("array<double>")), 6).alias("cosine"),
+        F.col("qv").cast("array<double>").alias("_qv"),
+        F.col("cv").cast("array<double>").alias("_cv"),
     )
+    scored = _pair_cosine_arrow(
+        paired, a_col="query_id", b_col="neighbor_id",
+        va_col="_qv", vb_col="_cv",
+    ).withColumn("cosine", F.round("cosine", 6))
     w = W.partitionBy("query_id").orderBy(F.desc("cosine"), F.asc("neighbor_id"))
     return (
         # a zero-norm vector has no direction: its cosine is NaN, which
@@ -407,24 +423,47 @@ def ivf_assign(
     vec_col: str,
     centroids: DataFrame,
     nprobe: int = 1,
+    engine: str = "arrow",
 ) -> DataFrame:
     """→ (id, cid): each vector's ``nprobe`` nearest centroids.
 
     ``centroids`` columns: (cid, cv).  K is small → broadcast
-    nested-loop join (K cosines per row, all codegen), then a top-nprobe
-    window keyed on (cosine desc, cid asc) — the tie-break is total, so
-    the assignment is deterministic and SQL-twinnable."""
+    nested-loop join (K cosines per row), then a top-nprobe window keyed
+    on (cosine desc, cid asc) — the tie-break is total, so the
+    assignment is deterministic and SQL-twinnable.
+
+    The corpus side is ``spread_to_slots`` first: the K-cosines pass is
+    compute-bound and a compact parquet corpus arrives as one or two
+    splits, serializing the whole assignment onto as many cores (the
+    repo's documented coarse-input trap; measured — this WAS most of
+    ann_ivf's bench time).  ``engine="arrow"`` (default) scores the
+    crossed pairs with the vectorized numpy cosine
+    (:func:`_pair_cosine_arrow` — the JVM fold's exact IEEE accumulation
+    sequence, bit-identical and equivalence-tested); ``"expr"`` keeps
+    the interpreted higher-order-fn fold as the cross-check.  The
+    rank/tie/NaN semantics live in the unchanged JVM window either
+    way."""
     from pyspark.sql import Window as W
 
-    from kg.hints import maybe_broadcast
+    from kg.hints import maybe_broadcast, spread_to_slots
 
-    scored = df.select(
-        F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
-    ).crossJoin(maybe_broadcast(centroids)).select(
-        id_col,
-        "cid",
-        _cosine(F.col("_v"), F.col("cv")).alias("_c"),
-    )
+    if engine not in ("arrow", "expr"):
+        raise ValueError(f"engine must be 'arrow' or 'expr', got {engine!r}")
+    crossed = spread_to_slots(
+        df.select(
+            F.col(id_col), F.col(vec_col).cast("array<double>").alias("_v")
+        )
+    ).crossJoin(maybe_broadcast(centroids))
+    if engine == "arrow":
+        scored = _pair_cosine_arrow(
+            crossed, a_col=id_col, b_col="cid", va_col="_v", vb_col="cv"
+        ).withColumnRenamed("cosine", "_c")
+    else:
+        scored = crossed.select(
+            id_col,
+            "cid",
+            _cosine(F.col("_v"), F.col("cv")).alias("_c"),
+        )
     w = W.partitionBy(id_col).orderBy(F.desc("_c"), F.asc("cid"))
     return (
         # zero-norm vectors (NaN cosine to every centroid) get NO cell —
