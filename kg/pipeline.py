@@ -412,6 +412,14 @@ def run_pipeline(
     extract_ran = not done or pending.limit(1).count() > 0
     if extract_ran:
         log_event("stage_start", stage="extract", done_buckets=len(done))
+        # the source-side lineage agg (defined below, harvested after the
+        # write) reads ONLY the source table, so its job is independent
+        # of the triples write job
+        src_stats = [F.count("*").alias("rows_in")]
+        if detect_changes:
+            src_stats.append(
+                _fingerprint("repo", "path", "content").alias("input_fp")
+            )
         with StageTimer() as t:
             # extraction is per-row (no keyed shuffle), so hot-repo skew
             # is irrelevant here and repartitioning the full content
@@ -435,7 +443,19 @@ def run_pipeline(
                 _clear_partition_dirs(
                     triples_path, "bucket", set(range(b)) - done
                 )
-            _write(new_triples, triples_path, ["bucket"], buckets=b)
+            # run the narrow source-side agg CONCURRENTLY with the write
+            # (guide §2.6: independent jobs fill each other's barrier and
+            # commit-tail gaps).  Only the computation overlaps — the
+            # result is harvested after the write returns, and no lineage
+            # is recorded until both are done, so the crash ordering
+            # (data durable before lineage) is unchanged.
+            from concurrent.futures import ThreadPoolExecutor
+
+            with ThreadPoolExecutor(max_workers=1) as _pool:
+                _stats_fut = _pool.submit(
+                    pending.groupBy("bucket").agg(*src_stats).collect
+                )
+                _write(new_triples, triples_path, ["bucket"], buckets=b)
         # lineage is recorded from the SOURCE side (group pending input
         # rows by bucket), so a bucket whose files all yield zero triples
         # is still marked done — deriving it from the output would
@@ -448,15 +468,10 @@ def run_pipeline(
         # answers from two small parquet streams.  A later detect_changes
         # run treats fingerprint-less records as "cannot prove unchanged"
         # and conservatively re-extracts them once (see changed_buckets).
-        src_stats = [F.count("*").alias("rows_in")]
-        if detect_changes:
-            src_stats.append(
-                _fingerprint("repo", "path", "content").alias("input_fp")
-            )
-        src_rows = {
-            r["bucket"]: r
-            for r in pending.groupBy("bucket").agg(*src_stats).collect()
-        }
+        # (src_stats defined above the timer block; the agg ran
+        # concurrently with the triples write and is harvested here,
+        # after the write returned.)
+        src_rows = {r["bucket"]: r for r in _stats_fut.result()}
         # rows_out from parquet FOOTERS of the just-written bucket dirs
         # (O(buckets) metadata reads) instead of a groupBy re-scan of the
         # corpus-sized triples table: the old output-side agg also
