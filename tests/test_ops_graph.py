@@ -218,6 +218,47 @@ def test_triangles_clique_and_direction_invariance(spark):
     assert got == {"w": 3, "x": 3, "y": 3, "z": 3}
 
 
+def test_triangles_multigraph_core_equals_classic_core(spark):
+    """The direct ``triangles()`` path orients on MULTIGRAPH degree and
+    dedups inside the adjacency ``collect_set`` (r6: skips the
+    corpus-sized undirected distinct); the classic core
+    (``_triangle_triples`` via an explicit ``und``/``deg`` pair, still
+    used by transitivity/k_truss) orients on simple-graph degree.  The
+    two orders differ exactly when duplicate edges skew the multigraph
+    degree — the triangle SET must not: pin both cores bit-equal on a
+    graph whose duplicate multiplicities invert the degree order."""
+    import random
+
+    from kg.ops.graph import _triangles_impl, _undirected, triangles
+
+    rng = random.Random(20260822)
+    verts = [f"v{i}" for i in range(24)]
+    base = {
+        (a, b)
+        for a in verts
+        for b in verts
+        if a < b and rng.random() < 0.25
+    }
+    rows = []
+    for a, b in sorted(base):
+        # random multiplicity 1-4 with random per-copy direction, so
+        # multigraph degree diverges hard from simple degree and the two
+        # orientation orders disagree on many edges
+        for _ in range(rng.randint(1, 4)):
+            rows.append((a, b) if rng.random() < 0.5 else (b, a))
+    rows += [(v, v) for v in verts[:3]]  # self-loops are dropped by both
+    e = spark.createDataFrame(rows, "out_id string, in_id string")
+
+    multi = sorted(map(tuple, triangles(e).collect()))
+    und = _undirected(e, "out_id", "in_id").localCheckpoint()
+    classic = sorted(
+        map(tuple, _triangles_impl(e, "out_id", "in_id", und=und).collect())
+    )
+    # classic core returns encoded-free raw ids already (no encode wrap)
+    assert multi == classic
+    assert len(multi) > 0  # the graph actually has triangles to compare
+
+
 def test_clustering_coefficient_hand_graph(edges):
     """Undirected degrees: a=2, b=2, c=3, d=1, m=6, leaves=1; the only
     triangle is {a,b,c} → a,b fully clustered (1.0), c = 2/(3·2) =
