@@ -519,6 +519,32 @@ def embedding_near_duplicates(
         emb, id_col, vec_col, dim, planes=planes, bands=bands,
         max_bucket=max_bucket, distinct_pairs=False,
     )
+    # The candidate set is the corpus-density-quadratic side (7.4M pairs
+    # at the sf1.0 bench) while the vector table is corpus-LINEAR: left
+    # unhinted, both attach joins ran sort-merge and shuffled every
+    # candidate pair twice — the second time dragging a dim×8-byte
+    # vector per row (guide §8: decisions should move to the payload,
+    # not the payload to the decisions).  Broadcast the dim sides at the
+    # same 4× budget the triangle adjacency uses for broadcasts that
+    # remove a corpus-sized shuffle (parquet-backed emb ⇒ Catalyst stats
+    # are real bytes; a billion-vector corpus blows the gate and keeps
+    # the sort-merge shape this code was).
+    #
+    # When the gate fires, the attach exchanges disappear — and with
+    # them the only wide shuffle between the band join and the Python
+    # re-rank, so AQE's coalescing then sizes the whole probe+MapInPandas
+    # stage off the band join's COMPRESSED pair bytes (~120 MB at sf1.0
+    # → 2 partitions) and serializes the expensive Python stage onto two
+    # cores (measured 45 s vs 9 s — the repo's compressed-bytes trap in
+    # AQE form).  An explicit-count repartition on the pair key pins the
+    # stage's width (explicit numPartitions is exempt from AQE
+    # coalescing); it costs one narrow 16-byte-pair exchange, which the
+    # removed sort-merge attaches paid anyway just to get started.
+    # A/B at sf1.0: broadcast+repartition 6.3-7.3 s (interleaved wins
+    # all 3 rounds) vs sort-merge attach 9.2 s (stash A/B; frozen bench
+    # 9.18 s) vs broadcast WITHOUT the width pin 45 s.
+    from kg.hints import DEFAULT_MAX_BYTES, plan_size_bytes
+
     a = emb.select(
         F.col(id_col).alias("a"),
         F.col(vec_col).cast("array<double>").alias("va"),
@@ -527,6 +553,11 @@ def embedding_near_duplicates(
         F.col(id_col).alias("b"),
         F.col(vec_col).cast("array<double>").alias("vb"),
     )
+    sz = plan_size_bytes(a)
+    if sz is not None and sz <= 4 * DEFAULT_MAX_BYTES:
+        slots = emb.sparkSession.sparkContext.defaultParallelism
+        cand = cand.repartition(slots, "a", "b")
+        a, b = F.broadcast(a), F.broadcast(b)
     paired = cand.join(a, "a").join(b, "b")
     if rerank_engine == "codegen":
         scored = paired.withColumn(

@@ -234,6 +234,44 @@ def test_embedding_near_duplicates_finds_identical(spark):
     assert (1, 4) not in out
 
 
+def test_embedding_near_duplicates_join_shapes_agree(spark, monkeypatch):
+    """r6: the vector-attach joins broadcast the (linear-sized) emb side
+    and pin the Python re-rank stage's width with an explicit-count
+    repartition when the gate fires; over-budget corpora keep the old
+    sort-merge shape.  Both shapes must produce identical rows — force
+    the gate shut via the budget and compare against the default path
+    on a corpus dense enough to make multi-band duplicate candidates."""
+    import random
+
+    import kg.hints
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(80):
+        base = [rng.uniform(-1, 1) for _ in range(8)]
+        rows.append((i, [float(x) for x in base]))
+        # planted near-dup: tiny perturbation keeps cosine ≥ threshold
+        rows.append((1000 + i, [float(x + 0.01 * rng.random()) for x in base]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    def run():
+        return sorted(
+            map(
+                tuple,
+                embedding_near_duplicates(
+                    emb, "vec_id", "embedding", dim=8, threshold=0.98,
+                    planes=16, bands=8,
+                ).collect(),
+            )
+        )
+
+    fast = run()  # broadcast + pinned-width path (gate open on test data)
+    monkeypatch.setattr(kg.hints, "DEFAULT_MAX_BYTES", 0)  # gate shut
+    slow = run()  # sort-merge attach path
+    assert fast == slow
+    assert len(fast) > 0  # the corpus actually produced near-dup pairs
+
+
 def _token_doc(seed: int, n: int = 60) -> list[str]:
     """Deterministic pseudo-random token list over a 500-token vocab."""
     import hashlib
