@@ -146,6 +146,31 @@ def test_pagerank_integer_rule_hand_check(spark):
     assert r2 == {r.id: r.rank_fp for r in pagerank(e, iters=2).collect()}
 
 
+def test_pagerank_ranked_edges_cache_is_single_and_recomputed(spark):
+    """r6: the per-round edge frame is persisted with preserved
+    partitioning instead of localCheckpoint'd; each call must drop the
+    PREVIOUS call's cache entry (bounded memory, and a repeated
+    identical query recomputes from its inputs instead of silently
+    reusing the old materialization via CacheManager plan-dedup)."""
+    from kg.ops.graph import _PREV_RANKED_CACHE
+
+    e = spark.createDataFrame(
+        [("a", "b"), ("a", "c"), ("b", "c")], "out_id string, in_id string"
+    )
+    r1 = {r.id: r.rank_fp for r in pagerank(e, iters=2).collect()}
+    assert len(_PREV_RANKED_CACHE) == 1
+    first = _PREV_RANKED_CACHE[0]
+    assert first.storageLevel.useMemory  # actually persisted
+    r2 = {r.id: r.rank_fp for r in pagerank(e, iters=2).collect()}
+    assert r1 == r2
+    assert len(_PREV_RANKED_CACHE) == 1
+    assert _PREV_RANKED_CACHE[0] is not first  # fresh build, old dropped
+    # (DataFrame.storageLevel is a CacheManager lookup by CANONICAL plan,
+    # and the second call re-cached an equivalent plan, so querying the
+    # first frame's level would just find the new entry — the identity
+    # check above is what proves the rebuild.)
+
+
 def test_personalized_pagerank_hand_check_and_global_equivalence(spark):
     from kg.ops import personalized_pagerank
 
