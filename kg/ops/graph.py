@@ -839,13 +839,31 @@ def triangles(
     inside the adjacency ``collect_set``.  The degree checkpoint is
     overlapped with the encode's vocab checkpoint (two independent
     jobs, ``_encode_with_overlap``)."""
-    enc = _encode_with_overlap(
-        edges, out_col, in_col,
-        lambda e: _multigraph_deg(e, out_col, in_col),
-    )
+    def _prep(en: DataFrame):
+        # materialize the NARROW (16-byte) encoded undirected rows once:
+        # the raw edge expression is typically a multi-branch union of
+        # scans building string ids (re-evaluated by every consumer —
+        # the vocab distinct, the degree agg AND the orientation each
+        # paid the full string-build + hash chain before this), and both
+        # the degree agg and the orientation joins read the checkpoint
+        # instead.  A/B at the 18M-edge sf1.0 scale-up: wins 2/3
+        # interleaved rounds, best 11.1 vs 11.9 s, outputs
+        # exceptAll-identical.
+        um = _multigraph_und(en, out_col, in_col).localCheckpoint()
+        deg = (
+            um.select(F.explode(F.array("u", "v")).alias("id"))
+            .groupBy("id")
+            .agg(F.count("*").alias("deg"))
+            .localCheckpoint()
+        )
+        return um, deg
+
+    enc = _encode_with_overlap(edges, out_col, in_col, _prep)
     if enc is not None:
-        encoded, vocab, deg = enc
-        tri = _triangle_triples_multigraph(encoded, out_col, in_col, deg)
+        encoded, vocab, (um, deg) = enc
+        tri = _triangle_triples_multigraph(
+            encoded, out_col, in_col, deg, um=um
+        )
         counts = _triangle_member_counts(tri)
         return _decode_ids(counts, vocab, ["id"])
     return _triangles_impl(edges, out_col, in_col)
@@ -1037,7 +1055,11 @@ def _triangle_triples(und: DataFrame, deg: DataFrame) -> DataFrame:
 
 
 def _triangle_triples_multigraph(
-    edges: DataFrame, out_col: str, in_col: str, deg: DataFrame
+    edges: DataFrame,
+    out_col: str,
+    in_col: str,
+    deg: DataFrame,
+    um: DataFrame | None = None,
 ) -> DataFrame:
     """:func:`_triangle_triples` without the corpus-sized ``distinct``.
 
@@ -1074,7 +1096,11 @@ def _triangle_triples_multigraph(
             bytes_per_row=16,
         )
 
-    um = _multigraph_und(edges, out_col, in_col)
+    # callers may hand in an already-materialized undirected frame so the
+    # raw edge expression is evaluated once (see triangles()._prep); the
+    # bare call keeps the transient map-side form
+    if um is None:
+        um = _multigraph_und(edges, out_col, in_col)
     ranked = um.join(_deg_side("u", "du"), "u").join(_deg_side("v", "dv"), "v")
     lt = (F.col("du") < F.col("dv")) | (
         (F.col("du") == F.col("dv")) & (F.col("u") < F.col("v"))
